@@ -1,0 +1,174 @@
+"""Runtime configuration: dtype policy, attention backend, RNG policy, mesh.
+
+This replaces the reference's device/VRAM runtime (src/Device/Device.py:15-1608).
+On TPU there is no VRAM-state machine, no model paging, and no manual casting:
+XLA owns placement, jit owns compilation, and dtype policy is a small static
+config chosen once per run.
+
+Reference parity notes:
+- ``unet_dtype`` / ``should_use_bf16`` (Device.py:955/1522) -> ``compute_dtype``
+  (bf16 on TPU, fp32 on CPU test runs).
+- ``vae_dtype`` (Device.py:1105) -> ``vae_dtype`` (fp32 by default: the SD VAE
+  is numerically fragile in fp16; bf16 is fine on TPU, fp32 used for parity).
+- The xformers/SDPA dispatch (src/Attention/Attention.py:34-41) becomes the
+  ``attention_backend`` field ("auto" picks Pallas flash attention on TPU and
+  XLA dot-product attention elsewhere).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from functools import lru_cache
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+# ---------------------------------------------------------------------------
+# Platform probing
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=None)
+def default_backend() -> str:
+    """The active JAX backend platform ("tpu", "cpu", "gpu", "axon"...)."""
+    try:
+        return jax.default_backend()
+    except Exception:  # pragma: no cover - no devices at all
+        return "cpu"
+
+
+def is_tpu() -> bool:
+    plat = default_backend()
+    if plat in ("tpu", "axon"):
+        return True
+    try:
+        return jax.devices()[0].platform.startswith("tpu") or "TPU" in str(
+            jax.devices()[0]
+        )
+    except Exception:
+        return False
+
+
+# ---------------------------------------------------------------------------
+# Dtype policy
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class DtypePolicy:
+    """Static mixed-precision policy.
+
+    ``compute_dtype`` drives matmuls/convs (MXU wants bf16); ``param_dtype`` is
+    the storage dtype of loaded weights; norms and sigma/schedule math always
+    run in fp32 (matches the reference keeping schedules in fp32,
+    src/sample/sampling.py:289).
+    """
+
+    compute_dtype: jnp.dtype
+    param_dtype: jnp.dtype
+    vae_dtype: jnp.dtype
+    text_encoder_dtype: jnp.dtype
+
+    @staticmethod
+    def for_platform(platform: Optional[str] = None) -> "DtypePolicy":
+        plat = platform or default_backend()
+        if plat == "cpu":
+            return DtypePolicy(jnp.float32, jnp.float32, jnp.float32, jnp.float32)
+        return DtypePolicy(jnp.bfloat16, jnp.bfloat16, jnp.float32, jnp.bfloat16)
+
+
+# ---------------------------------------------------------------------------
+# Runtime config
+# ---------------------------------------------------------------------------
+
+_VALID_ATTENTION = ("auto", "xla", "pallas")
+_VALID_RNG = ("torch", "jax")
+
+
+@dataclasses.dataclass(frozen=True)
+class RuntimeConfig:
+    """Top-level knobs for a generation session.
+
+    rng_mode:
+      - "torch": initial/ancestral noise is drawn with torch's CPU Philox
+        generator so outputs are bit-identical in distribution to the
+        reference at a fixed seed (src/sample/ksampler_util.py:274-295).
+      - "jax": pure jax.random (threefry) — the production default when
+        reference parity is not required.
+    """
+
+    dtypes: DtypePolicy = dataclasses.field(
+        default_factory=DtypePolicy.for_platform
+    )
+    attention_backend: str = "auto"
+    rng_mode: str = "torch"
+    # mesh axis sizes; None -> single device
+    data_parallel: int = 1
+    model_parallel: int = 1
+    donate_latents: bool = True
+    # enable jax profiler traces around the sampler loop
+    profile_dir: Optional[str] = None
+
+    def __post_init__(self):
+        if self.attention_backend not in _VALID_ATTENTION:
+            raise ValueError(f"attention_backend must be one of {_VALID_ATTENTION}")
+        if self.rng_mode not in _VALID_RNG:
+            raise ValueError(f"rng_mode must be one of {_VALID_RNG}")
+
+    def resolve_attention_backend(self) -> str:
+        if self.attention_backend != "auto":
+            return self.attention_backend
+        return "pallas" if is_tpu() else "xla"
+
+
+_current: Optional[RuntimeConfig] = None
+
+
+def get_config() -> RuntimeConfig:
+    global _current
+    if _current is None:
+        _current = RuntimeConfig()
+    return _current
+
+
+def set_config(cfg: RuntimeConfig) -> RuntimeConfig:
+    global _current
+    _current = cfg
+    return cfg
+
+
+# ---------------------------------------------------------------------------
+# Asset locations (replaces src/FileManaging paths)
+# ---------------------------------------------------------------------------
+
+
+def asset_root() -> str:
+    """Directory holding model assets (checkpoints/, loras/, clip/, ...)."""
+    return os.environ.get(
+        "LDT_ASSET_ROOT", os.path.join(os.path.expanduser("~"), ".ldt", "include")
+    )
+
+
+def repo_asset(*parts: str) -> str:
+    """Path to an asset vendored inside this repository (tokenizer vocab...)."""
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    return os.path.join(here, "assets", *parts)
+
+
+def model_dirs() -> Tuple[str, ...]:
+    root = asset_root()
+    return tuple(
+        os.path.join(root, d)
+        for d in (
+            "checkpoints",
+            "loras",
+            "embeddings",
+            "clip",
+            "vae",
+            "unet",
+            "ESRGAN",
+            "yolos",
+        )
+    )

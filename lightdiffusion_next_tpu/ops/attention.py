@@ -1,0 +1,96 @@
+"""Attention entry points.
+
+Counterpart of src/Attention/AttentionMethods.py (xformers/SDPA dispatch) and
+src/Attention/Attention.py (CrossAttention, VAE AttnBlock). On TPU the
+"kernel choice" is Pallas flash attention vs plain XLA attention; the
+xformers path has no analog (XLA fuses QK^T+softmax+V well on its own, and
+the Pallas kernel exists for the long-sequence regime where VMEM blocking
+wins).
+
+All functions take "folded" tensors (B, L, heads*dim) like the reference's
+attention_pytorch (AttentionMethods.py:107-140) so model code is layout-free.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from lightdiffusion_next_tpu import config as _config
+
+
+def _unfold_heads(x, heads: int):
+    b, l, inner = x.shape
+    return x.reshape(b, l, heads, inner // heads).transpose(0, 2, 1, 3)
+
+
+def _fold_heads(x):
+    b, h, l, d = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, l, h * d)
+
+
+def attention_xla(q, k, v, heads: int, mask: Optional[jax.Array] = None):
+    """Scaled dot-product attention via plain XLA einsum.
+
+    Matches attention_pytorch (AttentionMethods.py:107): fold heads, softmax
+    in fp32, scale 1/sqrt(head_dim).
+    """
+    q, k, v = (_unfold_heads(t, heads) for t in (q, k, v))
+    out = sdpa(q, k, v, mask=mask)
+    return _fold_heads(out)
+
+
+def sdpa(q, k, v, mask: Optional[jax.Array] = None):
+    """(B, H, Lq, D) x (B, H, Lk, D) attention with fp32 softmax."""
+    scale = 1.0 / math.sqrt(q.shape[-1])
+    logits = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    )
+    logits = logits * scale
+    if mask is not None:
+        logits = logits + mask.astype(logits.dtype)
+    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+
+
+def attention_pallas(q, k, v, heads: int, mask: Optional[jax.Array] = None):
+    """Pallas flash-attention path; falls back to XLA when unavailable
+    (CPU tests, tiny/ragged shapes, or masked attention)."""
+    from lightdiffusion_next_tpu.ops import flash_attention as fa
+
+    q4, k4, v4 = (_unfold_heads(t, heads) for t in (q, k, v))
+    if mask is None and fa.supported(q4, k4, v4):
+        return _fold_heads(fa.flash_attention(q4, k4, v4))
+    return _fold_heads(sdpa(q4, k4, v4, mask=mask))
+
+
+def attention(q, k, v, heads: int, mask: Optional[jax.Array] = None):
+    """Backend-dispatching attention (Attention.py:34-41 parity point)."""
+    backend = _config.get_config().resolve_attention_backend()
+    if backend == "pallas":
+        return attention_pallas(q, k, v, heads, mask)
+    return attention_xla(q, k, v, heads, mask)
+
+
+def vae_attention(x):
+    """Single-head spatial attention for the VAE mid-block.
+
+    Counterpart of pytorch_attention for NCHW 1-head attention
+    (AttentionMethods.py:175-197) — here NHWC: (B, H, W, C) -> same.
+    The q/k/v projections live in the VAE module; this is just the core.
+    """
+    b, h, w, c = x.shape
+    return x.reshape(b, 1, h * w, c)
+
+
+def vae_attention_core(q, k, v):
+    """q,k,v: (B, H, W, C) -> attention over H*W tokens, single head."""
+    b, h, w, c = q.shape
+    qf = q.reshape(b, 1, h * w, c)
+    kf = k.reshape(b, 1, h * w, c)
+    vf = v.reshape(b, 1, h * w, c)
+    out = sdpa(qf, kf, vf)
+    return out.reshape(b, h, w, c)

@@ -1,0 +1,150 @@
+"""Pallas TPU flash attention (online-softmax, VMEM-blocked).
+
+This is the TPU-native replacement for the reference's xformers
+memory-efficient attention (src/Attention/AttentionMethods.py:16-105): instead
+of wrapping a CUDA kernel, we block Q over the grid and stream K/V blocks
+through VMEM, keeping the L x L logits matrix out of HBM entirely. At SD1.5
+1024x1024 the top UNet level runs 16384 tokens — the logits matrix alone
+would be 1 GiB per (batch, head) in fp32, so this kernel is the difference
+between HBM-bound and MXU-bound attention.
+
+Layout: (B, H, L, D). D is zero-padded to a multiple of 128 (MXU lane width);
+padded K tokens are masked with -inf logits, padded Q rows are computed and
+dropped on unpad.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale, kv_len):
+    ki = pl.program_id(2)
+    nk = pl.num_programs(2)
+    block_k = k_ref.shape[1]
+
+    @pl.when(ki == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    # logits in fp32 on the MXU
+    s = jax.lax.dot_general(
+        q,
+        k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    s = s * scale
+
+    # mask padded kv columns
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_k
+    s = jnp.where(col < kv_len, s, NEG_INF)
+
+    m_prev = m_ref[:]
+    m_cur = jnp.max(s, axis=1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    p = jnp.exp(s - m_new)
+    alpha = jnp.exp(m_prev - m_new)
+    l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+    acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+        p.astype(v_ref.dtype),
+        v_ref[0],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    m_ref[:] = m_new
+
+    @pl.when(ki == nk - 1)
+    def _finish():
+        o_ref[0] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
+def flash_attention(q, k, v, block_q: int = 256, block_k: int = 512):
+    """q: (B, H, Lq, D), k/v: (B, H, Lk, D) -> (B, H, Lq, D).
+
+    No mask support (the diffusion hot paths are unmasked); use ops.attention
+    for masked/causal cases.
+    """
+    b, h, lq, d = q.shape
+    lk = k.shape[2]
+    scale = 1.0 / math.sqrt(d)
+
+    dp = _round_up(d, 128)
+    block_q = min(block_q, _round_up(lq, 128))
+    block_k = min(block_k, _round_up(lk, 128))
+    lqp = _round_up(lq, block_q)
+    lkp = _round_up(lk, block_k)
+
+    qp = jnp.pad(q, ((0, 0), (0, 0), (0, lqp - lq), (0, dp - d)))
+    kp = jnp.pad(k, ((0, 0), (0, 0), (0, lkp - lk), (0, dp - d)))
+    vp = jnp.pad(v, ((0, 0), (0, 0), (0, lkp - lk), (0, dp - d)))
+
+    bh = b * h
+    qp = qp.reshape(bh, lqp, dp)
+    kp = kp.reshape(bh, lkp, dp)
+    vp = vp.reshape(bh, lkp, dp)
+
+    grid = (bh, lqp // block_q, lkp // block_k)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, scale=scale, kv_len=lk),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, block_q, dp), lambda i, j, kk: (i, j, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, block_k, dp), lambda i, j, kk: (i, kk, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, block_k, dp), lambda i, j, kk: (i, kk, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block_q, dp), lambda i, j, kk: (i, j, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((bh, lqp, dp), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, dp), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bh * lqp * lkp * dp,
+            bytes_accessed=2 * bh * (lqp + 2 * lkp) * dp,
+            transcendentals=bh * lqp * lkp,
+        ),
+    )(qp, kp, vp)
+
+    out = out.reshape(b, h, lqp, dp)
+    return out[:, :, :lq, :d]
+
+
+def supported(q, k, v) -> bool:
+    """Heuristic dispatch gate: the kernel pays off for long sequences; for
+    short KV (cross-attention over 77 text tokens) XLA's fused path wins."""
+    lq, d = q.shape[2], q.shape[3]
+    lk = k.shape[2]
+    if d > 512:
+        return False
+    return lq >= 512 and lk >= 512

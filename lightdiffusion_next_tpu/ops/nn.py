@@ -1,0 +1,191 @@
+"""Minimal functional NN ops over flat state-dict params.
+
+Design: model parameters are FLAT dicts keyed by the original (LDM/HF) state
+-dict names — "the state dict is the pytree". Forward passes are pure
+functions indexing that dict. This replaces the reference's cast-op layer
+(src/cond/cast.py:88-525): there is no runtime dtype/device casting because
+XLA owns placement and the dtype policy is applied once at load time.
+
+Layout conventions (TPU-native):
+- activations NHWC
+- conv kernels HWIO (transformed from torch OIHW once, at load)
+- linear weights kept in torch (out, in) layout; ``linear`` contracts
+  x @ W^T via dot_general so no transpose materializes.
+
+Norms compute in fp32 regardless of activation dtype (bf16-safe).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def linear(x, w, b=None):
+    """x: (..., in), w: (out, in) torch layout, b: (out,)."""
+    y = jax.lax.dot_general(
+        x,
+        w,
+        dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
+        preferred_element_type=x.dtype,
+    )
+    if b is not None:
+        y = y + b.astype(y.dtype)
+    return y
+
+
+def conv2d(x, w, b=None, stride: int = 1, padding: int = 0, dilation: int = 1):
+    """x: NHWC, w: HWIO, returns NHWC."""
+    if isinstance(padding, int):
+        padding = ((padding, padding), (padding, padding))
+    y = jax.lax.conv_general_dilated(
+        x,
+        w.astype(x.dtype),
+        window_strides=(stride, stride),
+        padding=padding,
+        rhs_dilation=(dilation, dilation),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=x.dtype,
+    )
+    if b is not None:
+        y = y + b.astype(y.dtype)
+    return y
+
+
+def group_norm(x, scale, bias, groups: int = 32, eps: float = 1e-5):
+    """NHWC group norm, stats in fp32 (torch GroupNorm parity)."""
+    b, h, w, c = x.shape
+    xf = x.astype(jnp.float32).reshape(b, h * w, groups, c // groups)
+    mean = xf.mean(axis=(1, 3), keepdims=True)
+    var = xf.var(axis=(1, 3), keepdims=True)
+    xf = (xf - mean) * jax.lax.rsqrt(var + eps)
+    xf = xf.reshape(b, h, w, c)
+    if scale is not None:
+        xf = xf * scale.astype(jnp.float32)
+    if bias is not None:
+        xf = xf + bias.astype(jnp.float32)
+    return xf.astype(x.dtype)
+
+
+def group_norm_tokens(x, scale, bias, groups: int = 32, eps: float = 1e-5):
+    """(B, L, C) group norm over channel groups + tokens."""
+    b, l, c = x.shape
+    return group_norm(x.reshape(b, 1, l, c), scale, bias, groups, eps).reshape(
+        b, l, c
+    )
+
+
+def layer_norm(x, scale=None, bias=None, eps: float = 1e-5):
+    xf = x.astype(jnp.float32)
+    mean = xf.mean(axis=-1, keepdims=True)
+    var = xf.var(axis=-1, keepdims=True)
+    xf = (xf - mean) * jax.lax.rsqrt(var + eps)
+    if scale is not None:
+        xf = xf * scale.astype(jnp.float32)
+    if bias is not None:
+        xf = xf + bias.astype(jnp.float32)
+    return xf.astype(x.dtype)
+
+
+def rms_norm(x, scale=None, eps: float = 1e-6):
+    xf = x.astype(jnp.float32)
+    xf = xf * jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
+    if scale is not None:
+        xf = xf * scale.astype(jnp.float32)
+    return xf.astype(x.dtype)
+
+
+def silu(x):
+    return jax.nn.silu(x)
+
+
+def gelu(x, approximate: bool = False):
+    return jax.nn.gelu(x, approximate=approximate)
+
+
+def geglu(x, w, b):
+    """GEGLU feed-forward gate: Linear -> split -> x * gelu(gate)
+    (src/NeuralNetwork/transformer.py FeedForward/GEGLU parity; torch uses
+    exact erf gelu)."""
+    proj = linear(x, w, b)
+    val, gate = jnp.split(proj, 2, axis=-1)
+    return val * gelu(gate, approximate=False)
+
+
+def avg_pool2d(x, window: int = 2, stride: int = 2):
+    return jax.lax.reduce_window(
+        x,
+        0.0,
+        jax.lax.add,
+        (1, window, window, 1),
+        (1, stride, stride, 1),
+        "VALID",
+    ) / float(window * window)
+
+
+def interpolate_nearest(x, scale: int = 2):
+    """NHWC nearest-neighbor upsample by integer factor (torch 'nearest')."""
+    b, h, w, c = x.shape
+    x = jnp.repeat(x, scale, axis=1)
+    x = jnp.repeat(x, scale, axis=2)
+    return x
+
+
+def interpolate_bilinear(x, size, align_corners: bool = False):
+    """NHWC bilinear resize matching torch.nn.functional.interpolate.
+
+    torch's align_corners=False uses half-pixel centers == jax.image 'linear'.
+    """
+    b, h, w, c = x.shape
+    out_h, out_w = size
+    if align_corners:
+        # gather-based exact implementation
+        ys = jnp.linspace(0.0, h - 1.0, out_h)
+        xs = jnp.linspace(0.0, w - 1.0, out_w)
+        return _separable_linear_gather(x, ys, xs)
+    return jax.image.resize(x, (b, out_h, out_w, c), method="linear").astype(
+        x.dtype
+    )
+
+
+def _separable_linear_gather(x, ys, xs):
+    y0 = jnp.floor(ys).astype(jnp.int32)
+    y1 = jnp.minimum(y0 + 1, x.shape[1] - 1)
+    wy = (ys - y0)[None, :, None, None]
+    xa = x[:, y0] * (1 - wy) + x[:, y1] * wy
+    x0 = jnp.floor(xs).astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, x.shape[2] - 1)
+    wx = (xs - x0)[None, None, :, None]
+    return (xa[:, :, x0] * (1 - wx) + xa[:, :, x1] * wx).astype(x.dtype)
+
+
+def embedding_lookup(ids, table):
+    """ids: int (...,), table: (vocab, dim)."""
+    return jnp.take(table, ids, axis=0)
+
+
+class ParamView:
+    """Prefix-scoped view over a flat param dict: p('in_layers.0.weight')."""
+
+    __slots__ = ("params", "prefix")
+
+    def __init__(self, params: dict, prefix: str = ""):
+        self.params = params
+        self.prefix = prefix
+
+    def __call__(self, key: str):
+        return self.params[self.prefix + key]
+
+    def get(self, key: str, default=None):
+        return self.params.get(self.prefix + key, default)
+
+    def has(self, key: str) -> bool:
+        return (self.prefix + key) in self.params
+
+    def scope(self, sub: str) -> "ParamView":
+        return ParamView(self.params, self.prefix + sub)
+
+    def keys(self):
+        return [k for k in self.params if k.startswith(self.prefix)]

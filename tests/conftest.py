@@ -1,0 +1,25 @@
+"""Test configuration: force CPU with an 8-device virtual mesh.
+
+Tests never require TPU hardware; multi-chip sharding is validated on a
+virtual CPU mesh (xla_force_host_platform_device_count=8) per the project
+test strategy (SURVEY.md §4: the reference has no tests — we build parity
+tests against torch-CPU oracles and analytic values).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
