@@ -1,0 +1,82 @@
+"""Command-line interface.
+
+Counterpart of the reference CLI (src/user/pipeline.py:521-639 argparse).
+Usage:
+    python -m lightdiffusion_next_tpu.app.cli "a cat" 512 512 1 1 --hires-fix
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="lightdiffusion-tpu",
+        description="TPU-native LightDiffusion pipeline",
+    )
+    p.add_argument("prompt", help="prompt text (or image path with --img2img)")
+    p.add_argument("width", type=int)
+    p.add_argument("height", type=int)
+    p.add_argument("number", type=int, nargs="?", default=1)
+    p.add_argument("batch", type=int, nargs="?", default=1)
+    p.add_argument("--hires-fix", action="store_true")
+    p.add_argument("--adetailer", action="store_true")
+    p.add_argument("--enhance-prompt", action="store_true")
+    p.add_argument("--img2img", action="store_true")
+    p.add_argument("--stable-fast", action="store_true",
+                   help="accepted for parity; jit compilation is always on")
+    p.add_argument("--reuse-seed", action="store_true")
+    p.add_argument("--flux", action="store_true")
+    p.add_argument("--prio-speed", action="store_true")
+    p.add_argument("--autohdr", action="store_true")
+    p.add_argument("--realistic-model", action="store_true")
+    p.add_argument("--negative-prompt", default=None)
+    p.add_argument("--multiscale-preset", default=None,
+                   choices=["quality", "performance", "balanced", "disabled"])
+    p.add_argument("--no-multiscale", action="store_true")
+    p.add_argument("--multiscale-factor", type=float, default=0.5)
+    p.add_argument("--multiscale-fullres-start", type=int, default=3)
+    p.add_argument("--multiscale-fullres-end", type=int, default=8)
+    p.add_argument("--multiscale-intermittent-fullres", action="store_true")
+    p.add_argument("--output-dir", default="./output")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    from lightdiffusion_next_tpu.pipelines.pipeline import pipeline
+
+    paths = pipeline(
+        args.prompt,
+        args.width,
+        args.height,
+        number=args.number,
+        batch=args.batch,
+        hires_fix=args.hires_fix,
+        adetailer=args.adetailer,
+        enhance_prompt=args.enhance_prompt,
+        img2img=args.img2img,
+        stable_fast=args.stable_fast,
+        reuse_seed=args.reuse_seed,
+        flux_enabled=args.flux,
+        prio_speed=args.prio_speed,
+        autohdr=args.autohdr,
+        realistic_model=args.realistic_model,
+        negative_prompt=args.negative_prompt,
+        multiscale_preset=args.multiscale_preset,
+        enable_multiscale=not args.no_multiscale,
+        multiscale_factor=args.multiscale_factor,
+        multiscale_fullres_start=args.multiscale_fullres_start,
+        multiscale_fullres_end=args.multiscale_fullres_end,
+        multiscale_intermittent_fullres=args.multiscale_intermittent_fullres,
+        output_dir=args.output_dir,
+    )
+    for p_ in paths:
+        print(p_)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

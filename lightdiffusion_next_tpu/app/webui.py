@@ -1,0 +1,202 @@
+"""Gradio WebUI.
+
+Counterpart of app.py:1-1012 (Gradio Blocks: settings persistence, threaded
+generation with preview polling, history gallery, memory panel, launch
+modes). Gradio is an optional dependency — import is deferred so the engine
+never requires it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+import time
+from typing import List
+
+from lightdiffusion_next_tpu.app.instance import app as app_instance
+
+SETTINGS_FILE = "webui_settings.json"
+
+DEFAULT_SETTINGS = {
+    "prompt": "",
+    "negative_prompt": "",
+    "width": 512,
+    "height": 512,
+    "num_images": 1,
+    "batch_size": 1,
+    "hires_fix": False,
+    "adetailer": False,
+    "enhance_prompt": False,
+    "prio_speed": False,
+    "autohdr": True,
+    "realistic_model": False,
+    "flux_enabled": False,
+    "multiscale_preset": "disabled",
+    "keep_models_loaded": True,
+}
+
+
+def load_settings() -> dict:
+    """webui_settings.json autoload (app.py:58-125 parity)."""
+    try:
+        with open(SETTINGS_FILE) as f:
+            data = json.load(f)
+        out = dict(DEFAULT_SETTINGS)
+        out.update({k: v for k, v in data.items() if k in DEFAULT_SETTINGS})
+        return out
+    except Exception:
+        return dict(DEFAULT_SETTINGS)
+
+
+def save_settings(settings: dict) -> None:
+    try:
+        with open(SETTINGS_FILE, "w") as f:
+            json.dump(settings, f, indent=2)
+    except OSError:
+        pass
+
+
+def generate_images_with_preview(output_dir: str = "./output", **kwargs):
+    """Threaded generation with 0.5s preview polling (app.py:312-464
+    parity). Yields (gallery_paths, status) tuples."""
+    from lightdiffusion_next_tpu.pipelines.pipeline import pipeline
+
+    save_settings({k: v for k, v in kwargs.items() if k in DEFAULT_SETTINGS})
+    result: dict = {}
+
+    def run():
+        try:
+            result["paths"] = pipeline(output_dir=output_dir, **kwargs)
+        except Exception as e:  # surface errors like the reference (app.py:452)
+            result["error"] = str(e)
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    while t.is_alive():
+        previews = app_instance.get_latest_previews()
+        yield previews, f"generating... {app_instance.progress.get():.0%}"
+        time.sleep(0.5)
+    t.join()
+    if "error" in result:
+        yield [], f"error: {result['error']}"
+    else:
+        yield result.get("paths", []), "done"
+
+
+def list_history(output_dir: str = "./output") -> List[str]:
+    out = []
+    for root, _dirs, files in os.walk(output_dir):
+        if "preview" in root:
+            continue
+        for f in sorted(files):
+            if f.endswith(".png"):
+                out.append(os.path.join(root, f))
+    return sorted(out, key=os.path.getmtime, reverse=True)
+
+
+def memory_info() -> str:
+    from lightdiffusion_next_tpu.pipelines.loader import get_model_cache
+
+    info = get_model_cache().get_memory_info()
+    gib = 1024**3
+    if "bytes_in_use" in info:
+        return (
+            f"HBM {info['bytes_in_use']/gib:.2f} / {info.get('bytes_limit',0)/gib:.2f} GiB"
+            f" · {info['cached_models']} cached model(s)"
+        )
+    return f"{info['cached_models']} cached model(s)"
+
+
+def build_app():
+    """Construct the Gradio Blocks app (requires `gradio`)."""
+    import gradio as gr
+
+    s = load_settings()
+    with gr.Blocks(title="LightDiffusion-TPU") as demo:
+        with gr.Row():
+            with gr.Column():
+                prompt = gr.Textbox(label="Prompt", value=s["prompt"], lines=3)
+                negative = gr.Textbox(
+                    label="Negative prompt", value=s["negative_prompt"], lines=2
+                )
+                with gr.Row():
+                    width = gr.Slider(256, 2048, value=s["width"], step=64, label="Width")
+                    height = gr.Slider(256, 2048, value=s["height"], step=64, label="Height")
+                with gr.Row():
+                    num_images = gr.Slider(1, 8, value=s["num_images"], step=1, label="Images")
+                    batch_size = gr.Slider(1, 4, value=s["batch_size"], step=1, label="Batch")
+                with gr.Row():
+                    hires = gr.Checkbox(value=s["hires_fix"], label="Hires fix")
+                    adet = gr.Checkbox(value=s["adetailer"], label="ADetailer")
+                    enh = gr.Checkbox(value=s["enhance_prompt"], label="Enhance prompt")
+                with gr.Row():
+                    speed = gr.Checkbox(value=s["prio_speed"], label="Prioritize speed")
+                    hdr = gr.Checkbox(value=s["autohdr"], label="AutoHDR")
+                    realistic = gr.Checkbox(value=s["realistic_model"], label="Realistic model")
+                    flux = gr.Checkbox(value=s["flux_enabled"], label="Flux")
+                with gr.Accordion("Multi-scale diffusion", open=False):
+                    ms_preset = gr.Dropdown(
+                        ["disabled", "quality", "performance", "balanced"],
+                        value=s["multiscale_preset"],
+                        label="Preset",
+                    )
+                go = gr.Button("Generate", variant="primary")
+            with gr.Column():
+                gallery = gr.Gallery(label="Output")
+                status = gr.Textbox(label="Status", interactive=False)
+                mem = gr.Textbox(label="Memory", value=memory_info(), interactive=False)
+                with gr.Row():
+                    refresh_mem = gr.Button("Refresh memory")
+                    clear_cache = gr.Button("Clear model cache")
+                history = gr.Gallery(label="History", value=list_history())
+
+        def on_generate(
+            prompt, negative, width, height, num_images, batch_size, hires,
+            adet, enh, speed, hdr, realistic, flux, ms_preset,
+        ):
+            yield from generate_images_with_preview(
+                prompt=prompt,
+                negative_prompt=negative or None,
+                w=int(width),
+                h=int(height),
+                number=int(num_images),
+                batch=int(batch_size),
+                hires_fix=hires,
+                adetailer=adet,
+                enhance_prompt=enh,
+                prio_speed=speed,
+                autohdr=hdr,
+                realistic_model=realistic,
+                flux_enabled=flux,
+                multiscale_preset=None if ms_preset == "disabled" else ms_preset,
+            )
+
+        go.click(
+            on_generate,
+            [prompt, negative, width, height, num_images, batch_size, hires,
+             adet, enh, speed, hdr, realistic, flux, ms_preset],
+            [gallery, status],
+        )
+        refresh_mem.click(lambda: memory_info(), None, mem)
+
+        def on_clear():
+            from lightdiffusion_next_tpu.pipelines.loader import get_model_cache
+
+            get_model_cache().clear()
+            return memory_info()
+
+        clear_cache.click(on_clear, None, mem)
+    return demo
+
+
+def main():
+    demo = build_app()
+    demo.launch(
+        server_name=os.environ.get("GRADIO_SERVER_NAME", "127.0.0.1"),
+        server_port=int(os.environ.get("GRADIO_SERVER_PORT", "7860")),
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,197 @@
+"""T5 encoder (T5-XXL for Flux), TPU-native.
+
+Counterpart of src/clip/FluxClip.py:15-592 (T5DenseGatedActDense, T5Attention
+with relative position bias, T5LayerNorm=RMSNorm, T5Stack, T5XXLModel).
+
+Notes carried over:
+- T5 attention is UNSCALED (the reference cancels the 1/sqrt(d) by
+  pre-scaling k, FluxClip.py:267); we simply skip the scale.
+- Relative position bias comes only from block 0's embedding and is passed
+  down the stack (past_bias threading, :242-270).
+- Gated gelu_pytorch_tanh feed-forward.
+
+Param keys are HF T5 encoder names: shared.weight,
+encoder.block.{i}.layer.0.SelfAttention.{q,k,v,o}.weight,
+...relative_attention_bias.weight, layer.{0,1}.layer_norm.weight,
+layer.1.DenseReluDense.{wi_0,wi_1,wo}.weight, encoder.final_layer_norm.weight
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lightdiffusion_next_tpu.ops import nn
+
+
+@dataclasses.dataclass(frozen=True)
+class T5Config:
+    d_model: int = 4096
+    d_ff: int = 10240
+    num_heads: int = 64
+    num_layers: int = 24
+    vocab_size: int = 32128
+    relative_num_buckets: int = 32
+    relative_max_distance: int = 128
+
+
+T5_XXL = T5Config()
+
+
+def relative_position_bucket(
+    relative_position: np.ndarray,
+    bidirectional: bool = True,
+    num_buckets: int = 32,
+    max_distance: int = 128,
+) -> np.ndarray:
+    """Mesh-TF bucket mapping (FluxClip.py:153-205). Host-side numpy — the
+    bucket table depends only on (Lq, Lk), so it is a trace-time constant."""
+    relative_buckets = np.zeros_like(relative_position)
+    if bidirectional:
+        num_buckets //= 2
+        relative_buckets += (relative_position > 0).astype(np.int64) * num_buckets
+        relative_position = np.abs(relative_position)
+    else:
+        relative_position = -np.minimum(relative_position, 0)
+    max_exact = num_buckets // 2
+    is_small = relative_position < max_exact
+    with np.errstate(divide="ignore"):
+        rp_large = max_exact + (
+            np.log(np.maximum(relative_position, 1) / max_exact)
+            / math.log(max_distance / max_exact)
+            * (num_buckets - max_exact)
+        ).astype(np.int64)
+    rp_large = np.minimum(rp_large, num_buckets - 1)
+    relative_buckets += np.where(is_small, relative_position, rp_large)
+    return relative_buckets
+
+
+def compute_bias_table(q_len: int, k_len: int, cfg: T5Config) -> np.ndarray:
+    ctx = np.arange(q_len, dtype=np.int64)[:, None]
+    mem = np.arange(k_len, dtype=np.int64)[None, :]
+    return relative_position_bucket(
+        mem - ctx,
+        bidirectional=True,
+        num_buckets=cfg.relative_num_buckets,
+        max_distance=cfg.relative_max_distance,
+    )
+
+
+def _t5_attention(p: nn.ParamView, x, bias, heads: int):
+    q = nn.linear(x, p("q.weight"))
+    k = nn.linear(x, p("k.weight"))
+    v = nn.linear(x, p("v.weight"))
+    b, l, inner = q.shape
+    d = inner // heads
+
+    def split(t):
+        return t.reshape(b, l, heads, d).transpose(0, 2, 1, 3)
+
+    q, k, v = split(q), split(k), split(v)
+    # UNSCALED logits + additive bias (T5 semantics)
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    if bias is not None:
+        logits = logits + bias.astype(logits.dtype)
+    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+    out = out.transpose(0, 2, 1, 3).reshape(b, l, inner)
+    return nn.linear(out, p("o.weight"))
+
+
+def apply_t5(
+    params: Dict,
+    tokens,  # (B, L) int32
+    attention_mask=None,  # (B, L) 1=attend
+    intermediate_output: Optional[int] = None,
+    final_layer_norm_intermediate: bool = True,
+    cfg: T5Config = T5_XXL,
+):
+    """T5Stack.forward parity (FluxClip.py:457-500). Returns (x, intermediate,
+    pooled=None)."""
+    x = nn.embedding_lookup(tokens, params["shared.weight"]).astype(jnp.float32)
+
+    L = x.shape[1]
+    buckets = compute_bias_table(L, L, cfg)
+    bias_emb = params["encoder.block.0.layer.0.SelfAttention.relative_attention_bias.weight"]
+    bias = jnp.take(bias_emb, jnp.asarray(buckets), axis=0)  # (L, L, H)
+    bias = bias.transpose(2, 0, 1)[None].astype(jnp.float32)  # (1, H, L, L)
+    if attention_mask is not None:
+        am = jnp.asarray(attention_mask, dtype=jnp.float32)
+        bias = bias + (1.0 - am)[:, None, None, :] * -1e9
+
+    if intermediate_output is not None and intermediate_output < 0:
+        intermediate_output = cfg.num_layers + intermediate_output
+
+    intermediate = None
+    for i in range(cfg.num_layers):
+        p = nn.ParamView(params, f"encoder.block.{i}.")
+        h = nn.rms_norm(x, p("layer.0.layer_norm.weight"))
+        x = x + _t5_attention(p.scope("layer.0.SelfAttention."), h, bias, cfg.num_heads)
+        h = nn.rms_norm(x, p("layer.1.layer_norm.weight"))
+        hg = nn.gelu(
+            nn.linear(h, p("layer.1.DenseReluDense.wi_0.weight")), approximate=True
+        )
+        hl = nn.linear(h, p("layer.1.DenseReluDense.wi_1.weight"))
+        x = x + nn.linear(hg * hl, p("layer.1.DenseReluDense.wo.weight"))
+        if intermediate_output is not None and i == intermediate_output:
+            intermediate = x
+    x = nn.rms_norm(x, params["encoder.final_layer_norm.weight"])
+    if intermediate is not None and final_layer_norm_intermediate:
+        intermediate = nn.rms_norm(
+            intermediate, params["encoder.final_layer_norm.weight"]
+        )
+    return x, intermediate, None
+
+
+class T5XXLModel:
+    """SDClipModel-like facade for T5 (T5XXLModel, FluxClip.py:565-592)."""
+
+    def __init__(self, params: Dict, cfg: T5Config = T5_XXL, dtype=jnp.float32):
+        self.cfg = cfg
+        self.params = {k: jnp.asarray(v, dtype=dtype) for k, v in params.items()}
+        self.special_tokens = {"end": 1, "pad": 0}
+
+    def encode_token_weights(self, token_weight_pairs):
+        """T5 path ignores per-token weights' lerp (the reference encodes the
+        weighted rows identically because T5 has no empty-row lerp in the
+        Flux flow — FluxClipModel.encode_token_weights, :704-755 uses plain
+        encode)."""
+        rows = [[int(a[0]) for a in row] for row in token_weight_pairs]
+        tokens = jnp.asarray(np.asarray(rows, dtype=np.int32))
+        out, _, _ = apply_t5(self.params, tokens, cfg=self.cfg)
+        return np.asarray(out, dtype=np.float32), None
+
+
+def init_params(cfg: T5Config = T5_XXL, seed: int = 0, dtype=jnp.float32):
+    rng = np.random.default_rng(seed)
+    P = {}
+
+    def lin(key, out_d, in_d):
+        P[key + ".weight"] = rng.normal(0, in_d**-0.5, (out_d, in_d)).astype(
+            np.float32
+        )
+
+    P["shared.weight"] = rng.normal(0, 1.0, (cfg.vocab_size, cfg.d_model)).astype(
+        np.float32
+    )
+    P[
+        "encoder.block.0.layer.0.SelfAttention.relative_attention_bias.weight"
+    ] = rng.normal(0, 0.1, (cfg.relative_num_buckets, cfg.num_heads)).astype(
+        np.float32
+    )
+    for i in range(cfg.num_layers):
+        pre = f"encoder.block.{i}."
+        for nme in "qkvo":
+            lin(pre + f"layer.0.SelfAttention.{nme}", cfg.d_model, cfg.d_model)
+        P[pre + "layer.0.layer_norm.weight"] = np.ones((cfg.d_model,), np.float32)
+        lin(pre + "layer.1.DenseReluDense.wi_0", cfg.d_ff, cfg.d_model)
+        lin(pre + "layer.1.DenseReluDense.wi_1", cfg.d_ff, cfg.d_model)
+        lin(pre + "layer.1.DenseReluDense.wo", cfg.d_model, cfg.d_ff)
+        P[pre + "layer.1.layer_norm.weight"] = np.ones((cfg.d_model,), np.float32)
+    P["encoder.final_layer_norm.weight"] = np.ones((cfg.d_model,), np.float32)
+    return {k: jnp.asarray(v, dtype=dtype) for k, v in P.items()}

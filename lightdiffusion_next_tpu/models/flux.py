@@ -1,0 +1,324 @@
+"""Flux.1 DiT, TPU-native.
+
+Counterpart of src/BlackForest/Flux.py:85-853 (Flux3 with double/single
+stream blocks, 3-axis RoPE, MLPEmbedder time/vector/guidance embeds, adaLN
+final layer). Re-designed for TPU:
+
+- NHWC latent in/out; 2x2 patchify is a reshape/transpose pair.
+- head_dim 128 == MXU lane width; attention runs through ops.attention
+  (Pallas flash on TPU for the ~4k-token joint sequence).
+- Params are a flat dict with the BFL checkpoint keys (double_blocks.0.
+  img_attn.qkv.weight, ...), loadable straight from GGUF/safetensors.
+- Tensor-parallel sharding rules for the v5e-8 target live in
+  parallel.sharding (heads and MLP sharded over the "model" mesh axis).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lightdiffusion_next_tpu.ops import attention as attn_ops
+from lightdiffusion_next_tpu.ops import nn, rope as rope_ops
+from lightdiffusion_next_tpu.sampling.schedules import timestep_embedding_flux
+
+
+@dataclasses.dataclass(frozen=True)
+class FluxConfig:
+    """FluxParams parity (Flux.py:528-541 / config classes :781-853)."""
+
+    in_channels: int = 16
+    hidden_size: int = 3072
+    mlp_ratio: float = 4.0
+    num_heads: int = 24
+    depth: int = 19
+    depth_single_blocks: int = 38
+    axes_dim: Tuple[int, ...] = (16, 56, 56)
+    theta: int = 10000
+    qkv_bias: bool = True
+    guidance_embed: bool = True
+    vec_in_dim: int = 768
+    context_in_dim: int = 4096
+    patch_size: int = 2
+    dtype: Any = jnp.float32
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+
+FLUX_DEV = FluxConfig()
+FLUX_SCHNELL = dataclasses.replace(FLUX_DEV, guidance_embed=False)
+
+
+def _mlp_embedder(p: nn.ParamView, x):
+    """MLPEmbedder (Flux.py:116-146): in_layer -> silu -> out_layer."""
+    h = nn.linear(x, p("in_layer.weight"), p("in_layer.bias"))
+    return nn.linear(nn.silu(h), p("out_layer.weight"), p("out_layer.bias"))
+
+
+def _modulation(p: nn.ParamView, vec, n: int):
+    """Modulation (Flux.py:231-258): silu(vec) -> lin -> chunk(3n)."""
+    out = nn.linear(nn.silu(vec), p("lin.weight"), p("lin.bias"))
+    chunks = jnp.split(out[:, None, :], 3 * (n // 3), axis=-1)
+    return chunks  # groups of (shift, scale, gate)
+
+
+def _qk_norm(p: nn.ParamView, q, k):
+    """QKNorm (Flux.py:173-201): per-head RMSNorm on q and k."""
+    q = nn.rms_norm(q, p("query_norm.scale"))
+    k = nn.rms_norm(k, p("key_norm.scale"))
+    return q, k
+
+
+def _attention(q, k, v, pe):
+    """attention() (Flux.py:18-34): rope then SDPA, heads folded out."""
+    q, k = rope_ops.apply_rope(q, k, pe)
+    b, h, l, d = q.shape
+    out = attn_ops.attention(
+        q.transpose(0, 2, 1, 3).reshape(b, l, h * d),
+        k.transpose(0, 2, 1, 3).reshape(b, l, h * d),
+        v.transpose(0, 2, 1, 3).reshape(b, l, h * d),
+        heads=h,
+    )
+    return out
+
+
+def _split_heads(qkv, num_heads: int):
+    """(B, L, 3*H) -> q,k,v (B, heads, L, head_dim)."""
+    b, l, _ = qkv.shape
+    qkv = qkv.reshape(b, l, 3, num_heads, -1)
+    qkv = qkv.transpose(2, 0, 3, 1, 4)
+    return qkv[0], qkv[1], qkv[2]
+
+
+def _double_block(p: nn.ParamView, img, txt, vec, pe, cfg: FluxConfig):
+    """DoubleStreamBlock (Flux.py:260-349)."""
+    im1_shift, im1_scale, im1_gate, im2_shift, im2_scale, im2_gate = _modulation(
+        p.scope("img_mod."), vec, 6
+    )
+    tx1_shift, tx1_scale, tx1_gate, tx2_shift, tx2_scale, tx2_gate = _modulation(
+        p.scope("txt_mod."), vec, 6
+    )
+
+    img_modulated = nn.layer_norm(img) * (1 + im1_scale) + im1_shift
+    img_qkv = nn.linear(
+        img_modulated, p("img_attn.qkv.weight"), p.get("img_attn.qkv.bias")
+    )
+    img_q, img_k, img_v = _split_heads(img_qkv, cfg.num_heads)
+    img_q, img_k = _qk_norm(p.scope("img_attn.norm."), img_q, img_k)
+
+    txt_modulated = nn.layer_norm(txt) * (1 + tx1_scale) + tx1_shift
+    txt_qkv = nn.linear(
+        txt_modulated, p("txt_attn.qkv.weight"), p.get("txt_attn.qkv.bias")
+    )
+    txt_q, txt_k, txt_v = _split_heads(txt_qkv, cfg.num_heads)
+    txt_q, txt_k = _qk_norm(p.scope("txt_attn.norm."), txt_q, txt_k)
+
+    q = jnp.concatenate([txt_q, img_q], axis=2)
+    k = jnp.concatenate([txt_k, img_k], axis=2)
+    v = jnp.concatenate([txt_v, img_v], axis=2)
+    attn = _attention(q, k, v, pe)
+    txt_attn, img_attn = attn[:, : txt.shape[1]], attn[:, txt.shape[1] :]
+
+    img = img + im1_gate * nn.linear(
+        img_attn, p("img_attn.proj.weight"), p("img_attn.proj.bias")
+    )
+    h = nn.layer_norm(img) * (1 + im2_scale) + im2_shift
+    h = nn.linear(h, p("img_mlp.0.weight"), p("img_mlp.0.bias"))
+    h = nn.gelu(h, approximate=True)
+    img = img + im2_gate * nn.linear(h, p("img_mlp.2.weight"), p("img_mlp.2.bias"))
+
+    txt = txt + tx1_gate * nn.linear(
+        txt_attn, p("txt_attn.proj.weight"), p("txt_attn.proj.bias")
+    )
+    h = nn.layer_norm(txt) * (1 + tx2_scale) + tx2_shift
+    h = nn.linear(h, p("txt_mlp.0.weight"), p("txt_mlp.0.bias"))
+    h = nn.gelu(h, approximate=True)
+    txt = txt + tx2_gate * nn.linear(h, p("txt_mlp.2.weight"), p("txt_mlp.2.bias"))
+    return img, txt
+
+
+def _single_block(p: nn.ParamView, x, vec, pe, cfg: FluxConfig):
+    """SingleStreamBlock (Flux.py:351-419)."""
+    shift, scale, gate = _modulation(p.scope("modulation."), vec, 3)
+    x_mod = nn.layer_norm(x) * (1 + scale) + shift
+    hidden = cfg.hidden_size
+    mlp_hidden = int(hidden * cfg.mlp_ratio)
+    proj = nn.linear(x_mod, p("linear1.weight"), p("linear1.bias"))
+    qkv, mlp = proj[..., : 3 * hidden], proj[..., 3 * hidden :]
+    q, k, v = _split_heads(qkv, cfg.num_heads)
+    q, k = _qk_norm(p.scope("norm."), q, k)
+    attn = _attention(q, k, v, pe)
+    out = nn.linear(
+        jnp.concatenate([attn, nn.gelu(mlp, approximate=True)], axis=-1),
+        p("linear2.weight"),
+        p("linear2.bias"),
+    )
+    return x + gate * out
+
+
+def patchify(x, patch: int = 2):
+    """NHWC (B,H,W,C) -> tokens (B, H/2*W/2, C*4), channel-major per patch
+    (rearrange 'b c (h ph) (w pw) -> b (h w) (c ph pw)', Flux.py:732-760)."""
+    b, h, w, c = x.shape
+    hh, ww = h // patch, w // patch
+    x = x.reshape(b, hh, patch, ww, patch, c)
+    # -> (b, hh, ww, c, ph, pw)
+    x = x.transpose(0, 1, 3, 5, 2, 4)
+    return x.reshape(b, hh * ww, c * patch * patch)
+
+
+def unpatchify(tokens, h: int, w: int, patch: int = 2):
+    """Inverse of patchify -> NHWC (B, H, W, C)."""
+    b, l, d = tokens.shape
+    hh, ww = h // patch, w // patch
+    c = d // (patch * patch)
+    x = tokens.reshape(b, hh, ww, c, patch, patch)
+    x = x.transpose(0, 1, 4, 2, 5, 3)
+    return x.reshape(b, hh * patch, ww * patch, c)
+
+
+def img_ids(batch: int, h: int, w: int, patch: int = 2):
+    """3-axis position ids for the image tokens (Flux3.forward, :732)."""
+    hh, ww = h // patch, w // patch
+    ids = np.zeros((hh, ww, 3), dtype=np.float32)
+    ids[..., 1] = np.arange(hh, dtype=np.float32)[:, None]
+    ids[..., 2] = np.arange(ww, dtype=np.float32)[None, :]
+    return jnp.asarray(np.tile(ids.reshape(1, hh * ww, 3), (batch, 1, 1)))
+
+
+def apply_flux(
+    params: Dict,
+    x,  # NHWC latent (B, H, W, 16)
+    timesteps,  # (B,) in [0,1] sigma space
+    context,  # (B, L, 4096) T5 sequence
+    y,  # (B, 768) CLIP pooled
+    guidance=None,  # (B,) distilled guidance strength
+    cfg: FluxConfig = FLUX_DEV,
+    first_block_hook=None,
+):
+    """Flux3.forward/forward_orig parity (Flux.py:658-779).
+
+    ``first_block_hook(img_after_block0, run_rest)``: FBCache boundary after
+    double block 0 (WaveSpeed first_block_cache.py:725-790)."""
+    b, h, w, c = x.shape
+    dtype = cfg.dtype
+
+    img = patchify(x.astype(dtype), cfg.patch_size)
+    img = nn.linear(img, params["img_in.weight"], params["img_in.bias"])
+    txt = nn.linear(
+        context.astype(dtype), params["txt_in.weight"], params["txt_in.bias"]
+    )
+
+    vec = _mlp_embedder(
+        nn.ParamView(params, "time_in."),
+        timestep_embedding_flux(timesteps, 256).astype(dtype),
+    )
+    if cfg.guidance_embed:
+        if guidance is None:
+            guidance = jnp.full((b,), 3.5, dtype=jnp.float32)
+        vec = vec + _mlp_embedder(
+            nn.ParamView(params, "guidance_in."),
+            timestep_embedding_flux(guidance, 256).astype(dtype),
+        )
+    vec = vec + _mlp_embedder(nn.ParamView(params, "vector_in."), y.astype(dtype))
+
+    txt_ids = jnp.zeros((b, txt.shape[1], 3), dtype=jnp.float32)
+    ids = jnp.concatenate([txt_ids, img_ids(b, h, w, cfg.patch_size)], axis=1)
+    pe = rope_ops.embed_nd(ids, cfg.axes_dim, cfg.theta)
+
+    img_prev = img
+    img, txt = _double_block(
+        nn.ParamView(params, "double_blocks.0."), img, txt, vec, pe, cfg
+    )
+
+    def run_rest(img):
+        """Remaining double + all single blocks; returns img tokens BEFORE
+        the final layer (so FBCache's residual = pre-final - post-block-0,
+        first_block_cache.py:725-790)."""
+        txt_ = txt
+        for i in range(1, cfg.depth):
+            img, txt_ = _double_block(
+                nn.ParamView(params, f"double_blocks.{i}."), img, txt_, vec, pe, cfg
+            )
+        xx = jnp.concatenate([txt_, img], axis=1)
+        for i in range(cfg.depth_single_blocks):
+            xx = _single_block(
+                nn.ParamView(params, f"single_blocks.{i}."), xx, vec, pe, cfg
+            )
+        return xx[:, txt_.shape[1] :]
+
+    if first_block_hook is not None:
+        img_out = first_block_hook(img_prev, img, run_rest)
+    else:
+        img_out = run_rest(img)
+
+    # LastLayer (Flux.py:420-478)
+    pl_ = nn.ParamView(params, "final_layer.")
+    mod = nn.linear(
+        nn.silu(vec), pl_("adaLN_modulation.1.weight"), pl_("adaLN_modulation.1.bias")
+    )
+    shift, scale = jnp.split(mod, 2, axis=-1)
+    img_out = nn.layer_norm(img_out, eps=1e-6) * (1 + scale[:, None]) + shift[
+        :, None
+    ]
+    tokens = nn.linear(img_out, pl_("linear.weight"), pl_("linear.bias"))
+    return unpatchify(
+        tokens.astype(jnp.float32), h, w, cfg.patch_size
+    )
+
+
+# ---------------------------------------------------------------------------
+# Random init (tests/benches); real weights come from GGUF/safetensors.
+# ---------------------------------------------------------------------------
+
+
+def init_params(cfg: FluxConfig = FLUX_DEV, seed: int = 0, dtype=None):
+    rng = np.random.default_rng(seed)
+    dtype = dtype or cfg.dtype
+    H = cfg.hidden_size
+    P = {}
+
+    def lin(key, out_d, in_d, bias=True):
+        P[key + ".weight"] = rng.normal(0, in_d**-0.5, (out_d, in_d))
+        if bias:
+            P[key + ".bias"] = np.zeros((out_d,))
+
+    def scale(key, d):
+        P[key] = np.ones((d,))
+
+    lin("img_in", H, cfg.in_channels * cfg.patch_size**2)
+    lin("txt_in", H, cfg.context_in_dim)
+    lin("time_in.in_layer", H, 256)
+    lin("time_in.out_layer", H, H)
+    lin("vector_in.in_layer", H, cfg.vec_in_dim)
+    lin("vector_in.out_layer", H, H)
+    if cfg.guidance_embed:
+        lin("guidance_in.in_layer", H, 256)
+        lin("guidance_in.out_layer", H, H)
+    mlp_hidden = int(H * cfg.mlp_ratio)
+    for i in range(cfg.depth):
+        pre = f"double_blocks.{i}."
+        for s in ("img", "txt"):
+            lin(pre + f"{s}_mod.lin", 6 * H, H)
+            lin(pre + f"{s}_attn.qkv", 3 * H, H, bias=cfg.qkv_bias)
+            scale(pre + f"{s}_attn.norm.query_norm.scale", cfg.head_dim)
+            scale(pre + f"{s}_attn.norm.key_norm.scale", cfg.head_dim)
+            lin(pre + f"{s}_attn.proj", H, H)
+            lin(pre + f"{s}_mlp.0", mlp_hidden, H)
+            lin(pre + f"{s}_mlp.2", H, mlp_hidden)
+    for i in range(cfg.depth_single_blocks):
+        pre = f"single_blocks.{i}."
+        lin(pre + "linear1", 3 * H + mlp_hidden, H)
+        lin(pre + "linear2", H, H + mlp_hidden)
+        scale(pre + "norm.query_norm.scale", cfg.head_dim)
+        scale(pre + "norm.key_norm.scale", cfg.head_dim)
+        lin(pre + "modulation.lin", 3 * H, H)
+    lin("final_layer.linear", cfg.patch_size**2 * cfg.in_channels, H)
+    lin("final_layer.adaLN_modulation.1", 2 * H, H)
+    return {k: jnp.asarray(v, dtype=dtype) for k, v in P.items()}

@@ -1,0 +1,128 @@
+"""LoRA: key mapping + pure weight-merge over param pytrees.
+
+Counterpart of src/Model/LoRas.py (load_lora/model_lora_keys_unet/clip,
+LoraLoader) and the merge math in src/Model/ModelPatcher.py:621-650
+(W += strength * (alpha/rank) * up @ down).
+
+TPU design: no clone-on-write patcher — ``apply_lora`` returns a NEW flat
+param dict (SURVEY §7: "merged = apply_lora(params, lora, alpha)"). Conv
+deltas are computed in the checkpoint's OIHW layout then transposed to our
+HWIO storage.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+LORA_CLIP_MAP = {
+    "mlp.fc1": "mlp_fc1",
+    "mlp.fc2": "mlp_fc2",
+    "self_attn.k_proj": "self_attn_k_proj",
+    "self_attn.q_proj": "self_attn_q_proj",
+    "self_attn.v_proj": "self_attn_v_proj",
+    "self_attn.out_proj": "self_attn_out_proj",
+}
+
+
+def unet_key_map(unet_params: Dict) -> Dict[str, str]:
+    """lora_unet_<name_with_underscores> -> our flat param key
+    (model_lora_keys_unet parity, LoRas.py:88-130)."""
+    key_map = {}
+    for k in unet_params:
+        if k.endswith(".weight"):
+            key_lora = k[: -len(".weight")].replace(".", "_")
+            key_map[f"lora_unet_{key_lora}"] = k
+            key_map[f"lora_prior_unet_{key_lora}"] = k
+    return key_map
+
+
+def clip_key_map(clip_params: Dict) -> Dict[str, str]:
+    """lora_te_* / lora_te1_* / diffusers text_encoder.* -> our flat key
+    (model_lora_keys_clip parity, LoRas.py:58-86)."""
+    key_map = {}
+    for b in range(32):
+        for c, lname in LORA_CLIP_MAP.items():
+            k = f"text_model.encoder.layers.{b}.{c}.weight"
+            if k in clip_params:
+                key_map[f"lora_te_text_model_encoder_layers_{b}_{lname}"] = k
+                key_map[f"lora_te1_text_model_encoder_layers_{b}_{lname}"] = k
+                key_map[f"text_encoder.text_model.encoder.layers.{b}.{c}"] = k
+    return key_map
+
+
+def load_lora(lora_sd: Dict, key_map: Dict[str, str]) -> Dict[str, Tuple]:
+    """LoRA state dict -> {our_param_key: (up, down, alpha)} (load_lora
+    parity, LoRas.py:15-55). Unmatched lora keys are reported."""
+    patches = {}
+    loaded = set()
+    for lora_key, model_key in key_map.items():
+        a_name = f"{lora_key}.lora_up.weight"
+        if a_name not in lora_sd:
+            continue
+        b_name = f"{lora_key}.lora_down.weight"
+        alpha_name = f"{lora_key}.alpha"
+        alpha = None
+        if alpha_name in lora_sd:
+            alpha = float(np.asarray(lora_sd[alpha_name]))
+            loaded.add(alpha_name)
+        patches[model_key] = (
+            np.asarray(lora_sd[a_name], dtype=np.float32),
+            np.asarray(lora_sd[b_name], dtype=np.float32),
+            alpha,
+        )
+        loaded.update((a_name, b_name))
+    leftover = [k for k in lora_sd if k not in loaded]
+    return patches, leftover
+
+
+def _lora_delta(up: np.ndarray, down: np.ndarray, alpha: Optional[float]):
+    """strength-free delta in OIHW/out-in layout (calculate_weight math)."""
+    rank = down.shape[0]
+    scale = 1.0 if alpha is None else alpha / rank
+    mat = up.reshape(up.shape[0], -1) @ down.reshape(down.shape[0], -1)
+    target_shape = (up.shape[0],) + tuple(down.shape[1:])
+    return scale * mat.reshape(target_shape)
+
+
+def apply_lora(
+    params: Dict,
+    patches: Dict[str, Tuple],
+    strength: float = 1.0,
+) -> Dict:
+    """Return a new param dict with LoRA merged at ``strength``.
+
+    Our convs are stored HWIO; LoRA decompositions are OIHW — the delta is
+    built in OIHW and transposed before adding."""
+    import jax.numpy as jnp
+
+    out = dict(params)
+    for key, (up, down, alpha) in patches.items():
+        if key not in out:
+            continue
+        w = out[key]
+        delta = _lora_delta(up, down, alpha) * strength
+        if w.ndim == 4:  # HWIO storage
+            delta = np.transpose(delta, (2, 3, 1, 0))
+        out[key] = (w.astype(jnp.float32) + jnp.asarray(delta)).astype(w.dtype)
+    return out
+
+
+def load_and_apply_lora(
+    lora_sd: Dict,
+    unet_params: Dict,
+    clip_params: Optional[Dict],
+    strength_model: float,
+    strength_clip: float,
+):
+    """LoraLoader.load_lora parity (LoRas.py:164-193): returns new
+    (unet_params, clip_params)."""
+    new_unet, new_clip = unet_params, clip_params
+    if strength_model != 0:
+        patches, _ = load_lora(lora_sd, unet_key_map(unet_params))
+        new_unet = apply_lora(unet_params, patches, strength_model)
+    if clip_params is not None and strength_clip != 0:
+        patches, _ = load_lora(lora_sd, clip_key_map(clip_params))
+        new_clip = apply_lora(clip_params, patches, strength_clip)
+    return new_unet, new_clip

@@ -103,6 +103,9 @@ def flash_attention(q, k, v, block_q: int = 256, block_k: int = 512):
 
     grid = (bh, lqp // block_q, lkp // block_k)
 
+    # CPU (tests) runs the kernel in interpreter mode; TPU compiles it.
+    interpret = jax.default_backend() == "cpu"
+
     out = pl.pallas_call(
         functools.partial(_kernel, scale=scale, kv_len=lk),
         grid=grid,
@@ -134,6 +137,7 @@ def flash_attention(q, k, v, block_q: int = 256, block_k: int = 512):
             bytes_accessed=2 * bh * (lqp + 2 * lkp) * dp,
             transcendentals=bh * lqp * lkp,
         ),
+        interpret=interpret,
     )(qp, kp, vp)
 
     out = out.reshape(b, h, lqp, dp)

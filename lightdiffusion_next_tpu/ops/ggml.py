@@ -1,0 +1,325 @@
+"""Native GGUF reader + quantized tensors (no `gguf` dependency).
+
+Counterpart of src/Quantize/Quantizer.py: gguf_sd_loader (:581-663, mmap'd
+tensor table), Q8_0 block dequant (:94-112, x = d * q per 32-elem block),
+GGMLTensor/GGMLOps (dequantize inside forward, :260-455) and the T5
+llama.cpp->HF key remap (:815-856).
+
+TPU design: a quantized weight is a ``QTensor8`` pytree leaf-pair (int8
+codes + per-block scales) that lives in HBM at 1 byte/weight; dequant
+happens per-layer inside the jitted forward (ops.nn.linear unwraps it), so
+the 12B-param Flux fits a 16 GB v5e chip. A fused Pallas int8 x bf16 matmul
+is the planned fast path (ops.quant_matmul).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import mmap
+import struct
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+GGUF_MAGIC = 0x46554747
+
+# ggml tensor types
+GGML_F32 = 0
+GGML_F16 = 1
+GGML_Q8_0 = 8
+GGML_BF16 = 30
+
+_SCALAR_FMT = {
+    0: ("B", 1), 1: ("b", 1), 2: ("H", 2), 3: ("h", 2), 4: ("I", 4),
+    5: ("i", 4), 6: ("f", 4), 7: ("?", 1), 10: ("Q", 8), 11: ("q", 8),
+    12: ("d", 8),
+}
+
+
+class _Reader:
+    def __init__(self, buf):
+        self.buf = buf
+        self.pos = 0
+
+    def read(self, fmt: str):
+        size = struct.calcsize(fmt)
+        vals = struct.unpack_from("<" + fmt, self.buf, self.pos)
+        self.pos += size
+        return vals if len(vals) > 1 else vals[0]
+
+    def read_string(self) -> str:
+        n = self.read("Q")
+        s = bytes(self.buf[self.pos : self.pos + n]).decode("utf-8")
+        self.pos += n
+        return s
+
+    def read_value(self, vtype: int):
+        if vtype == 8:
+            return self.read_string()
+        if vtype == 9:
+            atype = self.read("I")
+            count = self.read("Q")
+            return [self.read_value(atype) for _ in range(count)]
+        fmt, _ = _SCALAR_FMT[vtype]
+        return self.read(fmt)
+
+
+@dataclasses.dataclass
+class GGUFTensorInfo:
+    name: str
+    shape: Tuple[int, ...]  # numpy order (reversed ggml dims)
+    ggml_type: int
+    offset: int
+
+
+def parse_gguf(path: str):
+    """Parse header: returns (metadata dict, [GGUFTensorInfo], data_start,
+    mmap buffer)."""
+    f = open(path, "rb")
+    buf = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
+    r = _Reader(buf)
+    magic = r.read("I")
+    if magic != GGUF_MAGIC:
+        raise ValueError(f"{path}: not a GGUF file")
+    version = r.read("I")
+    if version < 2:
+        raise ValueError(f"GGUF version {version} unsupported")
+    tensor_count = r.read("Q")
+    kv_count = r.read("Q")
+    metadata: Dict[str, Any] = {}
+    for _ in range(kv_count):
+        key = r.read_string()
+        vtype = r.read("I")
+        metadata[key] = r.read_value(vtype)
+    infos = []
+    for _ in range(tensor_count):
+        name = r.read_string()
+        n_dims = r.read("I")
+        dims = [r.read("Q") for _ in range(n_dims)]
+        ggml_type = r.read("I")
+        offset = r.read("Q")
+        infos.append(
+            GGUFTensorInfo(name, tuple(reversed(dims)), ggml_type, offset)
+        )
+    alignment = metadata.get("general.alignment", 32)
+    data_start = (r.pos + alignment - 1) // alignment * alignment
+    return metadata, infos, data_start, buf
+
+
+# ---------------------------------------------------------------------------
+# Quantized tensor pytree
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class QTensor8:
+    """Q8_0 weight: int8 codes (…, n_blocks, 32) + f32 scales (…, n_blocks).
+
+    Logical value = q * scale per 32-element block along the LAST (input)
+    axis (dequantize_blocks_Q8_0 parity, Quantizer.py:94-112)."""
+
+    q: Any  # int8 (rows, n_blocks, 32)
+    scales: Any  # f32 (rows, n_blocks)
+    shape: Tuple[int, ...]  # logical (out, in)
+
+    @property
+    def ndim(self) -> int:
+        return len(self.shape)
+
+    def dequantize(self, dtype=jnp.bfloat16):
+        w = self.q.astype(jnp.float32) * self.scales[..., None]
+        return w.reshape(self.shape).astype(dtype)
+
+    def astype(self, dtype):  # dtype of the DEQUANTIZED output
+        return self
+
+    def tree_flatten(self):
+        return (self.q, self.scales), self.shape
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        q, scales = children
+        return cls(q, scales, aux)
+
+
+def is_quantized(x) -> bool:
+    return isinstance(x, QTensor8)
+
+
+def _load_tensor(info: GGUFTensorInfo, buf, data_start: int, lazy_np=True):
+    n_elems = int(np.prod(info.shape))
+    off = data_start + info.offset
+    if info.ggml_type == GGML_F32:
+        arr = np.frombuffer(buf, dtype=np.float32, count=n_elems, offset=off)
+        return arr.reshape(info.shape)
+    if info.ggml_type == GGML_F16:
+        arr = np.frombuffer(buf, dtype=np.float16, count=n_elems, offset=off)
+        return arr.reshape(info.shape).astype(np.float32)
+    if info.ggml_type == GGML_BF16:
+        raw = np.frombuffer(buf, dtype=np.uint16, count=n_elems, offset=off)
+        return (raw.astype(np.uint32) << 16).view(np.float32).reshape(info.shape)
+    if info.ggml_type == GGML_Q8_0:
+        n_blocks = n_elems // 32
+        raw = np.frombuffer(buf, dtype=np.uint8, count=n_blocks * 34, offset=off)
+        raw = raw.reshape(n_blocks, 34)
+        scales = raw[:, :2].copy().view(np.float16).astype(np.float32).reshape(-1)
+        q = raw[:, 2:].copy().view(np.int8)
+        rows = info.shape[:-1]
+        per_row = info.shape[-1] // 32
+        return QTensor8(
+            q=q.reshape(rows + (per_row, 32)),
+            scales=scales.reshape(rows + (per_row,)),
+            shape=info.shape,
+        )
+    raise NotImplementedError(
+        f"GGML type {info.ggml_type} for {info.name} not supported"
+    )
+
+
+KNOWN_ARCHS = {"flux", "sd1", "sdxl", "t5", "t5encoder"}
+
+
+def gguf_sd_loader(path: str, keep_quantized: bool = True) -> Dict[str, Any]:
+    """GGUF -> flat state dict of np arrays / QTensor8 (gguf_sd_loader
+    parity, Quantizer.py:581-663). Strips a leading 'model.' prefix if every
+    tensor has it."""
+    metadata, infos, data_start, buf = parse_gguf(path)
+    arch = metadata.get("general.architecture")
+    if arch is not None and arch not in KNOWN_ARCHS:
+        raise ValueError(f"unexpected GGUF architecture {arch!r}")
+    sd = {}
+    prefix = "model.diffusion_model."
+    has_prefix = all(i.name.startswith(prefix) for i in infos) if infos else False
+    for info in infos:
+        key = info.name[len(prefix) :] if has_prefix else info.name
+        t = _load_tensor(info, buf, data_start)
+        if not keep_quantized and is_quantized(t):
+            t = np.asarray(t.q, dtype=np.float32).reshape(
+                t.shape[:-1] + (-1, 32)
+            ) * np.asarray(t.scales)[..., None]
+            t = t.reshape(info.shape)
+        sd[key] = t
+    return sd
+
+
+# llama.cpp T5 naming -> HF naming (clip_sd_map parity, Quantizer.py:815-835)
+T5_KEY_MAP = {
+    "enc.": "encoder.",
+    ".blk.": ".block.",
+    "token_embd": "shared",
+    "output_norm": "final_layer_norm",
+    "attn_q": "layer.0.SelfAttention.q",
+    "attn_k": "layer.0.SelfAttention.k",
+    "attn_v": "layer.0.SelfAttention.v",
+    "attn_o": "layer.0.SelfAttention.o",
+    "attn_norm": "layer.0.layer_norm",
+    "attn_rel_b": "layer.0.SelfAttention.relative_attention_bias",
+    "ffn_up": "layer.1.DenseReluDense.wi_1",
+    "ffn_down": "layer.1.DenseReluDense.wo",
+    "ffn_gate": "layer.1.DenseReluDense.wi_0",
+    "ffn_norm": "layer.1.layer_norm",
+}
+
+
+def gguf_clip_loader(path: str) -> Dict[str, Any]:
+    """T5 GGUF -> HF-keyed state dict (gguf_clip_loader parity,
+    Quantizer.py:840-856)."""
+    raw = gguf_sd_loader(path)
+    if not any(k.startswith("enc.") for k in raw):
+        raise ValueError("not a text-encoder GGUF")
+    sd = {}
+    for k, v in raw.items():
+        for s, d in T5_KEY_MAP.items():
+            k = k.replace(s, d)
+        sd[k] = v
+    return sd
+
+
+def to_device_quantized(sd: Dict[str, Any], dtype=jnp.bfloat16) -> Dict[str, Any]:
+    """Move a GGUF state dict to device: QTensor8 stays int8+scales, dense
+    tensors cast to ``dtype``."""
+    out = {}
+    for k, v in sd.items():
+        if is_quantized(v):
+            out[k] = QTensor8(
+                q=jnp.asarray(np.asarray(v.q)),
+                scales=jnp.asarray(np.asarray(v.scales), dtype=jnp.float32),
+                shape=v.shape,
+            )
+        else:
+            out[k] = jnp.asarray(v, dtype=dtype)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Writer (for tests and for re-quantizing checkpoints)
+# ---------------------------------------------------------------------------
+
+
+def quantize_q8_0(w: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """float (rows, in) -> (q int8 (rows, nb, 32), scales f32 (rows, nb))."""
+    rows = w.shape[:-1]
+    nb = w.shape[-1] // 32
+    blocks = w.reshape(rows + (nb, 32)).astype(np.float32)
+    amax = np.abs(blocks).max(axis=-1)
+    scales = (amax / 127.0).astype(np.float32)
+    inv = np.where(scales > 0, 1.0 / np.maximum(scales, 1e-30), 0.0)
+    q = np.clip(np.round(blocks * inv[..., None]), -128, 127).astype(np.int8)
+    return q, scales
+
+
+def write_gguf(path: str, tensors: Dict[str, Any], arch: str = "flux",
+               quantize: Tuple[str, ...] = ()):
+    """Minimal GGUF v3 writer (tests + asset preparation). ``quantize`` lists
+    key suffixes to store as Q8_0; everything else is F32."""
+    metadata = {"general.architecture": arch}
+    align = 32
+
+    def enc_string(s: str) -> bytes:
+        b = s.encode("utf-8")
+        return struct.pack("<Q", len(b)) + b
+
+    body = struct.pack("<IIQQ", GGUF_MAGIC, 3, len(tensors), len(metadata))
+    for k, v in metadata.items():
+        body += enc_string(k) + struct.pack("<I", 8) + enc_string(v)
+
+    blobs = []
+    offset = 0
+    info_bytes = b""
+    for name, w in tensors.items():
+        w = np.asarray(w, dtype=np.float32)
+        do_q = any(name.endswith(sfx) for sfx in quantize) and w.shape[-1] % 32 == 0
+        if do_q:
+            q, scales = quantize_q8_0(w)
+            nb = q.shape[-2] * int(np.prod(q.shape[:-2], dtype=np.int64))
+            blob = np.concatenate(
+                [
+                    scales.reshape(-1, 1).astype("<f2").view(np.uint8).reshape(-1, 2),
+                    q.reshape(-1, 32).view(np.uint8),
+                ],
+                axis=1,
+            ).tobytes()
+            gtype = GGML_Q8_0
+        else:
+            blob = w.astype("<f4").tobytes()
+            gtype = GGML_F32
+        dims = list(reversed(w.shape))
+        info_bytes += enc_string(name)
+        info_bytes += struct.pack("<I", len(dims))
+        for d in dims:
+            info_bytes += struct.pack("<Q", d)
+        info_bytes += struct.pack("<IQ", gtype, offset)
+        pad = (-len(blob)) % align
+        blobs.append(blob + b"\0" * pad)
+        offset += len(blob) + pad
+
+    header = body + info_bytes
+    data_start_pad = (-len(header)) % align
+    with open(path, "wb") as f:
+        f.write(header)
+        f.write(b"\0" * data_start_pad)
+        for blob in blobs:
+            f.write(blob)

@@ -24,7 +24,13 @@ import jax.numpy as jnp
 
 
 def linear(x, w, b=None):
-    """x: (..., in), w: (out, in) torch layout, b: (out,)."""
+    """x: (..., in), w: (out, in) torch layout, b: (out,).
+
+    ``w`` may be a quantized ops.ggml.QTensor8 — dequant is traced into the
+    forward so the weight lives in HBM at int8 (GGMLOps.Linear parity,
+    src/Quantize/Quantizer.py:334-390)."""
+    if hasattr(w, "dequantize"):
+        w = w.dequantize(x.dtype)
     y = jax.lax.dot_general(
         x,
         w,
@@ -136,18 +142,19 @@ def interpolate_nearest(x, scale: int = 2):
 def interpolate_bilinear(x, size, align_corners: bool = False):
     """NHWC bilinear resize matching torch.nn.functional.interpolate.
 
-    torch's align_corners=False uses half-pixel centers == jax.image 'linear'.
+    torch does NOT antialias on downscale (unlike jax.image.resize), so this
+    is a plain separable 2-tap gather with half-pixel (align_corners=False)
+    or endpoint (align_corners=True) sample coordinates.
     """
     b, h, w, c = x.shape
     out_h, out_w = size
-    if align_corners:
-        # gather-based exact implementation
+    if align_corners and out_h > 1 and out_w > 1:
         ys = jnp.linspace(0.0, h - 1.0, out_h)
         xs = jnp.linspace(0.0, w - 1.0, out_w)
-        return _separable_linear_gather(x, ys, xs)
-    return jax.image.resize(x, (b, out_h, out_w, c), method="linear").astype(
-        x.dtype
-    )
+    else:
+        ys = jnp.clip((jnp.arange(out_h) + 0.5) * (h / out_h) - 0.5, 0, h - 1)
+        xs = jnp.clip((jnp.arange(out_w) + 0.5) * (w / out_w) - 0.5, 0, w - 1)
+    return _separable_linear_gather(x, ys, xs)
 
 
 def _separable_linear_gather(x, ys, xs):

@@ -1,0 +1,72 @@
+"""Sharding rules: param PartitionSpecs per model family.
+
+Flux tensor parallelism is the Megatron pattern: column-parallel qkv/mlp-in,
+row-parallel proj/mlp-out, so each double/single block needs exactly one
+all-reduce per stream per sublayer — XLA inserts the psum from the param
+shardings via SPMD propagation. Embedders/modulation/norm scales replicate.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def _ns(mesh: Mesh, *spec) -> NamedSharding:
+    return NamedSharding(mesh, P(*spec))
+
+
+def flux_param_spec(key: str) -> "P":
+    """PartitionSpec for one Flux param key (tensor parallel over "model")."""
+    # column-parallel (output dim sharded): qkv, mlp.0, linear1
+    if any(
+        key.endswith(s)
+        for s in (
+            "attn.qkv.weight",
+            "mlp.0.weight",
+            "linear1.weight",
+        )
+    ):
+        return P("model", None)
+    if any(
+        key.endswith(s)
+        for s in ("attn.qkv.bias", "mlp.0.bias", "linear1.bias")
+    ):
+        return P("model")
+    # row-parallel (input dim sharded): proj, mlp.2, linear2
+    if any(
+        key.endswith(s)
+        for s in ("attn.proj.weight", "mlp.2.weight", "linear2.weight")
+    ):
+        return P(None, "model")
+    return P()  # replicate (mods, embedders, norms, in/out projections)
+
+
+def flux_param_shardings(params: Dict, mesh: Mesh) -> Dict:
+    return {k: _ns(mesh, *flux_param_spec(k)) for k in params}
+
+
+def replicated_shardings(params: Dict, mesh: Mesh) -> Dict:
+    return {k: _ns(mesh) for k in params}
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Activations: batch over "data", replicated over "model"."""
+    return _ns(mesh, "data")
+
+
+def shard_params(params: Dict, shardings: Dict) -> Dict:
+    return {
+        k: jax.device_put(v, shardings[k]) for k, v in params.items()
+    }
+
+
+HEAD_SHARDED_NOTE = """
+With qkv column-sharded, each "model" shard computes a contiguous block of
+attention heads (Flux head_dim=128, 24 heads -> 3 heads/chip on v5e-8); the
+per-head RMSNorm and RoPE are elementwise over the head dim so they propagate
+the sharding unchanged; attn.proj's row sharding triggers the single
+all-reduce that completes the Megatron block.
+"""

@@ -1,0 +1,239 @@
+"""ADetailer: detection + masked re-diffusion of faces/bodies.
+
+Counterpart of src/AutoDetailer/ (ADetailer.py enhance_detail :451 /
+DetailerForEach.do_detail :640 / DetailerForEachTest :887,
+bbox.py UltraBBoxDetector :20, SAM.py make_sam_mask :185, SEGS.py,
+tensor_util crop/paste, mask_util).
+
+Detector backends are pluggable: ultralytics YOLO and segment-anything are
+optional CPU-side dependencies (detection is off the TPU hot path — exactly
+as in the reference where they run as separate torch models). When absent, a
+provided-mask or full-frame detector keeps the inpaint machinery usable and
+testable.
+
+The crop->encode->sample->decode->feathered-paste loop runs each segment at
+a static bucket size so XLA compiles one program per bucket
+(ADetailer.py:451-530's free-form crops would recompile per segment).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from lightdiffusion_next_tpu.sampling import ksampler as ks
+
+
+@dataclasses.dataclass
+class SEG:
+    """One detected segment (SEGS.py parity): crop region + mask + score."""
+
+    bbox: Tuple[int, int, int, int]  # x0, y0, x1, y1
+    crop_region: Tuple[int, int, int, int]
+    mask: np.ndarray  # (H, W) float in crop_region coords or full-image
+    confidence: float
+    label: str = ""
+
+
+# ---------------------------------------------------------------------------
+# Detectors
+# ---------------------------------------------------------------------------
+
+
+class UltralyticsDetector:
+    """YOLO bbox/segm detector (bbox.py:20-122, AD_util.inference_bbox
+    parity). Requires the optional `ultralytics` package."""
+
+    def __init__(self, model_path: str):
+        try:
+            from ultralytics import YOLO
+        except ImportError as e:  # pragma: no cover
+            raise RuntimeError(
+                "ultralytics is not installed; use a provided-mask detector"
+            ) from e
+        self.model = YOLO(model_path)
+
+    def detect(self, image: np.ndarray, threshold: float = 0.5) -> List[SEG]:
+        from PIL import Image
+
+        pil = Image.fromarray(
+            np.clip(np.asarray(image[0]) * 255, 0, 255).astype(np.uint8)
+        )
+        pred = self.model(pil, conf=threshold)
+        segs = []
+        h, w = image.shape[1:3]
+        for box, conf in zip(
+            pred[0].boxes.xyxy.cpu().numpy(), pred[0].boxes.conf.cpu().numpy()
+        ):
+            x0, y0, x1, y1 = (int(v) for v in box)
+            mask = np.zeros((h, w), dtype=np.float32)
+            mask[y0:y1, x0:x1] = 1.0
+            segs.append(SEG((x0, y0, x1, y1), (x0, y0, x1, y1), mask, float(conf)))
+        return segs
+
+
+class StaticMaskDetector:
+    """Detector from user-provided masks (tests / manual inpaint)."""
+
+    def __init__(self, masks: Sequence[np.ndarray], threshold_area: float = 0.0):
+        self.masks = list(masks)
+
+    def detect(self, image: np.ndarray, threshold: float = 0.5) -> List[SEG]:
+        segs = []
+        for m in self.masks:
+            ys, xs = np.where(m > 0.5)
+            if len(ys) == 0:
+                continue
+            bbox = (int(xs.min()), int(ys.min()), int(xs.max()) + 1, int(ys.max()) + 1)
+            segs.append(SEG(bbox, bbox, m.astype(np.float32), 1.0))
+        return segs
+
+
+def dilate_masks(segs: List[SEG], dilation: int) -> List[SEG]:
+    """Mask dilation (AD_util.dilate_masks parity) via maximum filter."""
+    if dilation <= 0:
+        return segs
+    out = []
+    for s in segs:
+        m = s.mask
+        k = dilation
+        padded = np.pad(m, k, mode="constant")
+        dil = np.zeros_like(m)
+        for dy in range(-k, k + 1):
+            for dx in range(-k, k + 1):
+                if dy * dy + dx * dx > k * k:
+                    continue
+                dil = np.maximum(
+                    dil, padded[k + dy : k + dy + m.shape[0], k + dx : k + dx + m.shape[1]]
+                )
+        out.append(dataclasses.replace(s, mask=dil))
+    return out
+
+
+def crop_region_with_factor(
+    bbox: Tuple[int, int, int, int], crop_factor: float, hw: Tuple[int, int]
+) -> Tuple[int, int, int, int]:
+    """Expand bbox by crop_factor (make_crop_region parity, AD_util)."""
+    x0, y0, x1, y1 = bbox
+    bw, bh = x1 - x0, y1 - y0
+    cx, cy = (x0 + x1) / 2, (y0 + y1) / 2
+    nw, nh = bw * crop_factor, bh * crop_factor
+    H, W = hw
+    nx0 = int(max(0, cx - nw / 2))
+    ny0 = int(max(0, cy - nh / 2))
+    nx1 = int(min(W, cx + nw / 2))
+    ny1 = int(min(H, cy + nh / 2))
+    return nx0, ny0, nx1, ny1
+
+
+def _bucket_size(w: int, h: int, guide: int, maxs: int) -> Tuple[int, int]:
+    """Pick the static processing size: upscale so min side ~= guide, cap at
+    maxs, snap to multiples of 64 (enhance_detail's guide_size/max_size
+    semantics, ADetailer.py:451-530)."""
+    scale = guide / max(min(w, h), 1)
+    nw, nh = w * scale, h * scale
+    if max(nw, nh) > maxs:
+        scale = maxs / max(nw, nh)
+        nw, nh = nw * scale, nh * scale
+    snap = lambda v: max(64, int(math.ceil(v / 64)) * 64)
+    return snap(nw), snap(nh)
+
+
+@dataclasses.dataclass
+class DetailerConfig:
+    guide_size: int = 512
+    max_size: int = 768
+    seed: int = 0
+    steps: int = 20
+    cfg_scale: float = 7.5
+    sampler_name: str = "dpmpp_2m_cfgpp"
+    scheduler: str = "karras"
+    denoise: float = 0.5
+    feather: int = 5
+    crop_factor: float = 2.0
+    threshold: float = 0.5
+    dilation: int = 10
+    drop_size: int = 10
+
+
+class Detailer:
+    """DetailerForEach.do_detail parity (ADetailer.py:640-886)."""
+
+    def __init__(self, model, clip, vae, cfg: DetailerConfig = DetailerConfig()):
+        self.model = model
+        self.vae = vae
+        self.cfg = cfg
+
+    def enhance_detail(
+        self,
+        image: np.ndarray,  # (1, H, W, 3)
+        seg: SEG,
+        positive,
+        negative,
+    ) -> np.ndarray:
+        import jax.numpy as jnp
+
+        from lightdiffusion_next_tpu.ops import nn
+
+        H, W = image.shape[1:3]
+        x0, y0, x1, y1 = crop_region_with_factor(
+            seg.bbox, self.cfg.crop_factor, (H, W)
+        )
+        crop = image[:, y0:y1, x0:x1, :]
+        ch, cw = crop.shape[1:3]
+        pw, ph = _bucket_size(cw, ch, self.cfg.guide_size, self.cfg.max_size)
+
+        up = np.asarray(nn.interpolate_bilinear(jnp.asarray(crop), (ph, pw)))
+        latent = self.vae.encode(jnp.asarray(up))
+
+        # latent-space denoise mask from the segment mask
+        m = seg.mask[y0:y1, x0:x1]
+        m_lat = np.asarray(
+            nn.interpolate_bilinear(
+                jnp.asarray(m[None, :, :, None]), (ph // 8, pw // 8)
+            )
+        )
+        result = ks.ksample(
+            self.model,
+            seed=self.cfg.seed,
+            steps=self.cfg.steps,
+            cfg_scale=self.cfg.cfg_scale,
+            sampler_name=self.cfg.sampler_name,
+            scheduler=self.cfg.scheduler,
+            positive=positive,
+            negative=negative,
+            latent_image=latent,
+            denoise=self.cfg.denoise,
+            denoise_mask=jnp.asarray(m_lat),
+        )
+        decoded = np.asarray(self.vae.decode(result.latent))
+        back = np.asarray(nn.interpolate_bilinear(jnp.asarray(decoded), (ch, cw)))
+
+        # feathered paste (tensor_util paste parity)
+        paste_mask = m.astype(np.float32)
+        if self.cfg.feather > 0:
+            from lightdiffusion_next_tpu.pipelines.upscaler import _feather
+
+            paste_mask = _feather(paste_mask, self.cfg.feather)
+        paste_mask = paste_mask[None, :, :, None]
+        out = image.copy()
+        out[:, y0:y1, x0:x1, :] = back * paste_mask + crop * (1 - paste_mask)
+        return out
+
+    def detail(
+        self, image: np.ndarray, detector, positive, negative
+    ) -> Tuple[np.ndarray, List[SEG]]:
+        segs = detector.detect(image, self.cfg.threshold)
+        segs = dilate_masks(segs, self.cfg.dilation)
+        segs = [
+            s
+            for s in segs
+            if (s.bbox[2] - s.bbox[0]) >= self.cfg.drop_size
+            and (s.bbox[3] - s.bbox[1]) >= self.cfg.drop_size
+        ]
+        for seg in segs:
+            image = self.enhance_detail(image, seg, positive, negative)
+        return image, segs

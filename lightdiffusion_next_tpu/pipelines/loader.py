@@ -1,0 +1,166 @@
+"""Checkpoint loading: one-file SD checkpoint -> (model, clip, vae) with
+architecture guessing and a session model cache.
+
+Counterpart of src/FileManaging/Loader.py:11-156
+(load_checkpoint_guess_config / CheckpointLoaderSimple) and
+src/Device/ModelCache.py (session-lifetime cache). GGUF diffusion models
+load via pipelines.loader.load_diffusion_model_gguf
+(UnetLoaderGGUF parity, src/Quantize/Quantizer.py:764-812).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Dict, Optional, Tuple
+
+import jax.numpy as jnp
+
+from lightdiffusion_next_tpu import config as _config
+from lightdiffusion_next_tpu.models import base as base_mod
+from lightdiffusion_next_tpu.models import flux as flux_mod
+from lightdiffusion_next_tpu.models import vae as vae_mod
+from lightdiffusion_next_tpu.models.clip import facade as clip_facade
+from lightdiffusion_next_tpu.sampling import model_sampling as ms_mod
+from lightdiffusion_next_tpu.utils import latent as latent_mod
+from lightdiffusion_next_tpu.utils import state_dict as sd_utils
+
+
+def load_checkpoint_guess_config(
+    ckpt_path: str,
+    embedding_directory: Optional[str] = None,
+    dtype=None,
+) -> Tuple[base_mod.DiffusionModel, clip_facade.CLIP, vae_mod.VAE]:
+    """Loader.load_checkpoint_guess_config parity (Loader.py:11-113)."""
+    cfgv = _config.get_config()
+    dtype = dtype or cfgv.dtypes.param_dtype
+    sd = sd_utils.load_torch_file(ckpt_path)
+    unet_sd, clip_sd, vae_sd = sd_utils.split_checkpoint(sd)
+    if not unet_sd:
+        raise RuntimeError(f"no diffusion model weights in {ckpt_path}")
+
+    model_type = sd_utils.detect_model_type(unet_sd)
+    if model_type != "unet":
+        raise RuntimeError("one-file flux checkpoints not supported; use GGUF")
+
+    unet_cfg = sd_utils.detect_unet_config(unet_sd)
+    unet_cfg = dataclasses.replace(unet_cfg, dtype=cfgv.dtypes.compute_dtype)
+    unet_sd = sd_utils.convs_to_hwio(unet_sd)
+    model = base_mod.sd15_model(unet_sd, cfg=unet_cfg, dtype=dtype)
+
+    vae = vae_mod.VAE(
+        sd_utils.convs_to_hwio(vae_sd), dtype=cfgv.dtypes.vae_dtype
+    )
+    clip = clip_facade.sd1_clip_from_state_dict(
+        clip_sd,
+        embedding_directory=embedding_directory,
+        dtype=cfgv.dtypes.text_encoder_dtype,
+    )
+    return model, clip, vae
+
+
+def load_diffusion_model_gguf(path: str) -> base_mod.DiffusionModel:
+    """Flux GGUF -> quantized DiffusionModel (UnetLoaderGGUF parity)."""
+    from lightdiffusion_next_tpu.ops import ggml
+
+    cfgv = _config.get_config()
+    sd = ggml.gguf_sd_loader(path)
+    if "double_blocks.0.img_attn.qkv.weight" not in sd:
+        raise RuntimeError(f"{path} is not a Flux GGUF")
+    guidance = "guidance_in.in_layer.weight" in sd
+    fcfg = dataclasses.replace(
+        flux_mod.FLUX_DEV,
+        guidance_embed=guidance,
+        dtype=cfgv.dtypes.compute_dtype,
+    )
+    params = ggml.to_device_quantized(sd, dtype=cfgv.dtypes.param_dtype)
+
+    def apply_fn(p, x, t, context, y=None, guidance=None, first_block_hook=None, **_):
+        return flux_mod.apply_flux(
+            p, x, t, context, y, guidance=guidance, cfg=fcfg,
+            first_block_hook=first_block_hook,
+        )
+
+    return base_mod.DiffusionModel(
+        apply_fn=apply_fn,
+        params=params,
+        model_sampling=ms_mod.ModelSamplingFlux(),
+        latent_format=latent_mod.FLUX1,
+        config=fcfg,
+        model_type="flux",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Session model cache (ModelCache.py parity)
+# ---------------------------------------------------------------------------
+
+
+class ModelCache:
+    """Keeps (model, clip, vae) resident between generations keyed by
+    checkpoint path+mtime (src/Device/ModelCache.py:11-169). On TPU this
+    holds host/device pytrees; there is no VRAM paging to manage."""
+
+    def __init__(self):
+        self._cache: Dict[str, Tuple] = {}
+        self.keep_models_loaded = True
+
+    def _key(self, path: str) -> str:
+        try:
+            return f"{os.path.abspath(path)}:{os.path.getmtime(path)}"
+        except OSError:
+            return os.path.abspath(path)
+
+    def get(self, path: str):
+        return self._cache.get(self._key(path)) if self.keep_models_loaded else None
+
+    def put(self, path: str, value) -> None:
+        if self.keep_models_loaded:
+            self._cache[self._key(path)] = value
+
+    def clear(self) -> None:
+        self._cache.clear()
+
+    def set_keep_models_loaded(self, keep: bool) -> None:
+        self.keep_models_loaded = keep
+        if not keep:
+            self.clear()
+
+    def get_memory_info(self) -> Dict:
+        """UI memory panel data (ModelCache.get_memory_info parity)."""
+        import jax
+
+        info = {"cached_models": len(self._cache)}
+        try:
+            stats = jax.devices()[0].memory_stats()
+            if stats:
+                info["bytes_in_use"] = stats.get("bytes_in_use", 0)
+                info["bytes_limit"] = stats.get("bytes_limit", 0)
+        except Exception:
+            pass
+        return info
+
+
+_model_cache: Optional[ModelCache] = None
+
+
+def get_model_cache() -> ModelCache:
+    global _model_cache
+    if _model_cache is None:
+        _model_cache = ModelCache()
+    return _model_cache
+
+
+class CheckpointLoaderSimple:
+    """CheckpointLoaderSimple node parity (Loader.py:114-156)."""
+
+    def load_checkpoint(self, ckpt_path: str, embedding_directory=None):
+        cache = get_model_cache()
+        hit = cache.get(ckpt_path)
+        if hit is not None:
+            return hit
+        out = load_checkpoint_guess_config(
+            ckpt_path, embedding_directory=embedding_directory
+        )
+        cache.put(ckpt_path, out)
+        return out

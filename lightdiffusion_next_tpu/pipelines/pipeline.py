@@ -1,0 +1,444 @@
+"""pipeline() — THE public API: txt2img / hires-fix / img2img+USDU / Flux,
+plus optional ADetailer, AutoHDR and prompt enhancement.
+
+Counterpart of src/user/pipeline.py:31-639 (the 4 workflow branches, seed
+persistence, default negative prompt, CLI) — same surface, re-plumbed onto
+the TPU engine. The reference's Stable-Fast branch is a no-op here: every
+model call is already jit-compiled (SURVEY §7: "Stable-Fast -> jax.jit; the
+70% compile win is the baseline, not a feature").
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import random
+from typing import List, Optional
+
+import numpy as np
+
+from lightdiffusion_next_tpu import config as _config
+from lightdiffusion_next_tpu.models.clip import facade as clip_facade
+from lightdiffusion_next_tpu.pipelines import downloader, loader
+from lightdiffusion_next_tpu.sampling import cfg as cfg_mod
+from lightdiffusion_next_tpu.sampling import fbcache as fb_mod
+from lightdiffusion_next_tpu.sampling import ksampler as ks
+from lightdiffusion_next_tpu.sampling import samplers as samplers_mod
+from lightdiffusion_next_tpu.utils import hdr as hdr_mod
+from lightdiffusion_next_tpu.utils import image as image_utils
+from lightdiffusion_next_tpu.utils import latent as latent_mod
+from lightdiffusion_next_tpu.utils import upscale as upscale_mod
+
+DEFAULT_NEGATIVE = (
+    "(worst quality, low quality:1.4), (zombie, sketch, interlocked fingers, "
+    "comic), (embedding:EasyNegative), (embedding:badhandv4), (embedding:lr), "
+    "(embedding:ng_deepnegative_v1_75t)"
+)
+
+
+def _seed_file() -> str:
+    return os.path.join(_config.asset_root(), "last_seed.txt")
+
+
+def load_last_seed() -> int:
+    try:
+        with open(_seed_file()) as f:
+            return int(f.read().strip())
+    except Exception:
+        return 0
+
+
+def save_last_seed(seed: int) -> None:
+    os.makedirs(os.path.dirname(_seed_file()), exist_ok=True)
+    with open(_seed_file(), "w") as f:
+        f.write(str(seed))
+
+
+def pipeline(
+    prompt: str,
+    w: int,
+    h: int,
+    number: int = 1,
+    batch: int = 1,
+    hires_fix: bool = False,
+    adetailer: bool = False,
+    enhance_prompt: bool = False,
+    img2img: bool = False,
+    stable_fast: bool = False,  # accepted for API parity; jit is always on
+    reuse_seed: bool = False,
+    flux_enabled: bool = False,
+    prio_speed: bool = False,
+    autohdr: bool = True,
+    realistic_model: bool = False,
+    negative_prompt: Optional[str] = None,
+    multiscale_preset: Optional[str] = None,
+    enable_multiscale: bool = True,
+    multiscale_factor: float = 0.5,
+    multiscale_fullres_start: int = 3,
+    multiscale_fullres_end: int = 8,
+    multiscale_intermittent_fullres: bool = False,
+    output_dir: str = "./output",
+    progress_callback=None,
+    hidiffusion: bool = True,
+) -> List[str]:
+    """Run the generation pipeline; returns saved image paths
+    (pipeline.py:31-520 parity)."""
+    if multiscale_preset is not None:
+        ms = samplers_mod.MultiScale.preset(multiscale_preset)
+    else:
+        ms = samplers_mod.MultiScale(
+            enabled=enable_multiscale,
+            factor=multiscale_factor,
+            fullres_start=multiscale_fullres_start,
+            fullres_end=multiscale_fullres_end,
+            intermittent=multiscale_intermittent_fullres,
+        )
+
+    if negative_prompt is None or not negative_prompt.strip():
+        negative_prompt = DEFAULT_NEGATIVE
+
+    if reuse_seed:
+        seed = load_last_seed()
+    else:
+        seed = random.randint(1, 2**63 - 1)
+    save_last_seed(seed)
+
+    if enhance_prompt:
+        from lightdiffusion_next_tpu.pipelines.enhancer import (
+            enhance_prompt as do_enhance,
+        )
+
+        prompt = do_enhance(prompt)
+
+    saver = image_utils.SaveImage(output_dir=output_dir)
+    saved: List[str] = []
+
+    for _ in range(number):
+        if flux_enabled:
+            saved += _flux_txt2img(
+                prompt, w, h, batch, autohdr, saver, progress_callback
+            )
+            continue
+        if img2img:
+            saved += _img2img_usdu(
+                prompt, autohdr, saver, realistic_model, progress_callback
+            )
+            continue
+        saved += _sd15_generate(
+            prompt, negative_prompt, w, h, batch, seed, hires_fix, adetailer,
+            prio_speed, autohdr, realistic_model, ms, saver, progress_callback,
+            hidiffusion,
+        )
+        seed = random.randint(1, 2**63 - 1)
+    return saved
+
+
+# ---------------------------------------------------------------------------
+# SD1.5 txt2img (+hires, +adetailer) — pipeline.py:279-511
+# ---------------------------------------------------------------------------
+
+
+def _load_sd15(realistic_model: bool):
+    missing = downloader.check_and_download()
+    ckpt = downloader.asset_path(
+        "checkpoints",
+        "DreamShaper_8_pruned.safetensors"
+        if realistic_model
+        else "Meina V10 - baked VAE.safetensors",
+    )
+    if not os.path.exists(ckpt):
+        raise FileNotFoundError(
+            f"checkpoint missing: {ckpt}"
+            + (f" (downloads failed: {missing})" if missing else "")
+        )
+    return loader.CheckpointLoaderSimple().load_checkpoint(
+        ckpt,
+        embedding_directory=os.path.join(_config.asset_root(), "embeddings"),
+    )
+
+
+def _apply_lora_add_detail(model, clip):
+    """LoraLoader('add_detail', 0.7, 0.7) step (pipeline.py:283-293)."""
+    from lightdiffusion_next_tpu.models import lora as lora_mod
+    from lightdiffusion_next_tpu.utils import state_dict as sd_utils
+
+    path = downloader.asset_path("loras", "add_detail.safetensors")
+    if not os.path.exists(path):
+        return model, clip
+    try:
+        from lightdiffusion_next_tpu.models.clip import text_encoder as te
+
+        lora_sd = sd_utils.load_torch_file(path)
+        inner = clip.model.model  # SD1ClipModel -> SDClipModel
+        new_unet, new_clip_params = lora_mod.load_and_apply_lora(
+            lora_sd, model.params, inner.params, 0.7, 0.7
+        )
+        model = model.with_params(new_unet)
+        new_inner = inner.clone()
+        new_inner.params = new_clip_params
+        clip = clip.clone()
+        clip.model = te.SD1ClipModel(new_inner)
+        return model, clip
+    except Exception:
+        return model, clip
+
+
+def _sd15_generate(
+    prompt, negative_prompt, w, h, batch, seed, hires_fix, adetailer,
+    prio_speed, autohdr, realistic_model, ms, saver, progress_callback,
+    hidiffusion,
+):
+    import jax.numpy as jnp
+
+    model, clip, vae = _load_sd15(realistic_model)
+    model, clip = _apply_lora_add_detail(model, clip)
+
+    # clip-skip -2 (pipeline.py:295-298)
+    clip = clip_facade.CLIPSetLastLayer().set_last_layer(clip, -2)
+    encode = clip_facade.CLIPTextEncode()
+    positive = encode.encode(clip, prompt)
+    negative = encode.encode(clip, negative_prompt)
+
+    # MSW-MSA windowed attention (hidiffoptimizer.go, pipeline.py:336-338)
+    if hidiffusion:
+        from lightdiffusion_next_tpu.ops import window
+
+        model = model.with_options(
+            attn1_override_factory=window.make_msw_msa_factory()
+        )
+
+    latent = latent_mod.empty_latent(w, h, batch)
+    sampler_name = "dpmpp_2m_cfgpp" if prio_speed else "dpmpp_sde_cfgpp"
+    result = ks.ksample(
+        model,
+        seed=seed,
+        steps=20,
+        cfg_scale=7.0,
+        sampler_name=sampler_name,
+        scheduler="karras",
+        positive=positive,
+        negative=negative,
+        latent_image=latent,
+        denoise=1.0,
+        ms=ms,
+        callback=progress_callback,
+    )
+
+    if hires_fix:
+        up = upscale_mod.bislerp(np.asarray(result.latent), (w * 2) // 8, (h * 2) // 8)
+        result = ks.ksample(
+            model,
+            seed=random.randint(1, 2**63 - 1),
+            steps=10,
+            cfg_scale=8.0,
+            sampler_name="euler_ancestral_cfgpp",
+            scheduler="normal",
+            positive=positive,
+            negative=negative,
+            latent_image=jnp.asarray(up),
+            denoise=0.45,
+            callback=progress_callback,
+        )
+
+    images = np.asarray(vae.decode(result.latent))
+
+    if adetailer:
+        images = _run_adetailer(images, model, clip, vae, prompt, negative_prompt)
+        prefix = "Adetailer/LD-head"
+    elif hires_fix:
+        prefix = "HiresFix/LD"
+    else:
+        prefix = "Classic/LD"
+
+    if autohdr:
+        images = hdr_mod.apply_hdr_batch(images)
+    return saver.save_images(images, prefix, prompt=prompt)
+
+
+def _run_adetailer(images, model, clip, vae, prompt, negative_prompt):
+    """2-pass person+face detail (pipeline.py:375-511)."""
+    from lightdiffusion_next_tpu.pipelines import detailer as det
+
+    encode = clip_facade.CLIPTextEncode()
+    positive = encode.encode(clip, prompt)
+    negative = encode.encode(clip, negative_prompt)
+    d = det.Detailer(model, clip, vae, det.DetailerConfig(denoise=0.5))
+    for yolo_name in ("person_yolov8m-seg.pt", "face_yolov9c.pt"):
+        path = downloader.asset_path("yolos", yolo_name)
+        if not os.path.exists(path):
+            continue
+        try:
+            detector = det.UltralyticsDetector(path)
+        except RuntimeError:
+            continue
+        images, _ = d.detail(images, detector, positive, negative)
+    return images
+
+
+# ---------------------------------------------------------------------------
+# img2img + UltimateSDUpscale — pipeline.py:135-214
+# ---------------------------------------------------------------------------
+
+
+def _img2img_usdu(image_path, autohdr, saver, realistic_model, progress_callback):
+    from lightdiffusion_next_tpu.models import esrgan
+    from lightdiffusion_next_tpu.pipelines import upscaler as usdu
+    from lightdiffusion_next_tpu.utils import state_dict as sd_utils
+
+    model, clip, vae = _load_sd15(realistic_model)
+    clip = clip_facade.CLIPSetLastLayer().set_last_layer(clip, -2)
+    encode = clip_facade.CLIPTextEncode()
+    positive = encode.encode(
+        clip, "masterpiece, best quality, highly detailed"
+    )
+    negative = encode.encode(clip, DEFAULT_NEGATIVE)
+
+    image = image_utils.load_image(image_path)
+
+    up_model = None
+    esrgan_path = downloader.asset_path("ESRGAN", "RealESRGAN_x4plus.pth")
+    if os.path.exists(esrgan_path):
+        params = sd_utils.convs_to_hwio(sd_utils.load_torch_file(esrgan_path))
+        up_model = esrgan.UpscaleModel(params)
+
+    u = usdu.UltimateSDUpscale(
+        model, vae, up_model, usdu.USDUConfig(upscale_by=2.0)
+    )
+    out = u.upscale(
+        image,
+        positive,
+        negative,
+        seed=random.randint(1, 2**63 - 1),
+        steps=8,
+        cfg_scale=6.0,
+        sampler_name="dpmpp_2m_cfgpp",
+        scheduler="karras",
+        denoise=0.3,
+    )
+    if autohdr:
+        out = hdr_mod.apply_hdr_batch(out)
+    return saver.save_images(out, "Img2Img/LD", prompt=image_path)
+
+
+# ---------------------------------------------------------------------------
+# Flux txt2img — pipeline.py:215-278
+# ---------------------------------------------------------------------------
+
+
+def _flux_txt2img(prompt, w, h, batch, autohdr, saver, progress_callback):
+    import jax.numpy as jnp
+
+    from lightdiffusion_next_tpu.models import vae as vae_mod
+    from lightdiffusion_next_tpu.models.clip import t5 as t5_mod
+    from lightdiffusion_next_tpu.models.clip import text_encoder as te
+    from lightdiffusion_next_tpu.ops import ggml
+    from lightdiffusion_next_tpu.utils import state_dict as sd_utils
+
+    downloader.check_and_download_flux()
+
+    unet_path = downloader.asset_path("unet", "flux1-dev-Q8_0.gguf")
+    t5_path = downloader.asset_path("clip", "t5-v1_1-xxl-encoder-Q8_0.gguf")
+    clip_l_path = downloader.asset_path("clip", "clip_l.safetensors")
+    ae_path = downloader.asset_path("vae", "ae.safetensors")
+    for p in (unet_path, t5_path, clip_l_path, ae_path):
+        if not os.path.exists(p):
+            raise FileNotFoundError(f"flux asset missing: {p}")
+
+    model = loader.load_diffusion_model_gguf(unet_path)
+    model = model.with_options(fbcache=fb_mod.FBCacheConfig(0.120))
+
+    vae = vae_mod.VAE(
+        sd_utils.convs_to_hwio(sd_utils.load_torch_file(ae_path)),
+        cfg=vae_mod.FLUX_AE,
+    )
+
+    # dual text encode (CLIPTextEncodeFlux, Quantizer.py:960-991)
+    positive = encode_flux_conditioning(
+        prompt, prompt, guidance=3.0, t5_path=t5_path, clip_l_path=clip_l_path
+    )
+    negative = dataclasses.replace(  # ConditioningZeroOut (Quantizer.py:993)
+        positive,
+        cross_attn=jnp.zeros_like(positive.cross_attn),
+        pooled=jnp.zeros_like(positive.pooled),
+    )
+
+    latent = latent_mod.empty_latent(w, h, batch, channels=16)
+    result = ks.ksample(
+        model,
+        seed=random.randint(1, 2**63 - 1),
+        steps=20,
+        cfg_scale=1.0,
+        sampler_name="euler_cfgpp",
+        scheduler="beta",
+        positive=positive,
+        negative=negative,
+        latent_image=latent,
+        denoise=1.0,
+        callback=progress_callback,
+    )
+    images = np.asarray(vae.decode(result.latent))
+    if autohdr:
+        images = hdr_mod.apply_hdr_batch(images)
+    return saver.save_images(images, "Flux/LD", prompt=prompt)
+
+
+def encode_flux_conditioning(
+    clip_l_text: str,
+    t5xxl_text: str,
+    guidance: float = 3.0,
+    t5_path: Optional[str] = None,
+    clip_l_path: Optional[str] = None,
+) -> cfg_mod.CondInput:
+    """FluxClipModel.encode_token_weights parity (FluxClip.py:704-755):
+    T5 sequence as cross-attn context + CLIP-L projected pooled vector."""
+    import jax.numpy as jnp
+
+    from lightdiffusion_next_tpu.models.clip import t5 as t5_mod
+    from lightdiffusion_next_tpu.models.clip import text_encoder as te
+    from lightdiffusion_next_tpu.models.clip import tokenizer as tok
+    from lightdiffusion_next_tpu.ops import ggml
+    from lightdiffusion_next_tpu.utils import state_dict as sd_utils
+
+    # CLIP-L pooled
+    clip_sd = sd_utils.load_torch_file(clip_l_path)
+    clip_model = te.SDClipModel(clip_sd)
+    bpe = tok.SDTokenizer()
+    clip_rows = bpe.tokenize_with_weights(clip_l_text)
+    _, pooled = clip_model.encode_token_weights(clip_rows)
+
+    # T5 sequence (min_length 256, no max padding — T5XXLTokenizer parity)
+    t5_sd = ggml.gguf_clip_loader(t5_path)
+    t5_params = ggml.to_device_quantized(t5_sd)
+    t5_model = t5_mod.T5XXLModel(t5_params)
+    t5_tok = flux_t5_tokenize(t5xxl_text)
+    t5_out, _ = t5_model.encode_token_weights([t5_tok])
+
+    return cfg_mod.CondInput(
+        cross_attn=jnp.asarray(t5_out),
+        pooled=jnp.asarray(pooled),
+        guidance=guidance,
+    )
+
+
+def flux_t5_tokenize(text: str, min_length: int = 256):
+    """T5 tokenization (T5XXLTokenizer parity, FluxClip.py:593-644): pad with
+    zeros to min_length, end token 1. Requires sentencepiece + the spiece
+    model asset; both are deploy-time assets like the weights."""
+    spiece = os.path.join(_config.asset_root(), "clip", "spiece.model")
+    try:
+        import sentencepiece as spm
+
+        sp = spm.SentencePieceProcessor(model_file=spiece)
+        ids = sp.encode(text)
+    except Exception:
+        # degraded fallback: whitespace hashing into the t5 vocab space —
+        # keeps the pipeline runnable without the tokenizer asset (quality
+        # of conditioning obviously suffers; a warning is logged).
+        import logging
+
+        logging.warning("T5 sentencepiece model unavailable; using hash tokenizer")
+        ids = [abs(hash(tk)) % 32000 for tk in text.lower().split()]
+    ids = ids[: min_length - 1] + [1]
+    row = [(t, 1.0) for t in ids]
+    row += [(0, 1.0)] * (min_length - len(row))
+    return row

@@ -1,0 +1,238 @@
+"""KSampler facade: the unified sampling entry.
+
+Counterpart of src/sample/sampling.py:500-1233 (KSampler / ksampler /
+common_ksampler / sample1 / sample_custom) and the CFGGuider orchestration
+(src/sample/CFG.py:164-357). One function, ``ksample``, does what the
+reference's five nested layers do:
+
+    schedule -> denoise slicing -> noise scaling -> CFG denoiser ->
+    sampler loop -> inverse noise scaling -> latent process_out
+
+All host-side prep (schedules, noise) is numpy; the loop itself is jitted
+(sampling.samplers).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from lightdiffusion_next_tpu import config as _config
+from lightdiffusion_next_tpu.models.base import DiffusionModel
+from lightdiffusion_next_tpu.sampling import cfg as cfg_mod
+from lightdiffusion_next_tpu.sampling import noise as noise_mod
+from lightdiffusion_next_tpu.sampling import samplers as samplers_mod
+from lightdiffusion_next_tpu.sampling import schedules
+
+SAMPLERS = samplers_mod.SAMPLER_NAMES
+SCHEDULERS = schedules.SCHEDULERS
+
+# per-sampler multi-scale fullres defaults (samplers.py signatures)
+_MS_DEFAULTS = {
+    "dpmpp_2m_cfgpp": (5, 8, True),
+    "dpmpp_sde_cfgpp": (5, 8, False),
+    "euler": (3, 8, False),
+    "euler_ancestral": (3, 8, False),
+}
+
+
+def sigmas_for(
+    model_sampling,
+    scheduler: str,
+    steps: int,
+    denoise: float = 1.0,
+) -> np.ndarray:
+    """Schedule + denoise<1 slicing (KSampler.set_steps parity,
+    sampling.py:659-700): denoise keeps the LAST steps+1 sigmas of a longer
+    schedule."""
+    if denoise is None or denoise > 0.9999:
+        return schedules.calculate_sigmas(model_sampling, scheduler, steps)
+    if denoise <= 0.0:
+        return np.zeros((0,), dtype=np.float32)
+    new_steps = int(steps / denoise)
+    sigmas = schedules.calculate_sigmas(model_sampling, scheduler, new_steps)
+    return sigmas[-(steps + 1) :]
+
+
+def trim_sigmas(
+    sigmas: np.ndarray,
+    start_step: Optional[int] = None,
+    last_step: Optional[int] = None,
+    force_full_denoise: bool = False,
+) -> np.ndarray:
+    """start/last-step trimming (sample1 parity, sampling.py:891-990)."""
+    sigmas = np.asarray(sigmas)
+    if last_step is not None and last_step < (len(sigmas) - 1):
+        sigmas = sigmas[: last_step + 1].copy()
+        if force_full_denoise:
+            sigmas[-1] = 0
+    if start_step is not None:
+        if start_step < (len(sigmas) - 1):
+            sigmas = sigmas[start_step:]
+        else:
+            return sigmas[:0]
+    return sigmas
+
+
+@dataclasses.dataclass
+class KSampleResult:
+    latent: jnp.ndarray  # decoded-format latent (process_out applied)
+    raw: jnp.ndarray  # model-space latent
+
+
+def ksample(
+    model: DiffusionModel,
+    *,
+    seed: int,
+    steps: int,
+    cfg_scale: float,
+    sampler_name: str,
+    scheduler: str,
+    positive: cfg_mod.CondInput,
+    negative: Optional[cfg_mod.CondInput],
+    latent_image,  # NHWC latent (decoded-format, e.g. VAE output / zeros)
+    denoise: float = 1.0,
+    start_step: Optional[int] = None,
+    last_step: Optional[int] = None,
+    force_full_denoise: bool = False,
+    disable_noise: bool = False,
+    denoise_mask=None,  # NHWC [0,1] mask; 1 = resample, 0 = keep
+    ms: Optional[samplers_mod.MultiScale] = None,
+    sampler_opts: Optional[samplers_mod.SamplerOptions] = None,
+    callback: Optional[Callable] = None,
+    sigmas_override: Optional[np.ndarray] = None,
+    model_wrapper: Optional[Callable] = None,
+    fbcache=None,  # sampling.fbcache.FBCacheConfig
+):
+    """common_ksampler + CFGGuider.sample parity (sampling.py:1142,
+    CFG.py:296-357). Returns latent in decoded (VAE) space."""
+    cfgv = _config.get_config()
+    lf = model.latent_format
+    msampling = model.model_sampling
+    sampler_name = samplers_mod.SAMPLER_ALIASES.get(sampler_name, sampler_name)
+
+    if sigmas_override is not None:
+        sigmas = np.asarray(sigmas_override, dtype=np.float32)
+    else:
+        sigmas = sigmas_for(msampling, scheduler, steps, denoise)
+    sigmas = trim_sigmas(sigmas, start_step, last_step, force_full_denoise)
+    if len(sigmas) < 2:
+        return KSampleResult(latent=latent_image, raw=lf.process_in(latent_image))
+
+    n_steps = len(sigmas) - 1
+    shape = tuple(latent_image.shape)
+
+    # --- noise (host, seed-deterministic; ksampler_util.prepare_noise) ---
+    if disable_noise:
+        init_noise = np.zeros(shape, dtype=np.float32)
+    else:
+        init_noise = noise_mod.prepare_noise(shape, seed, mode=cfgv.rng_mode)
+
+    ancestral = sampler_name in (
+        "euler_ancestral",
+        "euler_ancestral_cfg_pp",
+        "euler_ancestral_dy_cfg_pp",
+    )
+    step_noise = None
+    sde_noise = None
+    opts = sampler_opts or samplers_mod.SamplerOptions(cfg_scale=cfg_scale)
+    if ancestral:
+        step_noise = noise_mod.step_noise_batch(
+            shape, n_steps, seed, mode=cfgv.rng_mode
+        )
+    if sampler_name in ("dpmpp_sde", "dpmpp_sde_cfgpp"):
+        sde_noise = noise_mod.sde_noise_for_steps(
+            shape, sigmas, r=opts.r, eta=opts.eta, seed=seed, mode=cfgv.rng_mode
+        )
+
+    # --- latent into model space + noise scaling (CFG.py:318-346) ---
+    latent_in = lf.process_in(jnp.asarray(latent_image, dtype=jnp.float32))
+    max_denoise = (
+        abs(float(msampling.sigma_max) - float(sigmas[0])) < 1e-4
+        or float(sigmas[0]) > float(msampling.sigma_max)
+    )
+    x = msampling.noise_scaling(
+        jnp.asarray(sigmas[0]),
+        jnp.asarray(init_noise),
+        latent_in,
+        max_denoise=max_denoise,
+    )
+
+    # --- CFG denoiser (optionally FBCache-wrapped) ---
+    fbcache = fbcache or model.model_options.get("fbcache")
+    if fbcache is not None:
+        from lightdiffusion_next_tpu.sampling import fbcache as fb_mod
+
+        denoise_fn = fb_mod.for_model(
+            model, positive, negative, cfg_scale, fbcache
+        )
+    else:
+        denoise_fn = cfg_mod.make_cfg_denoiser(
+            model.apply_fn,
+            model.params,
+            msampling,
+            positive,
+            negative,
+            cfg_scale,
+            model_wrapper=model_wrapper
+            or model.model_options.get("model_function_wrapper"),
+            disable_cfg1_optimization=model.model_options.get(
+                "disable_cfg1_optimization", False
+            ),
+            attn1_override_factory=model.model_options.get(
+                "attn1_override_factory"
+            ),
+        )
+
+    if denoise_mask is not None:
+        mask = jnp.asarray(denoise_mask, dtype=jnp.float32)
+        base = latent_in
+        inner_denoise = denoise_fn
+
+        if hasattr(inner_denoise, "init_state"):
+
+            class _MaskedStateful:
+                init_state = staticmethod(inner_denoise.init_state)
+
+                def __call__(self, xx, sig, st):
+                    den, unc, st = inner_denoise(xx, sig, st)
+                    return den * mask + base * (1.0 - mask), unc, st
+
+            run_denoise = _MaskedStateful()
+        else:
+
+            def masked_denoise(xx, sig):
+                den, unc = inner_denoise(xx, sig)
+                return den * mask + base * (1.0 - mask), unc
+
+            run_denoise = masked_denoise
+    else:
+        run_denoise = denoise_fn
+
+    # --- multi-scale defaults per sampler ---
+    if ms is None:
+        ms = samplers_mod.MultiScale()
+    elif ms.enabled and sampler_name in _MS_DEFAULTS:
+        fs, fe, inter = _MS_DEFAULTS[sampler_name]
+        ms = dataclasses.replace(
+            ms,
+            fullres_start=ms.fullres_start if ms.fullres_start >= 0 else fs,
+            fullres_end=ms.fullres_end if ms.fullres_end >= 0 else fe,
+        )
+
+    out = samplers_mod.sample(
+        run_denoise,
+        x,
+        sigmas,
+        sampler=sampler_name,
+        ms=ms,
+        step_noise=step_noise,
+        sde_noise=sde_noise,
+        opts=opts,
+        callback=callback,
+    )
+    out = msampling.inverse_noise_scaling(jnp.asarray(sigmas[-1]), out)
+    return KSampleResult(latent=lf.process_out(out), raw=out)

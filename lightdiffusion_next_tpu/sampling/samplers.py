@@ -1,0 +1,531 @@
+"""Sampler loops: Euler / Euler-ancestral (+CFG++ "dy" variants), DPM++(2M),
+DPM++ SDE — as jit/scan programs with multi-scale resolution plans.
+
+Counterpart of src/sample/samplers.py:14-1254. Key re-designs for TPU:
+
+- All schedule-derived scalars (sigma, ancestral splits, exp-integrator
+  ratios) are precomputed on the host from the numpy sigma table and fed to
+  the traced step as per-step constants — nothing data-dependent remains in
+  the loop.
+- All stochastic noise is precomputed (sampling.noise) and passed as scan
+  xs; the hot loop never synchronizes with the host.
+- Multi-scale (samplers.py:73-109 etc.): the per-step full/low-res decision
+  depends only on the step index, so the step list is segmented into runs of
+  constant resolution; each segment is one ``lax.scan`` at a static model
+  -call shape. The carry latent stays at full resolution throughout (exactly
+  the reference's dataflow: only the model call is downscaled).
+
+CFG++ parity note: in the reference, every sampler re-invokes its post-CFG
+hook manually after the model call with ``uncond_denoised=None``
+(samplers.py:553-556, 884-887, 1140-1143...), which resets the momentum state
+before it is ever read — the momentum branches are dead code and the
+effective update uses the CFG output directly. ``true_cfgpp=False`` (default)
+reproduces that effective behavior for parity; ``true_cfgpp=True`` enables
+the intended momentum math.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lightdiffusion_next_tpu.ops import nn
+from lightdiffusion_next_tpu.sampling import schedules
+
+SAMPLER_NAMES = (
+    "euler",
+    "euler_ancestral",
+    "euler_cfg_pp",
+    "euler_ancestral_cfg_pp",
+    "euler_dy_cfg_pp",
+    "euler_ancestral_dy_cfg_pp",
+    "dpmpp_2m",
+    "dpmpp_2m_cfgpp",
+    "dpmpp_sde",
+    "dpmpp_sde_cfgpp",
+)
+
+# the reference's public sampler-name registry (sampling.py:517-534)
+SAMPLER_ALIASES = {
+    "euler_cfgpp": "euler_dy_cfg_pp",
+    "euler_ancestral_cfgpp": "euler_ancestral_dy_cfg_pp",
+}
+
+
+def to_d(x, sigma, denoised):
+    """Euler derivative (src/Utilities/util.py:26)."""
+    return (x - denoised) / sigma
+
+
+# ---------------------------------------------------------------------------
+# Multi-scale plan
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class MultiScale:
+    """Multi-scale diffusion settings (multiscale_presets.py:49-86)."""
+
+    enabled: bool = False
+    factor: float = 0.5
+    fullres_start: int = 3
+    fullres_end: int = 8
+    intermittent: bool = False
+
+    @staticmethod
+    def preset(name: str) -> "MultiScale":
+        presets = {
+            "quality": MultiScale(True, 0.8, 4, 10, True),
+            "performance": MultiScale(True, 0.6, 2, 6, False),
+            "balanced": MultiScale(True, 0.7, 3, 8, False),
+            "disabled": MultiScale(False),
+        }
+        return presets[name]
+
+
+def scaled_dims(h: int, w: int, factor: float) -> Tuple[int, int]:
+    """Latent dims snapped to multiples of 8 (samplers.py:51-61)."""
+    return (
+        int(max(8, ((h * factor) // 8) * 8)),
+        int(max(8, ((w * factor) // 8) * 8)),
+    )
+
+
+def fullres_flags(n_steps: int, ms: MultiScale, h: int, w: int) -> np.ndarray:
+    """Per-step full-resolution booleans (should_use_fullres parity,
+    samplers.py:88-109)."""
+    if not ms.enabled or not (0.1 <= ms.factor <= 1.0):
+        return np.ones(n_steps, dtype=bool)
+    sh, sw = scaled_dims(h, w, ms.factor)
+    if (sh, sw) == (h, w):
+        return np.ones(n_steps, dtype=bool)
+    flags = np.zeros(n_steps, dtype=bool)
+    for i in range(n_steps):
+        if i < ms.fullres_start or i >= n_steps - ms.fullres_end:
+            flags[i] = True
+        elif ms.intermittent:
+            flags[i] = (i - ms.fullres_start) % 2 == 0
+    return flags
+
+
+def segment_flags(flags: np.ndarray) -> List[Tuple[int, int, bool]]:
+    """Contiguous (start, end, fullres) runs."""
+    segs = []
+    i = 0
+    n = len(flags)
+    while i < n:
+        j = i
+        while j < n and flags[j] == flags[i]:
+            j += 1
+        segs.append((i, j, bool(flags[i])))
+        i = j
+    return segs
+
+
+def _make_scaled_denoise(denoise_fn, h, w, sh, sw, fullres: bool):
+    """Wrap the denoiser to run the model at (sh, sw) and return full-res
+    predictions (downscale_tensor/upscale_tensor parity)."""
+    if fullres:
+        return denoise_fn
+
+    def scaled(x, sigma):
+        xd = nn.interpolate_bilinear(x, (sh, sw))
+        den, unc = denoise_fn(xd, sigma)
+        return (
+            nn.interpolate_bilinear(den, (h, w)),
+            nn.interpolate_bilinear(unc, (h, w)),
+        )
+
+    return scaled
+
+
+# ---------------------------------------------------------------------------
+# Per-step constants (host-side, from the numpy sigma schedule)
+# ---------------------------------------------------------------------------
+
+
+def _step_consts(sigmas: np.ndarray, eta: float, r: float = 0.5) -> dict:
+    """Everything any sampler needs, per step, as float32 numpy arrays."""
+    sig = np.asarray(sigmas, dtype=np.float64)
+    n = len(sig) - 1
+    c = {
+        "sigma": sig[:-1],
+        "sigma_next": sig[1:],
+        "is_last": (sig[1:] == 0).astype(np.float64),
+    }
+    # ancestral split
+    sd = np.zeros(n)
+    su = np.zeros(n)
+    for i in range(n):
+        sd[i], su[i] = schedules.get_ancestral_step(sig[i], sig[i + 1], eta)
+    c["sigma_down"], c["sigma_up"] = sd, su
+    # dpmpp_2m exponential integrator
+    with np.errstate(divide="ignore", over="ignore", invalid="ignore"):
+        t = -np.log(np.maximum(sig, 1e-38))
+        h = t[1:] - t[:-1]
+        c["ratio"] = np.where(sig[:-1] > 0, sig[1:] / sig[:-1], 0.0)
+        c["h_expm1"] = np.expm1(-np.minimum(h, 80.0))
+        c["h"] = h
+        h_prev = np.concatenate([[np.nan], h[:-1]])
+        c["h_ratio"] = np.where(
+            np.isfinite(h_prev / (2 * h)), h_prev / (2 * h), 0.0
+        )
+        # dpmpp_sde two-stage quantities
+        t_ = t[:-1]
+        t_next = t[1:]
+        s = t_ + (t_next - t_) * r
+        sig_s = np.exp(-s)
+        sd1 = np.zeros(n)
+        su1 = np.zeros(n)
+        sd2 = np.zeros(n)
+        su2 = np.zeros(n)
+        for i in range(n):
+            if sig[i + 1] == 0:
+                continue
+            sd1[i], su1[i] = schedules.get_ancestral_step(sig[i], sig_s[i], eta)
+            sd2[i], su2[i] = schedules.get_ancestral_step(sig[i], sig[i + 1], eta)
+        s_ = -np.log(np.maximum(sd1, 1e-38))
+        t_next_ = -np.log(np.maximum(sd2, 1e-38))
+        last = sig[1:] == 0
+        c["sde_sigma_mid"] = np.where(last, sig[:-1], sig_s)
+        c["sde_fac1"] = np.where(last, 0.0, sd1 / np.maximum(sig[:-1], 1e-38))
+        # expm1(t - s_) — negative; update is x2 = fac1*x - expm1_1*den + noise
+        c["sde_expm1_1"] = np.where(last, 0.0, np.expm1(np.maximum(t_ - s_, -80.0)))
+        c["sde_su1"] = su1
+        c["sde_fac2"] = np.where(last, 0.0, sd2 / np.maximum(sig[:-1], 1e-38))
+        c["sde_expm1_2"] = np.where(
+            last, 0.0, np.expm1(np.maximum(t_ - t_next_, -80.0))
+        )
+        c["sde_su2"] = su2
+        # sde h_ratio for true-cfg++ momentum: (t - s_) / (2*(t - t_next))
+        c["sde_h_ratio"] = np.where(
+            sig[1:] > 0, (t_ - s_) / np.maximum(2 * (t_ - t_next), 1e-38), 0.0
+        )
+    return {k: np.asarray(v, dtype=np.float32) for k, v in c.items()}
+
+
+# ---------------------------------------------------------------------------
+# Step functions. Carry: (x, old_denoised, old_uncond). xs: consts + noise.
+# ---------------------------------------------------------------------------
+
+
+def _cfg_combine(denoised, uncond, old_den, old_unc, cs, cfg_w, true_cfgpp, momentum_fn):
+    """Reference-effective (identity) or true-CFG++ combination."""
+    if not true_cfgpp:
+        return denoised
+    momentum = momentum_fn(denoised, old_den)
+    uncond_momentum = momentum_fn(uncond, old_unc)
+    cfgpp = uncond_momentum + (momentum - uncond_momentum) * cfg_w
+    # first/last steps fall back to the plain result
+    use_plain = jnp.logical_or(jnp.isnan(jnp.sum(old_unc)), cs["is_last"] > 0)
+    return jnp.where(use_plain, denoised, cfgpp)
+
+
+def _euler_step(carry, cs, denoise, *, ancestral, true_cfgpp, cfg_w, s_noise=1.0):
+    x, old_den, old_unc = carry
+    sigma = cs["sigma"]
+    denoised, uncond = denoise(x, sigma)
+    cfg_den = _cfg_combine(
+        denoised, uncond, old_den, old_unc, cs, cfg_w, true_cfgpp,
+        momentum_fn=lambda d, od: d,
+    )
+    if ancestral:
+        d = to_d(x, sigma, cfg_den)
+        x = x + d * (cs["sigma_down"] - sigma)
+        x = x + cs["noise"] * (s_noise * cs["sigma_up"])
+    else:
+        d = to_d(x, sigma, cfg_den)
+        x = x + d * (cs["sigma_next"] - sigma)
+    return (x, denoised, uncond)
+
+
+def _dpmpp_2m_step(carry, cs, denoise, *, true_cfgpp, cfg_w):
+    x, old_den, old_unc = carry
+    denoised, uncond = denoise(x, cs["sigma"])
+    cfg_den = _cfg_combine(
+        denoised, uncond, old_den, old_unc, cs, cfg_w, true_cfgpp,
+        momentum_fn=lambda d, od: (1 + cs["h_ratio"]) * d - cs["h_ratio"] * od,
+    )
+    x = cs["ratio"] * x - cs["h_expm1"] * cfg_den
+    return (x, denoised, uncond)
+
+
+def _dpmpp_sde_step(carry, cs, denoise, denoise2, *, true_cfgpp, cfg_w, r=0.5,
+                    s_noise=1.0):
+    """Two-stage DPM++ SDE step (samplers.py:1120-1240). denoise2 runs the
+    midpoint model call (same resolution rule as step 1 in the reference)."""
+    x, old_den, old_unc = carry
+    sigma = cs["sigma"]
+    denoised, uncond = denoise(x, sigma)
+
+    def last_step(_):
+        d = to_d(x, sigma, denoised)
+        return x + d * (cs["sigma_next"] - sigma)
+
+    def sde_step(_):
+        cfg_den = _cfg_combine(
+            denoised, uncond, old_den, old_unc, cs, cfg_w, true_cfgpp,
+            momentum_fn=lambda d, od: (1 + cs["sde_h_ratio"]) * d
+            - cs["sde_h_ratio"] * od,
+        )
+        x2 = (
+            cs["sde_fac1"] * x
+            - cs["sde_expm1_1"] * cfg_den
+            + cs["noise1"] * (s_noise * cs["sde_su1"])
+        )
+        denoised2, uncond2 = denoise2(x2, cs["sde_sigma_mid"])
+        cfg_den2 = _cfg_combine(
+            denoised2, uncond2, denoised, uncond, cs, cfg_w, true_cfgpp,
+            momentum_fn=lambda d, od: (1 + cs["sde_h_ratio"]) * d
+            - cs["sde_h_ratio"] * od,
+        )
+        mix = (1 - 1 / (2 * r)) * cfg_den + (1 / (2 * r)) * cfg_den2
+        return (
+            cs["sde_fac2"] * x
+            - cs["sde_expm1_2"] * mix
+            + cs["noise2"] * (s_noise * cs["sde_su2"])
+        )
+
+    x = jax.lax.cond(cs["is_last"] > 0, last_step, sde_step, None)
+    return (x, denoised, uncond)
+
+
+def _dy_extra_step(x, denoise_half, cs):
+    """dy_sampling_step_cfg_pp (samplers.py:362-466): euler-update only the
+    (1,1) pixel of every 2x2 block, with the model run at half resolution.
+    Odd trailing row/col is left untouched (the reference preserves it)."""
+    b, h, w, ch = x.shape
+    m, n = h // 2, w // 2
+    c = x[:, 1 : 2 * m : 2, 1 : 2 * n : 2, :]
+    denoised, _ = denoise_half(c, cs["sigma"])
+    d = to_d(c, cs["sigma"], denoised)
+    c = c + d * (cs["sigma_next"] - cs["sigma"])
+    return x.at[:, 1 : 2 * m : 2, 1 : 2 * n : 2, :].set(c)
+
+
+# ---------------------------------------------------------------------------
+# Driver
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class SamplerOptions:
+    eta: float = 1.0
+    s_noise: float = 1.0
+    r: float = 0.5
+    cfg_scale: float = 7.5
+    cfg_min: float = 1.0
+    cfg_x0_scale: float = 1.0
+    true_cfgpp: bool = False
+    s_extra_steps: bool = True  # "dy" extra checkerboard steps
+
+
+def sample(
+    denoise_fn: Callable,
+    x,
+    sigmas: np.ndarray,
+    sampler: str = "euler",
+    ms: MultiScale = MultiScale(),
+    step_noise=None,  # (n, *x.shape) ancestral noise
+    sde_noise: Optional[Tuple] = None,  # (noise1, noise2) for dpmpp_sde
+    opts: SamplerOptions = SamplerOptions(),
+    callback: Optional[Callable] = None,
+):
+    """Run a sampler loop. ``denoise_fn(x, sigma_batch) -> (denoised, uncond)``
+    is the CFG guider product. Returns the final latent (full resolution).
+
+    With ``callback`` (progress/preview) the loop runs eagerly (one jitted
+    step per iteration); otherwise segments run as ``lax.scan`` programs.
+    """
+    sampler = SAMPLER_ALIASES.get(sampler, sampler)
+    if sampler not in SAMPLER_NAMES:
+        raise ValueError(f"unknown sampler {sampler!r}")
+    sigmas = np.asarray(sigmas, dtype=np.float32)
+    n_steps = len(sigmas) - 1
+    if n_steps <= 0:
+        return x
+
+    b, h, w, ch = x.shape
+    is_ms_sampler = sampler in (
+        "euler",
+        "euler_ancestral",
+        "dpmpp_2m",
+        "dpmpp_2m_cfgpp",
+        "dpmpp_sde",
+        "dpmpp_sde_cfgpp",
+        "euler_dy_cfg_pp",  # dy runs fullres but keeps flags for parity
+    )
+    flags = (
+        fullres_flags(n_steps, ms, h, w)
+        if is_ms_sampler and sampler != "euler_dy_cfg_pp"
+        else np.ones(n_steps, dtype=bool)
+    )
+    sh, sw = scaled_dims(h, w, ms.factor) if ms.enabled else (h, w)
+
+    consts = _step_consts(sigmas, opts.eta, opts.r)
+    # per-step cfg schedule (cfg -> cfg_min), used only by true_cfgpp
+    steps = np.arange(n_steps, dtype=np.float32)
+    cfg_sched = (
+        opts.cfg_scale
+        + (opts.cfg_min - opts.cfg_scale) * steps / max(n_steps, 1)
+    ) * opts.cfg_x0_scale
+
+    ancestral = sampler in (
+        "euler_ancestral",
+        "euler_ancestral_cfg_pp",
+        "euler_ancestral_dy_cfg_pp",
+    )
+    is_sde = sampler in ("dpmpp_sde", "dpmpp_sde_cfgpp")
+    is_2m = sampler in ("dpmpp_2m", "dpmpp_2m_cfgpp")
+    is_dy = sampler == "euler_dy_cfg_pp"
+
+    if step_noise is None and (ancestral):
+        step_noise = np.zeros((n_steps,) + x.shape, dtype=np.float32)
+    if is_sde and sde_noise is None:
+        sde_noise = (
+            np.zeros((n_steps,) + x.shape, dtype=np.float32),
+            np.zeros((n_steps,) + x.shape, dtype=np.float32),
+        )
+
+    # stateful denoisers (FBCache) expose init_state(x_at_call_shape) and a
+    # 3-arg call (x, sigma, state) -> (den, unc, state); normalize both forms.
+    stateful = hasattr(denoise_fn, "init_state")
+
+    def make_step(fullres: bool):
+        if stateful:
+
+            def raw(xx, ss, st):
+                return denoise_fn(xx, ss, st)
+
+        else:
+
+            def raw(xx, ss, st):
+                d, u = denoise_fn(xx, ss)
+                return d, u, st
+
+        if fullres:
+            scaled = raw
+        else:
+
+            def scaled(xx, ss, st):
+                xd = nn.interpolate_bilinear(xx, (sh, sw))
+                d, u, st = raw(xd, ss, st)
+                return (
+                    nn.interpolate_bilinear(d, (h, w)),
+                    nn.interpolate_bilinear(u, (h, w)),
+                    st,
+                )
+
+        def step(carry, cs):
+            inner, st = carry
+            cs = dict(cs)
+            cfg_w = cs.pop("cfg_w")
+            box = [st]
+
+            def den(xx, ss):
+                d, u, s2 = scaled(xx, ss, box[0])
+                box[0] = s2
+                return d, u
+
+            if is_sde:
+                new_inner = _dpmpp_sde_step(
+                    inner, cs, den, den,
+                    true_cfgpp=opts.true_cfgpp, cfg_w=cfg_w, r=opts.r,
+                    s_noise=opts.s_noise,
+                )
+            elif is_2m:
+                new_inner = _dpmpp_2m_step(
+                    inner, cs, den, true_cfgpp=opts.true_cfgpp, cfg_w=cfg_w
+                )
+            else:
+                new_inner = _euler_step(
+                    inner, cs, den, ancestral=ancestral,
+                    true_cfgpp=opts.true_cfgpp, cfg_w=cfg_w,
+                    s_noise=opts.s_noise,
+                )
+            return (new_inner, box[0]), None
+
+        return step
+
+    def init_segment_state(fullres: bool):
+        if not stateful:
+            return jnp.zeros(())
+        shape = (b, h, w, ch) if fullres else (b, sh, sw, ch)
+        return denoise_fn.init_state(jnp.zeros(shape, jnp.float32))
+
+    def xs_for(i0, i1):
+        xs = {
+            k: jnp.asarray(v[i0:i1])
+            for k, v in consts.items()
+        }
+        xs["cfg_w"] = jnp.asarray(cfg_sched[i0:i1])
+        if ancestral:
+            xs["noise"] = jnp.asarray(step_noise[i0:i1])
+        if is_sde:
+            xs["noise1"] = jnp.asarray(sde_noise[0][i0:i1])
+            xs["noise2"] = jnp.asarray(sde_noise[1][i0:i1])
+        return xs
+
+    nanfill = jnp.full_like(x, jnp.nan, dtype=jnp.float32)
+    inner = (x.astype(jnp.float32), nanfill, nanfill)
+
+    if callback is None and not is_dy:
+        # scan mode: one compiled program per (segment length, resolution)
+        for i0, i1, fullres in segment_flags(flags):
+            step = make_step(fullres)
+            carry = (inner, init_segment_state(fullres))
+            carry, _ = jax.lax.scan(step, carry, xs_for(i0, i1))
+            inner = carry[0]
+    else:
+        # eager mode with callbacks (previews/progress) or dy extra steps
+        seg_state = None
+        last_fullres = None
+        for i in range(n_steps):
+            fullres = bool(flags[i])
+            if seg_state is None or fullres != last_fullres:
+                seg_state = init_segment_state(fullres)
+                last_fullres = fullres
+            step = make_step(fullres)
+            xs = {k: v[0] for k, v in xs_for(i, i + 1).items()}
+            (inner, seg_state), _ = step((inner, seg_state), xs)
+            if is_dy and opts.s_extra_steps and sigmas[i + 1] > 0 and i // 2 == 1:
+                # the checkerboard tensor is already half-res: call the model
+                # directly at that shape (dy_sampling_step_cfg_pp parity);
+                # a stateful cache is bypassed with a throwaway state.
+                if stateful:
+                    m, nn_ = inner[0].shape[1] // 2, inner[0].shape[2] // 2
+                    tmp = denoise_fn.init_state(
+                        jnp.zeros((b, m, nn_, ch), jnp.float32)
+                    )
+
+                    def half_den(xx, ss, _tmp=tmp):
+                        d, u, _ = denoise_fn(xx, ss, _tmp)
+                        return d, u
+
+                else:
+                    half_den = denoise_fn
+                inner = (
+                    _dy_extra_step(
+                        inner[0],
+                        half_den,
+                        {
+                            "sigma": jnp.asarray(sigmas[i], jnp.float32),
+                            "sigma_next": jnp.asarray(sigmas[i + 1], jnp.float32),
+                        },
+                    ),
+                ) + inner[1:]
+            if callback is not None:
+                callback(
+                    {
+                        "x": inner[0],
+                        "i": i,
+                        "sigma": float(sigmas[i]),
+                        "denoised": inner[1],
+                    }
+                )
+    return inner[0]

@@ -1,0 +1,187 @@
+"""Sampler trajectory parity vs numpy oracles of the reference's effective
+update rules (see samplers.py docstring for the CFG++ dead-code analysis —
+the effective update uses the CFG output directly)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lightdiffusion_next_tpu.sampling import samplers
+from lightdiffusion_next_tpu.sampling.schedules import get_ancestral_step
+
+SHAPE = (1, 8, 8, 4)
+
+
+def make_denoiser(rng):
+    bias = rng.standard_normal(SHAPE).astype(np.float32)
+    jb = jnp.asarray(bias)
+
+    def denoise(x, sigma):
+        den = 0.3 * x + jb
+        return den, 0.2 * x
+
+    def np_denoise(x):
+        return 0.3 * x + bias
+
+    return denoise, np_denoise
+
+
+SIGMAS = np.asarray([14.0, 8.0, 4.0, 2.0, 1.0, 0.5, 0.0], dtype=np.float32)
+
+
+def test_euler_matches_oracle(rng):
+    denoise, np_den = make_denoiser(rng)
+    x0 = rng.standard_normal(SHAPE).astype(np.float32)
+    out = samplers.sample(denoise, jnp.asarray(x0), SIGMAS, sampler="euler")
+    x = x0.astype(np.float64)
+    for i in range(len(SIGMAS) - 1):
+        den = np_den(x)
+        d = (x - den) / SIGMAS[i]
+        x = x + d * (SIGMAS[i + 1] - SIGMAS[i])
+    np.testing.assert_allclose(np.asarray(out), x, atol=1e-3)
+
+
+def test_euler_ancestral_matches_oracle(rng):
+    denoise, np_den = make_denoiser(rng)
+    x0 = rng.standard_normal(SHAPE).astype(np.float32)
+    n = len(SIGMAS) - 1
+    noise = rng.standard_normal((n,) + SHAPE).astype(np.float32)
+    out = samplers.sample(
+        denoise, jnp.asarray(x0), SIGMAS, sampler="euler_ancestral",
+        step_noise=noise,
+    )
+    x = x0.astype(np.float64)
+    for i in range(n):
+        den = np_den(x)
+        sd, su = get_ancestral_step(float(SIGMAS[i]), float(SIGMAS[i + 1]), 1.0)
+        x = x + (x - den) / SIGMAS[i] * (sd - SIGMAS[i])
+        if SIGMAS[i + 1] > 0:
+            x = x + noise[i] * su
+    np.testing.assert_allclose(np.asarray(out), x, atol=1e-3)
+
+
+def test_dpmpp_2m_matches_oracle(rng):
+    denoise, np_den = make_denoiser(rng)
+    x0 = rng.standard_normal(SHAPE).astype(np.float32)
+    out = samplers.sample(denoise, jnp.asarray(x0), SIGMAS, sampler="dpmpp_2m_cfgpp")
+    x = x0.astype(np.float64)
+    t = -np.log(np.maximum(SIGMAS.astype(np.float64), 1e-38))
+    for i in range(len(SIGMAS) - 1):
+        den = np_den(x)
+        ratio = SIGMAS[i + 1] / SIGMAS[i]
+        h = t[i + 1] - t[i]
+        x = ratio * x - np.expm1(-min(h, 80.0)) * den
+    np.testing.assert_allclose(np.asarray(out), x, atol=1e-3)
+
+
+def test_dpmpp_sde_matches_oracle(rng):
+    denoise, np_den = make_denoiser(rng)
+    x0 = rng.standard_normal(SHAPE).astype(np.float32)
+    n = len(SIGMAS) - 1
+    noise1 = rng.standard_normal((n,) + SHAPE).astype(np.float32)
+    noise2 = rng.standard_normal((n,) + SHAPE).astype(np.float32)
+    out = samplers.sample(
+        denoise, jnp.asarray(x0), SIGMAS, sampler="dpmpp_sde_cfgpp",
+        sde_noise=(noise1, noise2),
+    )
+    # oracle (reference formulas, effective math)
+    r, eta, s_noise = 0.5, 1.0, 1.0
+    x = x0.astype(np.float64)
+    for i in range(n):
+        den = np_den(x)
+        if SIGMAS[i + 1] == 0:
+            d = (x - den) / SIGMAS[i]
+            x = x + d * (SIGMAS[i + 1] - SIGMAS[i])
+            continue
+        t, t_next = -np.log(SIGMAS[i]), -np.log(SIGMAS[i + 1])
+        s = t + (t_next - t) * r
+        sd1, su1 = get_ancestral_step(np.exp(-t), np.exp(-s), eta)
+        s_ = -np.log(sd1)
+        x2 = (sd1 / SIGMAS[i]) * x - np.expm1(t - s_) * den + noise1[i] * su1 * s_noise
+        den2 = np_den(x2)
+        sd2, su2 = get_ancestral_step(np.exp(-t), np.exp(-t_next), eta)
+        t_next_ = -np.log(sd2)
+        mix = (1 - 1 / (2 * r)) * den + (1 / (2 * r)) * den2
+        x = (
+            (sd2 / SIGMAS[i]) * x
+            - np.expm1(t - t_next_) * mix
+            + noise2[i] * su2 * s_noise
+        )
+    np.testing.assert_allclose(np.asarray(out), x, rtol=2e-3, atol=2e-3)
+
+
+def test_multiscale_plan_flags():
+    ms = samplers.MultiScale(True, 0.5, 3, 8, False)
+    flags = samplers.fullres_flags(20, ms, 128, 128)
+    assert flags[:3].all() and flags[-8:].all()
+    assert not flags[3:12].any()
+    ms_i = samplers.MultiScale(True, 0.5, 3, 8, True)
+    flags_i = samplers.fullres_flags(20, ms_i, 128, 128)
+    assert flags_i[3] and not flags_i[4] and flags_i[5]
+
+
+def test_multiscale_segments():
+    flags = np.asarray([True, True, False, False, True])
+    segs = samplers.segment_flags(flags)
+    assert segs == [(0, 2, True), (2, 4, False), (4, 5, True)]
+
+
+def test_multiscale_sampling_runs(rng):
+    denoise, _ = make_denoiser(rng)
+    x0 = rng.standard_normal(SHAPE).astype(np.float32)
+    ms = samplers.MultiScale(True, 0.5, 1, 2, False)
+    sig = np.asarray([14.0, 8.0, 4.0, 2.0, 1.0, 0.0], dtype=np.float32)
+    out = samplers.sample(
+        denoise, jnp.asarray(x0), sig, sampler="euler", ms=ms
+    )
+    assert out.shape == SHAPE
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_eager_mode_matches_scan(rng):
+    denoise, _ = make_denoiser(rng)
+    x0 = rng.standard_normal(SHAPE).astype(np.float32)
+    out_scan = samplers.sample(denoise, jnp.asarray(x0), SIGMAS, sampler="euler")
+    calls = []
+    out_eager = samplers.sample(
+        denoise, jnp.asarray(x0), SIGMAS, sampler="euler",
+        callback=lambda d: calls.append(d["i"]),
+    )
+    np.testing.assert_allclose(np.asarray(out_scan), np.asarray(out_eager), atol=1e-5)
+    assert calls == list(range(len(SIGMAS) - 1))
+
+
+def test_euler_dy_extra_steps(rng):
+    denoise, _ = make_denoiser(rng)
+    # dy needs a denoiser valid at both full and half resolution
+    def denoise_any(x, sigma):
+        return 0.3 * x, 0.2 * x
+
+    x0 = rng.standard_normal(SHAPE).astype(np.float32)
+    out = samplers.sample(
+        denoise_any, jnp.asarray(x0), SIGMAS, sampler="euler_dy_cfg_pp"
+    )
+    assert out.shape == SHAPE
+    assert np.isfinite(np.asarray(out)).all()
+    # oracle: euler + dy checkerboard update at steps 2,3
+    x = x0.astype(np.float64)
+    for i in range(len(SIGMAS) - 1):
+        den = 0.3 * x
+        x = x + (x - den) / SIGMAS[i] * (SIGMAS[i + 1] - SIGMAS[i])
+        if SIGMAS[i + 1] > 0 and i // 2 == 1:
+            c = x[:, 1::2, 1::2, :]
+            cd = 0.3 * c
+            c = c + (c - cd) / SIGMAS[i] * (SIGMAS[i + 1] - SIGMAS[i])
+            x[:, 1::2, 1::2, :] = c
+    np.testing.assert_allclose(np.asarray(out), x, atol=1e-3)
+
+
+def test_true_cfgpp_differs(rng):
+    denoise, _ = make_denoiser(rng)
+    x0 = rng.standard_normal(SHAPE).astype(np.float32)
+    out_eff = samplers.sample(denoise, jnp.asarray(x0), SIGMAS, sampler="euler_cfg_pp")
+    out_true = samplers.sample(
+        denoise, jnp.asarray(x0), SIGMAS, sampler="euler_cfg_pp",
+        opts=samplers.SamplerOptions(true_cfgpp=True, cfg_scale=2.0),
+    )
+    assert not np.allclose(np.asarray(out_eff), np.asarray(out_true))

@@ -1,0 +1,103 @@
+"""Tokenizer parity: native BPE vs transformers' CLIPTokenizer (loaded from
+the same vendored vocab), and prompt-weight syntax semantics."""
+
+import numpy as np
+import pytest
+
+from lightdiffusion_next_tpu import config as cfg
+from lightdiffusion_next_tpu.models.clip import tokenizer as tok
+
+
+@pytest.fixture(scope="module")
+def bpe():
+    return tok.ClipBPE()
+
+
+@pytest.fixture(scope="module")
+def hf_tok():
+    from transformers import CLIPTokenizer
+
+    return CLIPTokenizer(
+        vocab_file=cfg.repo_asset("tokenizer", "clip", "vocab.json"),
+        merges_file=cfg.repo_asset("tokenizer", "clip", "merges.txt"),
+    )
+
+
+@pytest.mark.parametrize(
+    "text",
+    [
+        "a photo of a cat",
+        "masterpiece, best quality, 1girl, (extremely detailed:1.2)",
+        "Ünïcòdé tëxt with wëird chars!!! 123",
+        "hyphenated-words and apostrophe's",
+        "",
+        "a" * 100,
+    ],
+)
+def test_bpe_matches_transformers(bpe, hf_tok, text):
+    ours = bpe.encode(text)
+    oracle = hf_tok(text)["input_ids"][1:-1]  # strip start/end
+    assert ours == oracle
+
+
+def test_special_tokens(bpe):
+    assert bpe.start_token == 49406
+    assert bpe.end_token == 49407
+
+
+def test_token_weights_nesting():
+    out = tok.token_weights("a (b) ((c)) (d:1.5)", 1.0)
+    d = {k.strip(): w for k, w in out if k.strip()}
+    assert d["a"] == 1.0
+    assert d["b"] == pytest.approx(1.1)
+    assert d["c"] == pytest.approx(1.21)
+    assert d["d"] == pytest.approx(1.5)
+
+
+def test_escapes():
+    out = tok.token_weights(tok.escape_important(r"smile \(happy\)"), 1.0)
+    assert len(out) == 1
+    assert tok.unescape_important(out[0][0]) == "smile (happy)"
+
+
+def test_tokenize_with_weights_structure(bpe):
+    t = tok.SDTokenizer(bpe=bpe)
+    rows = t.tokenize_with_weights("a photo of (a cat:1.3)")
+    assert len(rows) == 1
+    row = rows[0]
+    assert len(row) == 77
+    assert row[0][0] == 49406
+    ids = [x[0] for x in row]
+    assert 49407 in ids
+    # weights applied to the weighted segment
+    weights = {w for _, w in row}
+    assert 1.3 in {round(w, 4) for w in weights}
+
+
+def test_tokenize_long_prompt_overflows_batches(bpe):
+    t = tok.SDTokenizer(bpe=bpe)
+    rows = t.tokenize_with_weights("cat " * 120)
+    assert len(rows) == 2
+    for row in rows:
+        assert len(row) == 77
+        assert row[0][0] == 49406
+
+
+def test_textual_inversion_embedding(tmp_path, bpe):
+    import safetensors.numpy
+
+    emb = np.random.default_rng(0).normal(size=(2, 768)).astype(np.float32)
+    safetensors.numpy.save_file({"emb_params": emb}, str(tmp_path / "myti.safetensors"))
+    t = tok.SDTokenizer(bpe=bpe, embedding_directory=str(tmp_path))
+    rows = t.tokenize_with_weights("a embedding:myti cat")
+    row = rows[0]
+    vecs = [x for x in row if not isinstance(x[0], (int, np.integer))]
+    assert len(vecs) == 2
+    np.testing.assert_allclose(np.asarray(vecs[0][0]), emb[0])
+
+
+def test_sd1_tokenizer_keying(bpe):
+    t = tok.SD1Tokenizer()
+    out = t.tokenize_with_weights("hello world")
+    assert "l" in out
+    assert len(out["l"][0]) == 77
