@@ -80,14 +80,25 @@ def sd1_clip_from_state_dict(
     dtype=None,
 ) -> CLIP:
     """Assemble the SD1.5 CLIP stack from a checkpoint's text-encoder dict
-    (clip keys already normalized to text_model.* by utils.state_dict)."""
+    (clip keys already normalized to text_model.* by utils.state_dict).
+    Layer count / width are inferred from the state dict shapes."""
     import jax.numpy as jnp
+
+    num_layers = 0
+    while f"text_model.encoder.layers.{num_layers}.layer_norm1.weight" in clip_sd:
+        num_layers += 1
+    width = clip_sd["text_model.embeddings.token_embedding.weight"].shape[1]
+    heads = max(1, width // 64)
 
     model = te.SDClipModel(
         clip_sd,
         layer="last",
+        num_layers=num_layers or te.CLIP_L_LAYERS,
+        heads=heads,
         dtype=dtype or jnp.float32,
     )
     wrapped = te.SD1ClipModel(model)
-    tk = tok.SD1Tokenizer(embedding_directory=embedding_directory)
+    tk = tok.SD1Tokenizer(
+        embedding_directory=embedding_directory, embedding_size=width
+    )
     return CLIP(tk, wrapped)

@@ -45,13 +45,51 @@ SD_VAE = VAEConfig()
 FLUX_AE = VAEConfig(z_channels=16, has_quant_conv=False)
 
 
+def detect_vae_config(sd: dict) -> VAEConfig:
+    """Infer VAEConfig from state-dict shapes (the reference hardcodes the
+    SD ddconfig with an x4-upscaler special case, VariationalAE.py:608-637;
+    we detect everything). Works on OIHW or HWIO tensors."""
+
+    def ch_of(key, axis_out=True):
+        w = sd[key]
+        hwio = w.shape[0] == w.shape[1] and w.shape[0] <= 7
+        if hwio:
+            return w.shape[-1] if axis_out else w.shape[-2]
+        return w.shape[0] if axis_out else w.shape[1]
+
+    ch = ch_of("encoder.conv_in.weight")
+    z_channels = ch_of("decoder.conv_in.weight", axis_out=False)
+    # encoder levels: count down.N entries; mult from each level's block.0
+    mults = []
+    i = 0
+    while f"encoder.down.{i}.block.0.conv1.weight" in sd:
+        mults.append(ch_of(f"encoder.down.{i}.block.0.conv1.weight") // ch)
+        i += 1
+    nrb = 0
+    while f"encoder.down.0.block.{nrb}.conv1.weight" in sd:
+        nrb += 1
+    return VAEConfig(
+        ch=ch,
+        ch_mult=tuple(mults) or (1, 2, 4, 4),
+        num_res_blocks=nrb or 2,
+        z_channels=z_channels,
+        has_quant_conv="quant_conv.weight" in sd,
+    )
+
+
+def _gn(x, scale, bias):
+    """GroupNorm(32) with eps 1e-6; group count clamps to the channel count
+    so tiny test configs work (real VAEs always have >=128 channels)."""
+    return nn.group_norm(x, scale, bias, groups=min(32, x.shape[-1]), eps=1e-6)
+
+
 def _resnet(p: nn.ParamView, x):
     """VAE ResnetBlock (VariationalAE ResBlock.py:341 parity): GN(eps1e-6),
     swish, conv3x3 x2, nin_shortcut 1x1 when channels change."""
-    h = nn.group_norm(x, p("norm1.weight"), p("norm1.bias"), eps=1e-6)
+    h = _gn(x, p("norm1.weight"), p("norm1.bias"))
     h = nn.silu(h)
     h = nn.conv2d(h, p("conv1.weight"), p("conv1.bias"), padding=1)
-    h = nn.group_norm(h, p("norm2.weight"), p("norm2.bias"), eps=1e-6)
+    h = _gn(h, p("norm2.weight"), p("norm2.bias"))
     h = nn.silu(h)
     h = nn.conv2d(h, p("conv2.weight"), p("conv2.bias"), padding=1)
     if p.has("nin_shortcut.weight"):
@@ -62,7 +100,7 @@ def _resnet(p: nn.ParamView, x):
 def _attn_block(p: nn.ParamView, x):
     """Mid-block single-head spatial attention (AttnBlock, Attention.py:127).
     q/k/v/proj_out are 1x1 convs."""
-    h = nn.group_norm(x, p("norm.weight"), p("norm.bias"), eps=1e-6)
+    h = _gn(x, p("norm.weight"), p("norm.bias"))
     q = nn.conv2d(h, p("q.weight"), p("q.bias"))
     k = nn.conv2d(h, p("k.weight"), p("k.bias"))
     v = nn.conv2d(h, p("v.weight"), p("v.bias"))
@@ -90,7 +128,7 @@ def apply_encoder(params: dict, x, cfg: VAEConfig = SD_VAE):
     h = _resnet(p.scope("mid.block_1."), h)
     h = _attn_block(p.scope("mid.attn_1."), h)
     h = _resnet(p.scope("mid.block_2."), h)
-    h = nn.group_norm(h, p("norm_out.weight"), p("norm_out.bias"), eps=1e-6)
+    h = _gn(h, p("norm_out.weight"), p("norm_out.bias"))
     h = nn.silu(h)
     h = nn.conv2d(h, p("conv_out.weight"), p("conv_out.bias"), padding=1)
     if cfg.has_quant_conv:
@@ -120,7 +158,7 @@ def apply_decoder(params: dict, z, cfg: VAEConfig = SD_VAE):
                 p(f"up.{i}.upsample.conv.bias"),
                 padding=1,
             )
-    h = nn.group_norm(h, p("norm_out.weight"), p("norm_out.bias"), eps=1e-6)
+    h = _gn(h, p("norm_out.weight"), p("norm_out.bias"))
     h = nn.silu(h)
     return nn.conv2d(h, p("conv_out.weight"), p("conv_out.bias"), padding=1)
 

@@ -162,11 +162,12 @@ def _load_tensor(info: GGUFTensorInfo, buf, data_start: int, lazy_np=True):
         raw = np.frombuffer(buf, dtype=np.uint16, count=n_elems, offset=off)
         return (raw.astype(np.uint32) << 16).view(np.float32).reshape(info.shape)
     if info.ggml_type == GGML_Q8_0:
+        from lightdiffusion_next_tpu.utils import native
+
         n_blocks = n_elems // 32
         raw = np.frombuffer(buf, dtype=np.uint8, count=n_blocks * 34, offset=off)
         raw = raw.reshape(n_blocks, 34)
-        scales = raw[:, :2].copy().view(np.float16).astype(np.float32).reshape(-1)
-        q = raw[:, 2:].copy().view(np.int8)
+        q, scales = native.split_q8_0(raw)
         rows = info.shape[:-1]
         per_row = info.shape[-1] // 32
         return QTensor8(

@@ -189,11 +189,13 @@ class Detailer:
         up = np.asarray(nn.interpolate_bilinear(jnp.asarray(crop), (ph, pw)))
         latent = self.vae.encode(jnp.asarray(up))
 
-        # latent-space denoise mask from the segment mask
+        # latent-space denoise mask from the segment mask (size follows the
+        # VAE's actual downscale ratio)
         m = seg.mask[y0:y1, x0:x1]
         m_lat = np.asarray(
             nn.interpolate_bilinear(
-                jnp.asarray(m[None, :, :, None]), (ph // 8, pw // 8)
+                jnp.asarray(m[None, :, :, None]),
+                (latent.shape[1], latent.shape[2]),
             )
         )
         result = ks.ksample(
@@ -224,10 +226,19 @@ class Detailer:
         return out
 
     def detail(
-        self, image: np.ndarray, detector, positive, negative
+        self, image: np.ndarray, detector, positive, negative, sam=None
     ) -> Tuple[np.ndarray, List[SEG]]:
         segs = detector.detect(image, self.cfg.threshold)
         segs = dilate_masks(segs, self.cfg.dilation)
+        if sam is not None:
+            # SAM refinement + bitwise AND (pipeline.py:375-511 flow)
+            from lightdiffusion_next_tpu.pipelines.sam import (
+                make_sam_mask,
+                segs_bitwise_and_mask,
+            )
+
+            sam_mask = make_sam_mask(sam, segs, image)
+            segs = segs_bitwise_and_mask(segs, sam_mask)
         segs = [
             s
             for s in segs

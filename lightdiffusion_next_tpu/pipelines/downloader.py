@@ -36,11 +36,15 @@ FLUX_ASSETS: List[Tuple[str, str, str]] = [
 
 def _download(assets) -> List[str]:
     root = _config.asset_root()
+    offline = os.environ.get("LDT_OFFLINE", "0") == "1"
     missing = []
     for repo_id, filename, subdir in assets:
         target_dir = os.path.join(root, subdir)
         target = os.path.join(target_dir, filename)
         if os.path.exists(target):
+            continue
+        if offline:
+            missing.append(f"{target} (offline mode)")
             continue
         os.makedirs(target_dir, exist_ok=True)
         try:

@@ -49,7 +49,9 @@ def load_checkpoint_guess_config(
     model = base_mod.sd15_model(unet_sd, cfg=unet_cfg, dtype=dtype)
 
     vae = vae_mod.VAE(
-        sd_utils.convs_to_hwio(vae_sd), dtype=cfgv.dtypes.vae_dtype
+        sd_utils.convs_to_hwio(vae_sd),
+        cfg=vae_mod.detect_vae_config(vae_sd),
+        dtype=cfgv.dtypes.vae_dtype,
     )
     clip = clip_facade.sd1_clip_from_state_dict(
         clip_sd,

@@ -263,6 +263,17 @@ def _run_adetailer(images, model, clip, vae, prompt, negative_prompt):
     positive = encode.encode(clip, prompt)
     negative = encode.encode(clip, negative_prompt)
     d = det.Detailer(model, clip, vae, det.DetailerConfig(denoise=0.5))
+
+    sam = None
+    sam_path = downloader.asset_path("yolos", "sam_vit_b_01ec64.pth")
+    if os.path.exists(sam_path):
+        try:
+            from lightdiffusion_next_tpu.pipelines.sam import SAMWrapper
+
+            sam = SAMWrapper(sam_path)
+        except RuntimeError:
+            sam = None
+
     for yolo_name in ("person_yolov8m-seg.pt", "face_yolov9c.pt"):
         path = downloader.asset_path("yolos", yolo_name)
         if not os.path.exists(path):
@@ -271,7 +282,7 @@ def _run_adetailer(images, model, clip, vae, prompt, negative_prompt):
             detector = det.UltralyticsDetector(path)
         except RuntimeError:
             continue
-        images, _ = d.detail(images, detector, positive, negative)
+        images, _ = d.detail(images, detector, positive, negative, sam=sam)
     return images
 
 

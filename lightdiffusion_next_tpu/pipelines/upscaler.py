@@ -86,6 +86,12 @@ class UltimateSDUpscale:
         return np.clip(up, 0.0, 1.0)
 
     # --- step 2: per-tile img2img (process_images parity, :126-245) ---
+    def _tile_dims(self, image: np.ndarray):
+        """Tile size clamped to the image (the reference's crop regions are
+        clamped the same way in process_images, UltimateSDUpscale.py:126)."""
+        H, W = image.shape[1:3]
+        return min(self.cfg.tile_height, H), min(self.cfg.tile_width, W)
+
     def _process_tile(
         self,
         image: np.ndarray,
@@ -103,7 +109,7 @@ class UltimateSDUpscale:
     ) -> np.ndarray:
         import jax.numpy as jnp
 
-        th, tw = self.cfg.tile_height, self.cfg.tile_width
+        th, tw = self._tile_dims(image)
         H, W = image.shape[1:3]
         x0, y0 = _clamp_region(x0, y0, tw, th, W, H)
         crop = image[:, y0 : y0 + th, x0 : x0 + tw, :]
@@ -135,7 +141,7 @@ class UltimateSDUpscale:
     ) -> np.ndarray:
         """Linear per-tile redraw (USDURedraw.linear_process, :493-526)."""
         H, W = image.shape[1:3]
-        th, tw = self.cfg.tile_height, self.cfg.tile_width
+        th, tw = self._tile_dims(image)
         rows = max(1, -(-H // th))
         cols = max(1, -(-W // tw))
         base_mask = _feather(np.ones((th, tw), dtype=np.float32), self.cfg.mask_blur)
@@ -156,23 +162,25 @@ class UltimateSDUpscale:
         if self.cfg.seam_fix_mode == "none":
             return image
         H, W = image.shape[1:3]
-        th, tw = self.cfg.tile_height, self.cfg.tile_width
+        th, tw = self._tile_dims(image)
         rows = max(1, -(-H // th))
         cols = max(1, -(-W // tw))
 
-        # vertical-seam gradient: band across the tile center columns
-        grad = np.concatenate(
-            [
-                np.linspace(0, 1, tw // 2, dtype=np.float32),
-                np.linspace(1, 0, tw - tw // 2, dtype=np.float32),
-            ]
-        )
+        # seam gradients: triangular band peaking at the tile center
+        def tri(n):
+            return np.concatenate(
+                [
+                    np.linspace(0, 1, n // 2, dtype=np.float32),
+                    np.linspace(1, 0, n - n // 2, dtype=np.float32),
+                ]
+            )
+
         v_mask = _feather(
-            np.tile(grad[None, :], (th, 1)), self.cfg.seam_fix_mask_blur
+            np.tile(tri(tw)[None, :], (th, 1)), self.cfg.seam_fix_mask_blur
         )
-        h_mask = v_mask.T.copy()
-        if h_mask.shape != (th, tw):
-            h_mask = np.tile(grad[:, None], (1, tw))[:th, :tw]
+        h_mask = _feather(
+            np.tile(tri(th)[:, None], (1, tw)), self.cfg.seam_fix_mask_blur
+        )
 
         # vertical seams (between columns): offset by half tile in x
         for yi in range(rows):

@@ -106,6 +106,7 @@ def ksample(
     sigmas_override: Optional[np.ndarray] = None,
     model_wrapper: Optional[Callable] = None,
     fbcache=None,  # sampling.fbcache.FBCacheConfig
+    differential_diffusion: bool = False,
 ):
     """common_ksampler + CFGGuider.sample parity (sampling.py:1142,
     CFG.py:296-357). Returns latent in decoded (VAE) space."""
@@ -188,9 +189,28 @@ def ksample(
         )
 
     if denoise_mask is not None:
-        mask = jnp.asarray(denoise_mask, dtype=jnp.float32)
+        mask_raw = jnp.asarray(denoise_mask, dtype=jnp.float32)
         base = latent_in
         inner_denoise = denoise_fn
+
+        if differential_diffusion:
+            # DifferentialDiffusion (src/AutoDetailer/ADetailer.py:15-58):
+            # binarize the soft mask against a timestep-driven threshold so
+            # strongly-masked areas resample longer than weakly-masked ones.
+            ts_from = float(msampling.timestep(jnp.asarray(sigmas[0])))
+            ts_to = float(
+                msampling.timestep(jnp.asarray(msampling.sigma_min))
+            )
+
+            def mask_at(sig):
+                ts_cur = msampling.timestep(jnp.max(jnp.asarray(sig)))
+                thr = (ts_cur - ts_to) / max(ts_from - ts_to, 1e-9)
+                return (mask_raw >= thr).astype(jnp.float32)
+
+        else:
+
+            def mask_at(sig):
+                return mask_raw
 
         if hasattr(inner_denoise, "init_state"):
 
@@ -199,14 +219,16 @@ def ksample(
 
                 def __call__(self, xx, sig, st):
                     den, unc, st = inner_denoise(xx, sig, st)
-                    return den * mask + base * (1.0 - mask), unc, st
+                    m = mask_at(sig)
+                    return den * m + base * (1.0 - m), unc, st
 
             run_denoise = _MaskedStateful()
         else:
 
             def masked_denoise(xx, sig):
                 den, unc = inner_denoise(xx, sig)
-                return den * mask + base * (1.0 - mask), unc
+                m = mask_at(sig)
+                return den * m + base * (1.0 - m), unc
 
             run_denoise = masked_denoise
     else:

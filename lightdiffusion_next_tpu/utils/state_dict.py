@@ -42,9 +42,9 @@ def load_torch_file(path: str) -> Dict[str, np.ndarray]:
 
 
 def _bf16_to_f32(raw: np.ndarray) -> np.ndarray:
-    u16 = raw.view(np.uint16)
-    u32 = u16.astype(np.uint32) << 16
-    return u32.view(np.float32)
+    from lightdiffusion_next_tpu.utils import native
+
+    return native.bf16_to_f32(raw).reshape(raw.shape)
 
 
 def state_dict_prefix_replace(
@@ -118,13 +118,21 @@ def detect_unet_config(unet_sd: Dict):
     Works on HWIO or OIHW tensors (uses channel dims that are invariant)."""
     from lightdiffusion_next_tpu.models.unet import UNetConfig
 
+    def _is_hwio(w) -> bool:
+        # HWIO convs have the (small, equal) kernel dims first; OIHW last.
+        return w.shape[0] == w.shape[1] and w.shape[0] <= 7
+
     def out_ch_of(key):
         w = unet_sd[key]
-        return w.shape[-1] if w.ndim == 4 else w.shape[0]
+        if w.ndim != 4:
+            return w.shape[0]
+        return w.shape[-1] if _is_hwio(w) else w.shape[0]
 
     def in_ch_of(key):
         w = unet_sd[key]
-        return w.shape[-2] if w.ndim == 4 else w.shape[1]
+        if w.ndim != 4:
+            return w.shape[1]
+        return w.shape[-2] if _is_hwio(w) else w.shape[1]
 
     model_channels = out_ch_of("input_blocks.0.0.weight")
     in_channels = in_ch_of("input_blocks.0.0.weight")

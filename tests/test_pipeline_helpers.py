@@ -1,0 +1,102 @@
+"""Pipeline-level pure helpers: CLI parser, seed persistence, presets,
+settings persistence, enhancer fallback, downloader paths."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from lightdiffusion_next_tpu.app import cli
+from lightdiffusion_next_tpu.sampling import samplers
+
+
+def test_cli_parser_flags():
+    p = cli.build_parser()
+    args = p.parse_args(
+        ["a cat", "512", "768", "2", "1", "--hires-fix", "--adetailer",
+         "--prio-speed", "--multiscale-preset", "quality"]
+    )
+    assert args.prompt == "a cat"
+    assert (args.width, args.height) == (512, 768)
+    assert args.number == 2
+    assert args.hires_fix and args.adetailer and args.prio_speed
+    assert args.multiscale_preset == "quality"
+
+
+def test_multiscale_presets():
+    q = samplers.MultiScale.preset("quality")
+    assert q.enabled and q.factor == 0.8 and q.intermittent
+    p = samplers.MultiScale.preset("performance")
+    assert p.factor == 0.6
+    d = samplers.MultiScale.preset("disabled")
+    assert not d.enabled
+    with pytest.raises(KeyError):
+        samplers.MultiScale.preset("nope")
+
+
+def test_seed_persistence(tmp_path, monkeypatch):
+    monkeypatch.setenv("LDT_ASSET_ROOT", str(tmp_path))
+    from lightdiffusion_next_tpu.pipelines import pipeline as pl
+
+    pl.save_last_seed(12345)
+    assert pl.load_last_seed() == 12345
+    assert (tmp_path / "last_seed.txt").exists()
+
+
+def test_webui_settings_roundtrip(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    from lightdiffusion_next_tpu.app import webui
+
+    s = webui.load_settings()
+    assert s["width"] == 512
+    s["width"] = 768
+    webui.save_settings(s)
+    s2 = webui.load_settings()
+    assert s2["width"] == 768
+    # unknown keys are dropped
+    with open(webui.SETTINGS_FILE, "w") as f:
+        json.dump({"width": 640, "evil": 1}, f)
+    s3 = webui.load_settings()
+    assert s3["width"] == 640 and "evil" not in s3
+
+
+def test_enhancer_fallback_on_no_server():
+    from lightdiffusion_next_tpu.pipelines.enhancer import enhance_prompt
+
+    out = enhance_prompt("a cat", host="http://127.0.0.1:1", timeout=0.2)
+    assert out == "a cat"
+
+
+def test_downloader_paths(monkeypatch, tmp_path):
+    monkeypatch.setenv("LDT_ASSET_ROOT", str(tmp_path))
+    from lightdiffusion_next_tpu.pipelines import downloader
+
+    p = downloader.asset_path("checkpoints", "x.safetensors")
+    assert str(tmp_path) in p and p.endswith("checkpoints/x.safetensors")
+
+
+def test_progress_tracker_and_previews(tmp_path):
+    from lightdiffusion_next_tpu.app.instance import AppInstance
+
+    inst = AppInstance(preview_dir=str(tmp_path / "prev"))
+    inst.progress.set(0.5)
+    assert inst.progress.get() == 0.5
+    img = np.random.default_rng(0).uniform(0, 1, (8, 8, 3)).astype(np.float32)
+    path = inst.update_image(img)
+    assert path and os.path.exists(path)
+    assert inst.get_latest_previews() == [path]
+    inst.clear_previews()
+    assert not os.path.exists(path)
+
+
+def test_preview_callback_writes(tmp_path):
+    from lightdiffusion_next_tpu.app.instance import AppInstance, make_preview_callback
+    from lightdiffusion_next_tpu.utils import latent as latent_mod
+
+    inst = AppInstance(preview_dir=str(tmp_path / "prev"))
+    cb = make_preview_callback(inst, latent_mod.SD15, every=1, total_steps=4)
+    x = np.random.default_rng(0).standard_normal((1, 8, 8, 4)).astype(np.float32)
+    cb({"i": 0, "x": x, "sigma": 1.0, "denoised": x})
+    assert len(inst.get_latest_previews()) == 1
+    assert inst.progress.get() == 0.25
