@@ -21,6 +21,9 @@ def main():
     import numpy as np
 
     from lightdiffusion_next_tpu import config as ldt_config
+    from lightdiffusion_next_tpu.utils import state_dict as sd_utils
+
+    sd_utils.enable_compilation_cache()
     from lightdiffusion_next_tpu.models import base as base_mod
     from lightdiffusion_next_tpu.models import unet as unet_mod
     from lightdiffusion_next_tpu.sampling import cfg as cfg_mod

@@ -63,9 +63,11 @@ def sd15_model(
             attn1_override=attn1_override, first_block_hook=first_block_hook,
         )
 
+    from lightdiffusion_next_tpu.utils import state_dict as sd_utils
+
     return DiffusionModel(
         apply_fn=apply_fn,
-        params={k: jnp.asarray(v, dtype=dtype) for k, v in params.items()},
+        params=sd_utils.device_put_params(params, dtype),
         model_sampling=ms_mod.ModelSamplingDiscrete(),
         latent_format=latent_mod.SD15,
         config=cfg,

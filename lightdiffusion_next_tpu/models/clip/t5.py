@@ -152,8 +152,10 @@ class T5XXLModel:
     """SDClipModel-like facade for T5 (T5XXLModel, FluxClip.py:565-592)."""
 
     def __init__(self, params: Dict, cfg: T5Config = T5_XXL, dtype=jnp.float32):
+        from lightdiffusion_next_tpu.utils import state_dict as sd_utils
+
         self.cfg = cfg
-        self.params = {k: jnp.asarray(v, dtype=dtype) for k, v in params.items()}
+        self.params = sd_utils.device_put_params(params, dtype)
         self.special_tokens = {"end": 1, "pad": 0}
 
     def encode_token_weights(self, token_weight_pairs):

@@ -116,7 +116,15 @@ class SDClipModel:
         return_projected_pooled: bool = True,
         dtype=jnp.float32,
     ):
-        self.params = {k: jnp.asarray(v, dtype=dtype) for k, v in params.items()}
+        from lightdiffusion_next_tpu.utils import state_dict as sd_utils
+
+        # host-side copy of the embedding table for textual-inversion row
+        # assembly (avoids a device->host pull per encode)
+        self._token_table = np.asarray(
+            params["text_model.embeddings.token_embedding.weight"],
+            dtype=np.float32,
+        )
+        self.params = sd_utils.device_put_params(params, dtype)
         self.layer = layer
         self.layer_idx = layer_idx
         self.num_layers = num_layers
@@ -156,10 +164,7 @@ class SDClipModel:
 
         Returns (embeds (B,L,W) float, tokens_int (B,L) with TI slots holding
         the pad id for eos-pooling purposes)."""
-        table = np.asarray(
-            self.params["text_model.embeddings.token_embedding.weight"],
-            dtype=np.float32,
-        )
+        table = self._token_table
         width = table.shape[1]
         B = len(token_rows)
         L = len(token_rows[0])

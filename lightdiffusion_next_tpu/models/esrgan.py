@@ -130,9 +130,11 @@ class UpscaleModel:
     blending (utils.tiling)."""
 
     def __init__(self, params: Dict, scale: int = 4, dtype=jnp.float32):
+        from lightdiffusion_next_tpu.utils import state_dict as sd_utils
+
         params = normalize_esrgan_keys(params)
         self.scale = scale
-        self.params = {k: jnp.asarray(v, dtype=dtype) for k, v in params.items()}
+        self.params = sd_utils.device_put_params(params, dtype)
         self._apply = jax.jit(lambda p, x: apply_rrdbnet(p, x, self.scale))
 
     def upscale(self, image, tile: int = 128, overlap: int = 8) -> np.ndarray:
@@ -172,4 +174,4 @@ def init_params(num_body: int = 2, nf: int = 64, gc: int = 32, seed: int = 0):
     conv("conv_up2", nf, nf)
     conv("conv_hr", nf, nf)
     conv("conv_last", nf, 3)
-    return {k: jnp.asarray(v) for k, v in P.items()}
+    return P

@@ -321,4 +321,4 @@ def init_params(cfg: FluxConfig = FLUX_DEV, seed: int = 0, dtype=None):
         lin(pre + "modulation.lin", 3 * H, H)
     lin("final_layer.linear", cfg.patch_size**2 * cfg.in_channels, H)
     lin("final_layer.adaLN_modulation.1", 2 * H, H)
-    return {k: jnp.asarray(v, dtype=dtype) for k, v in P.items()}
+    return {k: np.asarray(v, dtype=np.float32) for k, v in P.items()}

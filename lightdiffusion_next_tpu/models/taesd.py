@@ -132,4 +132,4 @@ def init_params(seed: int = 0, latent_channels: int = 4) -> Dict:
     layout_dec[1] = ("conv", latent_channels, 64)
     emit("encoder.", layout_enc)
     emit("decoder.", layout_dec)
-    return {k: jnp.asarray(v) for k, v in P.items()}
+    return P

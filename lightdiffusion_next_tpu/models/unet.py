@@ -431,4 +431,6 @@ def init_params(cfg: UNetConfig = SD15_CONFIG, seed: int = 0, dtype=None):
 
     add_norm("out.0", cfg.model_channels)
     add_conv("out.2", cfg.out_channels, cfg.model_channels)
-    return {k: jnp.asarray(v, dtype=dtype) for k, v in P.items()}
+    # host numpy (float32): device placement happens in one packed
+    # transfer via utils.state_dict.device_put_params
+    return {k: np.asarray(v, dtype=np.float32) for k, v in P.items()}

@@ -183,9 +183,11 @@ class VAE:
     encode/decode, tiled fallback for large images."""
 
     def __init__(self, params: dict, cfg: VAEConfig = SD_VAE, dtype=jnp.float32):
+        from lightdiffusion_next_tpu.utils import state_dict as sd_utils
+
         self.cfg = cfg
         self.dtype = dtype
-        self.params = {k: jnp.asarray(v, dtype=dtype) for k, v in params.items()}
+        self.params = sd_utils.device_put_params(params, dtype)
         self._decode = jax.jit(lambda p, z: apply_decoder(p, z, cfg))
         self._encode = jax.jit(lambda p, x: apply_encoder(p, x, cfg))
 
@@ -275,4 +277,4 @@ def init_params(cfg: VAEConfig = SD_VAE, seed: int = 0, dtype=jnp.float32):
             conv(f"decoder.up.{i}.upsample.conv", ch, ch)
     norm("decoder.norm_out", ch)
     conv("decoder.conv_out", cfg.out_ch, ch)
-    return {k: jnp.asarray(v, dtype=dtype) for k, v in P.items()}
+    return {k: np.asarray(v, dtype=np.float32) for k, v in P.items()}

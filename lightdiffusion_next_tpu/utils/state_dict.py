@@ -20,6 +20,67 @@ from typing import Dict, Optional, Tuple
 import numpy as np
 
 
+def enable_compilation_cache() -> None:
+    """Persistent XLA compilation cache: first compile of the big nets is
+    expensive (remote-compile tunnels especially); cache survives processes."""
+    import jax
+
+    try:
+        cache_dir = os.environ.get(
+            "LDT_XLA_CACHE",
+            os.path.join(os.path.expanduser("~"), ".cache", "ldt", "xla"),
+        )
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+
+
+def device_put_params(params: Dict[str, np.ndarray], dtype) -> Dict:
+    """Upload a whole param dict as ONE packed transfer per dtype group.
+
+    Per-leaf jnp.asarray issues one host->device RPC per tensor — ~200 s for
+    SD1.5's 686 tensors over the axon relay. Packing into a single flat
+    buffer (cast host-side, bf16 included via ml_dtypes) and slicing on
+    device turns that into one transfer + one trivial compiled reshape
+    program.
+    """
+    import jax
+    import jax.numpy as jnp
+    import ml_dtypes
+
+    np_dtype = np.dtype(
+        ml_dtypes.bfloat16 if jnp.dtype(dtype) == jnp.bfloat16 else jnp.dtype(dtype)
+    )
+    keys = sorted(params.keys())
+    flats = []
+    metas = []
+    offset = 0
+    for k in keys:
+        v = np.asarray(params[k])
+        flat = np.ascontiguousarray(v, dtype=np_dtype).ravel()
+        flats.append(flat)
+        metas.append((k, offset, v.shape))
+        offset += flat.size
+    if not flats:
+        return {}
+    packed = jax.device_put(np.concatenate(flats))
+
+    @jax.jit
+    def unpack(buf):
+        return {
+            k: jax.lax.dynamic_slice_in_dim(
+                buf, off, int(np.prod(shape, dtype=np.int64))
+            ).reshape(shape)
+            for k, off, shape in metas
+        }
+
+    out = unpack(packed)
+    # free the packed buffer reference; XLA keeps the slices
+    return dict(out)
+
+
 def load_torch_file(path: str) -> Dict[str, np.ndarray]:
     """Load .safetensors / .ckpt / .pt into a flat numpy dict."""
     if path.lower().endswith(".safetensors") or path.lower().endswith(".sft"):
