@@ -51,20 +51,21 @@ def main():
         model.apply_fn, model.params, model.model_sampling, cond, uncond, 7.5
     )
 
+    # weights + conds travel as jit ARGUMENTS (closure constants bloat the
+    # HLO and blow up compile time — see sampling/cfg.py docstring)
     @jax.jit
-    def step(x, sigma):
-        den, _ = denoise(x, sigma)
+    def step(ja, x, sigma):
+        den, _ = denoise.call_with(ja, x, sigma)
         return den
 
+    ja = denoise.jit_args
     x = jnp.asarray(rng.standard_normal((1, h, w, 4)), dtype=jnp.float32)
     sigma = jnp.asarray([14.0], dtype=jnp.float32)
 
     # compile + warmup
-    step(x, sigma).block_until_ready()
-    t0 = time.perf_counter()
-    n_warm = 3
-    for _ in range(n_warm):
-        x_out = step(x, sigma)
+    step(ja, x, sigma).block_until_ready()
+    for _ in range(3):
+        x_out = step(ja, x, sigma)
     x_out.block_until_ready()
 
     # timed
@@ -72,7 +73,7 @@ def main():
     t0 = time.perf_counter()
     out = x
     for _ in range(n):
-        out = step(out, sigma)
+        out = step(ja, out, sigma)
     out.block_until_ready()
     dt = time.perf_counter() - t0
 

@@ -6,9 +6,15 @@ ALWAYS batched into one model call with static shapes (the reference packs
 them dynamically based on free VRAM, cond.py:186-223 — under jit the batch
 is a compile-time constant so the packer is deleted, per SURVEY §7).
 
-The produced ``denoise_fn(x, sigma) -> (denoised, uncond_denoised)`` is pure
-and traceable; sampler loops scan over it. Post/pre-CFG hooks are explicit
-function parameters instead of mutable model_options lists.
+Compilation discipline (critical on TPU):
+- ALL large arrays (weights AND conditioning) travel through the denoiser's
+  ``jit_args`` bundle and are passed to jit as ARGUMENTS. Arrays captured as
+  trace closure constants are embedded in the lowered HLO — for SD1.5 that
+  turned a 38 s compile into a >25-minute one.
+- Each denoiser exposes ``cache_key``, a hashable token covering every
+  trace-relevant STATIC (model identity, cfg scale, hook configs), so the
+  sampler loop can reuse one compiled program across calls that differ only
+  in data (e.g. UltimateSDUpscale running 30+ tiles).
 """
 
 from __future__ import annotations
@@ -30,11 +36,12 @@ class CondInput:
     pooled: Optional[Any] = None
     guidance: Optional[float] = None  # Flux distilled guidance
 
-    def context_for_batch(self, batch: int):
-        c = jnp.asarray(self.cross_attn)
-        if c.shape[0] == 1 and batch > 1:
-            c = jnp.repeat(c, batch, axis=0)
-        return c
+
+def _ctx_for_batch(c, batch: int):
+    c = jnp.asarray(c)
+    if c.shape[0] == 1 and batch > 1:
+        c = jnp.repeat(c, batch, axis=0)
+    return c
 
 
 def pad_cross_attn_to_match(a, b):
@@ -59,34 +66,44 @@ def cfg_result(cond_pred, uncond_pred, cond_scale: float):
     return uncond_pred + (cond_pred - uncond_pred) * cond_scale
 
 
-def make_cfg_denoiser(
+class CFGDenoiser:
+    """Callable denoiser with explicit jit-argument bundle.
+
+    ``den(x, sigma)`` binds ``den.jit_args``; jitted loops call
+    ``den.call_with(jit_args, x, sigma)`` passing the bundle as a jit arg.
+    """
+
+    def __init__(self, fn, jit_args, cache_key):
+        self._fn = fn
+        self.jit_args = jit_args
+        self.cache_key = cache_key
+
+    def __call__(self, x, sigma):
+        return self._fn(self.jit_args, x, sigma)
+
+    def call_with(self, jit_args, x, sigma):
+        return self._fn(jit_args, x, sigma)
+
+
+def make_cfg_denoiser_fn(
     apply_model: Callable,
-    params: Dict,
     model_sampling,
-    cond: CondInput,
-    uncond: Optional[CondInput],
+    has_uncond: bool,
+    has_pooled: bool,
+    guidance: Optional[float],
     cond_scale: float,
-    latent_format=None,
     model_wrapper: Optional[Callable] = None,
-    disable_cfg1_optimization: bool = False,
     first_block_hook: Optional[Callable] = None,
     attn1_override_factory: Optional[Callable] = None,
 ):
-    """Build ``denoise(x, sigma) -> (cfg_denoised, uncond_denoised)``.
-
-    ``apply_model(params, x, t, context, y=None, **extra)`` is the raw net.
-    ``model_wrapper`` replaces the inner model call (FBCache / compile
-    wrappers; set_model_unet_function_wrapper analog).
+    """Build the pure fn ``(bundle, x, sigma) -> (cfg_denoised, uncond)``
+    where bundle = {"params", "c_ctx", "u_ctx", "c_pool", "u_pool"}.
 
     Sequence: EPS input scaling -> timestep lookup -> batched cond/uncond
     forward -> EPS output scaling -> CFG lerp (sampling_function parity,
-    CFG.py:86-162 + BaseModel.apply_model, ModelBase.py:72-152).
-    """
-    use_uncond = uncond is not None and (
-        abs(cond_scale - 1.0) > 1e-9 or disable_cfg1_optimization
-    )
+    CFG.py:86-162 + BaseModel.apply_model, ModelBase.py:72-152)."""
 
-    def inner_apply(x, t, context, y=None, **extra):
+    def inner_apply(params, x, t, context, y=None, **extra):
         if first_block_hook is not None:
             extra["first_block_hook"] = first_block_hook
         if attn1_override_factory is not None:
@@ -101,7 +118,8 @@ def make_cfg_denoiser(
             )
         return apply_model(params, x, t, context, y=y, **extra)
 
-    def denoise(x, sigma):
+    def denoise(bundle, x, sigma):
+        params = bundle["params"]
         sigma = jnp.asarray(sigma)
         if sigma.ndim == 0:
             sigma = jnp.broadcast_to(sigma, (x.shape[0],))
@@ -109,25 +127,25 @@ def make_cfg_denoiser(
         t = model_sampling.timestep(sigma)
 
         batch = x.shape[0]
-        c_ctx = cond.context_for_batch(batch)
+        c_ctx = _ctx_for_batch(bundle["c_ctx"], batch)
         extra = {}
-        if cond.guidance is not None:
-            extra["guidance"] = jnp.full((batch,), cond.guidance, dtype=jnp.float32)
+        if guidance is not None:
+            extra["guidance"] = jnp.full((batch,), guidance, dtype=jnp.float32)
 
-        if use_uncond:
-            u_ctx = uncond.context_for_batch(batch)
+        if has_uncond:
+            u_ctx = _ctx_for_batch(bundle["u_ctx"], batch)
             c_ctx2, u_ctx2 = pad_cross_attn_to_match(c_ctx, u_ctx)
             ctx = jnp.concatenate([c_ctx2, u_ctx2], axis=0)
             xx = jnp.concatenate([xin, xin], axis=0)
             tt = jnp.concatenate([t, t], axis=0)
             y = None
-            if cond.pooled is not None and uncond.pooled is not None:
+            if has_pooled:
+                c_pool = jnp.asarray(bundle["c_pool"])
+                u_pool = jnp.asarray(bundle["u_pool"])
                 y = jnp.concatenate(
                     [
-                        jnp.broadcast_to(cond.pooled, (batch,) + cond.pooled.shape[-1:]),
-                        jnp.broadcast_to(
-                            uncond.pooled, (batch,) + uncond.pooled.shape[-1:]
-                        ),
+                        jnp.broadcast_to(c_pool, (batch,) + c_pool.shape[-1:]),
+                        jnp.broadcast_to(u_pool, (batch,) + u_pool.shape[-1:]),
                     ],
                     axis=0,
                 )
@@ -135,7 +153,7 @@ def make_cfg_denoiser(
                 extra["guidance"] = jnp.concatenate(
                     [extra["guidance"], extra["guidance"]], axis=0
                 )
-            out = inner_apply(xx, tt, ctx, y=y, **extra)
+            out = inner_apply(params, xx, tt, ctx, y=y, **extra)
             sigma2 = jnp.concatenate([sigma, sigma], axis=0)
             den = model_sampling.calculate_denoised(
                 sigma2, out.astype(jnp.float32), jnp.concatenate([x, x], axis=0)
@@ -143,9 +161,10 @@ def make_cfg_denoiser(
             cond_pred, uncond_pred = den[:batch], den[batch:]
         else:
             y = None
-            if cond.pooled is not None:
-                y = jnp.broadcast_to(cond.pooled, (batch,) + cond.pooled.shape[-1:])
-            out = inner_apply(xin, t, c_ctx, y=y, **extra)
+            if has_pooled:
+                c_pool = jnp.asarray(bundle["c_pool"])
+                y = jnp.broadcast_to(c_pool, (batch,) + c_pool.shape[-1:])
+            out = inner_apply(params, xin, t, c_ctx, y=y, **extra)
             den = model_sampling.calculate_denoised(
                 sigma, out.astype(jnp.float32), x
             )
@@ -157,3 +176,67 @@ def make_cfg_denoiser(
         )
 
     return denoise
+
+
+def make_bundle(
+    params,
+    cond: CondInput,
+    uncond: Optional[CondInput],
+    use_uncond: bool,
+    has_pooled: bool,
+):
+    bundle = {"params": params, "c_ctx": jnp.asarray(cond.cross_attn)}
+    if use_uncond:
+        bundle["u_ctx"] = jnp.asarray(uncond.cross_attn)
+    if has_pooled:
+        bundle["c_pool"] = jnp.asarray(cond.pooled)
+        if use_uncond:
+            bundle["u_pool"] = jnp.asarray(uncond.pooled)
+    return bundle
+
+
+def make_cfg_denoiser(
+    apply_model: Callable,
+    params: Dict,
+    model_sampling,
+    cond: CondInput,
+    uncond: Optional[CondInput],
+    cond_scale: float,
+    latent_format=None,
+    model_wrapper: Optional[Callable] = None,
+    disable_cfg1_optimization: bool = False,
+    first_block_hook: Optional[Callable] = None,
+    attn1_override_factory: Optional[Callable] = None,
+) -> CFGDenoiser:
+    """CFGGuider-product denoiser (CFG.py:164-357 analog)."""
+    use_uncond = uncond is not None and (
+        abs(cond_scale - 1.0) > 1e-9 or disable_cfg1_optimization
+    )
+    has_pooled = cond.pooled is not None and (
+        not use_uncond or (uncond is not None and uncond.pooled is not None)
+    )
+    fn = make_cfg_denoiser_fn(
+        apply_model,
+        model_sampling,
+        has_uncond=use_uncond,
+        has_pooled=has_pooled,
+        guidance=cond.guidance,
+        cond_scale=cond_scale,
+        model_wrapper=model_wrapper,
+        first_block_hook=first_block_hook,
+        attn1_override_factory=attn1_override_factory,
+    )
+    bundle = make_bundle(params, cond, uncond, use_uncond, has_pooled)
+    cache_key = (
+        "cfg",
+        id(apply_model),
+        id(model_sampling),
+        round(float(cond_scale), 6),
+        use_uncond,
+        has_pooled,
+        None if cond.guidance is None else round(float(cond.guidance), 6),
+        id(model_wrapper) if model_wrapper is not None else None,
+        id(first_block_hook) if first_block_hook is not None else None,
+        id(attn1_override_factory) if attn1_override_factory is not None else None,
+    )
+    return CFGDenoiser(fn, bundle, cache_key)

@@ -117,31 +117,40 @@ def make_hook(state_box, cfg: FBCacheConfig, gate):
 class FBCachedDenoiser:
     """Stateful denoiser: wraps a cfg-denoiser factory so the model call runs
     with the FBCache hook and the cache state threads through the sampler
-    loop (samplers.sample detects ``init_state``)."""
+    loop (samplers.sample detects ``init_state``). Params stay explicit
+    (``call_with``) so sampler jits take them as arguments — see
+    cfg.CFGDenoiser for why."""
 
     def __init__(
         self,
-        make_denoise_with_hook,  # (hook_factory) -> denoise(x, sigma)
+        make_denoise_fn_with_hook,  # (hook_factory) -> fn(bundle, x, sigma)
         cfg: FBCacheConfig,
         model_sampling,
         state_shapes_fn,  # (x) -> (first_shape, residual_shape)
+        jit_args,
+        cache_key,
     ):
-        self._make = make_denoise_with_hook
+        self._make = make_denoise_fn_with_hook
         self.cfg = cfg
         self.sigma_start, self.sigma_end = cfg.sigma_window(model_sampling)
         self._shapes_fn = state_shapes_fn
+        self.jit_args = jit_args
+        self.cache_key = cache_key
 
     def init_state(self, x) -> FBCacheState:
         first_shape, residual_shape = self._shapes_fn(x)
         return init_state(first_shape, residual_shape)
 
-    def __call__(self, x, sigma, state: FBCacheState):
+    def call_with(self, jit_args, x, sigma, state: FBCacheState):
         sig = jnp.max(jnp.asarray(sigma))
         gate = jnp.logical_and(sig <= self.sigma_start, sig >= self.sigma_end)
         box = [state]
-        denoise = self._make(lambda: make_hook(box, self.cfg, gate))
-        den, unc = denoise(x, sigma)
+        fn = self._make(lambda: make_hook(box, self.cfg, gate))
+        den, unc = fn(jit_args, x, sigma)
         return den, unc, box[0]
+
+    def __call__(self, x, sigma, state: FBCacheState):
+        return self.call_with(self.jit_args, x, sigma, state)
 
 
 def for_model(
@@ -156,24 +165,26 @@ def for_model(
     boundary."""
     from lightdiffusion_next_tpu.sampling import cfg as cfg_mod
 
-    def make(hook_factory):
-        return cfg_mod.make_cfg_denoiser(
-            model.apply_fn,
-            model.params,
-            model.model_sampling,
-            cond,
-            uncond,
-            cfg_scale,
-            first_block_hook=hook_factory(),
-            disable_cfg1_optimization=model.model_options.get(
-                "disable_cfg1_optimization", False
-            ),
-            attn1_override_factory=model.model_options.get(
-                "attn1_override_factory"
-            ),
-        )
+    batched_uncond = uncond is not None and (
+        abs(cfg_scale - 1.0) > 1e-9
+        or model.model_options.get("disable_cfg1_optimization", False)
+    )
+    has_pooled = cond.pooled is not None and (
+        not batched_uncond or (uncond is not None and uncond.pooled is not None)
+    )
+    attn1_factory = model.model_options.get("attn1_override_factory")
 
-    batched_uncond = uncond is not None and abs(cfg_scale - 1.0) > 1e-9
+    def make(hook_factory):
+        return cfg_mod.make_cfg_denoiser_fn(
+            model.apply_fn,
+            model.model_sampling,
+            has_uncond=batched_uncond,
+            has_pooled=has_pooled,
+            guidance=cond.guidance,
+            cond_scale=cfg_scale,
+            first_block_hook=hook_factory(),
+            attn1_override_factory=attn1_factory,
+        )
 
     def shapes_fn(x):
         b = x.shape[0] * (2 if batched_uncond else 1)
@@ -184,4 +195,19 @@ def for_model(
             shape = (b, x.shape[1], x.shape[2], model.config.model_channels)
         return shape, shape
 
-    return FBCachedDenoiser(make, fb_cfg, model.model_sampling, shapes_fn)
+    bundle = cfg_mod.make_bundle(
+        model.params, cond, uncond, batched_uncond, has_pooled
+    )
+    cache_key = (
+        "fbcache",
+        id(model.apply_fn),
+        round(float(cfg_scale), 6),
+        batched_uncond,
+        has_pooled,
+        None if cond.guidance is None else round(float(cond.guidance), 6),
+        fb_cfg,
+        id(attn1_factory) if attn1_factory is not None else None,
+    )
+    return FBCachedDenoiser(
+        make, fb_cfg, model.model_sampling, shapes_fn, bundle, cache_key
+    )

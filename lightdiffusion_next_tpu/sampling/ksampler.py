@@ -83,6 +83,60 @@ class KSampleResult:
     raw: jnp.ndarray  # model-space latent
 
 
+class _MaskedDenoiser:
+    """Masked latent blending (+ optional DifferentialDiffusion threshold,
+    src/AutoDetailer/ADetailer.py:15-58). Mask and base latent travel in
+    jit_args so the compiled sampler loop is reusable across calls."""
+
+    def __init__(self, inner, mask, base, msampling, sigma_start, differential):
+        self._inner = inner
+        self._msampling = msampling
+        self._differential = differential
+        if differential:
+            self._ts_from = float(msampling.timestep(jnp.asarray(sigma_start)))
+            self._ts_to = float(
+                msampling.timestep(jnp.asarray(msampling.sigma_min))
+            )
+        self._stateful = hasattr(inner, "init_state")
+        if self._stateful:
+            self.init_state = inner.init_state
+        inner_args = getattr(inner, "jit_args", None)
+        self.jit_args = {"inner": inner_args, "mask": mask, "base": base}
+        inner_key = getattr(inner, "cache_key", None)
+        self.cache_key = (
+            None
+            if inner_key is None
+            else ("masked", inner_key, differential)
+        )
+
+    def _mask_at(self, ja, sig):
+        if not self._differential:
+            return ja["mask"]
+        ts_cur = self._msampling.timestep(jnp.max(jnp.asarray(sig)))
+        thr = (ts_cur - self._ts_to) / max(self._ts_from - self._ts_to, 1e-9)
+        return (ja["mask"] >= thr).astype(jnp.float32)
+
+    def call_with(self, ja, x, sig, state=None):
+        if self._stateful:
+            if hasattr(self._inner, "call_with"):
+                den, unc, state = self._inner.call_with(ja["inner"], x, sig, state)
+            else:
+                den, unc, state = self._inner(x, sig, state)
+            m = self._mask_at(ja, sig)
+            return den * m + ja["base"] * (1.0 - m), unc, state
+        if hasattr(self._inner, "call_with"):
+            den, unc = self._inner.call_with(ja["inner"], x, sig)
+        else:
+            den, unc = self._inner(x, sig)
+        m = self._mask_at(ja, sig)
+        return den * m + ja["base"] * (1.0 - m), unc
+
+    def __call__(self, x, sig, state=None):
+        if self._stateful:
+            return self.call_with(self.jit_args, x, sig, state)
+        return self.call_with(self.jit_args, x, sig)
+
+
 def ksample(
     model: DiffusionModel,
     *,
@@ -189,48 +243,14 @@ def ksample(
         )
 
     if denoise_mask is not None:
-        mask_raw = jnp.asarray(denoise_mask, dtype=jnp.float32)
-        base = latent_in
-        inner_denoise = denoise_fn
-
-        if differential_diffusion:
-            # DifferentialDiffusion (src/AutoDetailer/ADetailer.py:15-58):
-            # binarize the soft mask against a timestep-driven threshold so
-            # strongly-masked areas resample longer than weakly-masked ones.
-            ts_from = float(msampling.timestep(jnp.asarray(sigmas[0])))
-            ts_to = float(
-                msampling.timestep(jnp.asarray(msampling.sigma_min))
-            )
-
-            def mask_at(sig):
-                ts_cur = msampling.timestep(jnp.max(jnp.asarray(sig)))
-                thr = (ts_cur - ts_to) / max(ts_from - ts_to, 1e-9)
-                return (mask_raw >= thr).astype(jnp.float32)
-
-        else:
-
-            def mask_at(sig):
-                return mask_raw
-
-        if hasattr(inner_denoise, "init_state"):
-
-            class _MaskedStateful:
-                init_state = staticmethod(inner_denoise.init_state)
-
-                def __call__(self, xx, sig, st):
-                    den, unc, st = inner_denoise(xx, sig, st)
-                    m = mask_at(sig)
-                    return den * m + base * (1.0 - m), unc, st
-
-            run_denoise = _MaskedStateful()
-        else:
-
-            def masked_denoise(xx, sig):
-                den, unc = inner_denoise(xx, sig)
-                m = mask_at(sig)
-                return den * m + base * (1.0 - m), unc
-
-            run_denoise = masked_denoise
+        run_denoise = _MaskedDenoiser(
+            denoise_fn,
+            jnp.asarray(denoise_mask, dtype=jnp.float32),
+            latent_in,
+            msampling,
+            float(sigmas[0]),
+            differential_diffusion,
+        )
     else:
         run_denoise = denoise_fn
 

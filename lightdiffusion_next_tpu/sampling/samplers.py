@@ -62,6 +62,12 @@ def to_d(x, sigma, denoised):
     return (x - denoised) / sigma
 
 
+# compiled sampler-loop cache (see sample(): keyed by denoiser cache_key +
+# sampler statics; entries are jax.jit wrappers whose arrays all arrive via
+# the jit_args argument, so reuse across calls is sound)
+_RUNNER_CACHE: dict = {}
+
+
 # ---------------------------------------------------------------------------
 # Multi-scale plan
 # ---------------------------------------------------------------------------
@@ -394,17 +400,33 @@ def sample(
 
     # stateful denoisers (FBCache) expose init_state(x_at_call_shape) and a
     # 3-arg call (x, sigma, state) -> (den, unc, state); normalize both forms.
+    # Denoisers with .jit_args/.call_with get their arrays threaded as jit
+    # ARGUMENTS and their compiled loops cached across calls (cfg.CFGDenoiser
+    # docstring explains why this is critical on TPU).
     stateful = hasattr(denoise_fn, "init_state")
+    has_jit_args = hasattr(denoise_fn, "jit_args")
+    jit_args = denoise_fn.jit_args if has_jit_args else ()
 
     def make_step(fullres: bool):
-        if stateful:
+        if stateful and has_jit_args:
 
-            def raw(xx, ss, st):
+            def raw(ja, xx, ss, st):
+                return denoise_fn.call_with(ja, xx, ss, st)
+
+        elif stateful:
+
+            def raw(ja, xx, ss, st):
                 return denoise_fn(xx, ss, st)
+
+        elif has_jit_args:
+
+            def raw(ja, xx, ss, st):
+                d, u = denoise_fn.call_with(ja, xx, ss)
+                return d, u, st
 
         else:
 
-            def raw(xx, ss, st):
+            def raw(ja, xx, ss, st):
                 d, u = denoise_fn(xx, ss)
                 return d, u, st
 
@@ -412,23 +434,23 @@ def sample(
             scaled = raw
         else:
 
-            def scaled(xx, ss, st):
+            def scaled(ja, xx, ss, st):
                 xd = nn.interpolate_bilinear(xx, (sh, sw))
-                d, u, st = raw(xd, ss, st)
+                d, u, st = raw(ja, xd, ss, st)
                 return (
                     nn.interpolate_bilinear(d, (h, w)),
                     nn.interpolate_bilinear(u, (h, w)),
                     st,
                 )
 
-        def step(carry, cs):
+        def step(ja, carry, cs):
             inner, st = carry
             cs = dict(cs)
             cfg_w = cs.pop("cfg_w")
             box = [st]
 
             def den(xx, ss):
-                d, u, s2 = scaled(xx, ss, box[0])
+                d, u, s2 = scaled(ja, xx, ss, box[0])
                 box[0] = s2
                 return d, u
 
@@ -451,6 +473,40 @@ def sample(
             return (new_inner, box[0]), None
 
         return step
+
+    # compiled-loop cache: reuse across sample() calls that share all trace
+    # -relevant statics (denoiser cache_key + sampler config); shape changes
+    # retrace automatically inside jax.jit.
+    base_key = (
+        getattr(denoise_fn, "cache_key", None),
+        sampler,
+        opts,
+        ms if ms.enabled else None,
+    )
+
+    def get_runner(fullres: bool):
+        key = (base_key, fullres, "scan")
+        if base_key[0] is None:
+            step = make_step(fullres)
+            return lambda ja, carry, xs: jax.lax.scan(
+                lambda c, s: step(ja, c, s), carry, xs
+            )
+        if key not in _RUNNER_CACHE:
+            step = make_step(fullres)
+            _RUNNER_CACHE[key] = jax.jit(
+                lambda ja, carry, xs: jax.lax.scan(
+                    lambda c, s: step(ja, c, s), carry, xs
+                )
+            )
+        return _RUNNER_CACHE[key]
+
+    def get_step_runner(fullres: bool):
+        key = (base_key, fullres, "step")
+        if base_key[0] is None:
+            return make_step(fullres)
+        if key not in _RUNNER_CACHE:
+            _RUNNER_CACHE[key] = jax.jit(make_step(fullres))
+        return _RUNNER_CACHE[key]
 
     def init_segment_state(fullres: bool):
         if not stateful:
@@ -477,9 +533,9 @@ def sample(
     if callback is None and not is_dy:
         # scan mode: one compiled program per (segment length, resolution)
         for i0, i1, fullres in segment_flags(flags):
-            step = make_step(fullres)
+            runner = get_runner(fullres)
             carry = (inner, init_segment_state(fullres))
-            carry, _ = jax.lax.scan(step, carry, xs_for(i0, i1))
+            carry, _ = runner(jit_args, carry, xs_for(i0, i1))
             inner = carry[0]
     else:
         # eager mode with callbacks (previews/progress) or dy extra steps
@@ -490,9 +546,9 @@ def sample(
             if seg_state is None or fullres != last_fullres:
                 seg_state = init_segment_state(fullres)
                 last_fullres = fullres
-            step = make_step(fullres)
+            step = get_step_runner(fullres)
             xs = {k: v[0] for k, v in xs_for(i, i + 1).items()}
-            (inner, seg_state), _ = step((inner, seg_state), xs)
+            (inner, seg_state), _ = step(jit_args, (inner, seg_state), xs)
             if is_dy and opts.s_extra_steps and sigmas[i + 1] > 0 and i // 2 == 1:
                 # the checkerboard tensor is already half-res: call the model
                 # directly at that shape (dy_sampling_step_cfg_pp parity);
