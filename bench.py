@@ -35,6 +35,14 @@ def main():
     params = unet_mod.init_params(cfg, seed=0, dtype=dtypes.param_dtype)
     model = base_mod.sd15_model(params, cfg=cfg, dtype=dtypes.param_dtype)
 
+    # MSW-MSA windowed attention is the reference pipeline's default
+    # (hidiffoptimizer.go, src/user/pipeline.py:336) — bench with parity.
+    from lightdiffusion_next_tpu.ops import window
+
+    model = model.with_options(
+        attn1_override_factory=window.make_msw_msa_factory()
+    )
+
     rng = np.random.default_rng(0)
     h = w = 128  # 1024x1024 image -> 128x128 latent
     cond = cfg_mod.CondInput(
@@ -62,20 +70,22 @@ def main():
     x = jnp.asarray(rng.standard_normal((1, h, w, 4)), dtype=jnp.float32)
     sigma = jnp.asarray([14.0], dtype=jnp.float32)
 
-    # compile + warmup
-    step(ja, x, sigma).block_until_ready()
+    # compile + warmup (full host readback so async dispatch can't lie)
+    np.asarray(step(ja, x, sigma))
     for _ in range(3):
         x_out = step(ja, x, sigma)
-    x_out.block_until_ready()
+    np.asarray(x_out)
 
-    # timed
+    # timed: chained steps, one final readback (per-step host sync would
+    # measure the relay round-trip, not the chip)
     n = 20
     t0 = time.perf_counter()
     out = x
     for _ in range(n):
         out = step(ja, out, sigma)
-    out.block_until_ready()
+    checksum = float(np.abs(np.asarray(out)).mean())
     dt = time.perf_counter() - t0
+    assert np.isfinite(checksum), "non-finite bench output"
 
     it_s = n / dt
     baseline = 2.8  # reference README.md:83

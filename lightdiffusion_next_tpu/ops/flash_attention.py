@@ -76,7 +76,7 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale, kv_len)
 
 
 @functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
-def flash_attention(q, k, v, block_q: int = 256, block_k: int = 512):
+def flash_attention(q, k, v, block_q: int = 512, block_k: int = 1024):
     """q: (B, H, Lq, D), k/v: (B, H, Lk, D) -> (B, H, Lq, D).
 
     No mask support (the diffusion hot paths are unmasked); use ops.attention
