@@ -29,6 +29,7 @@ FLUX_ASSETS: List[Tuple[str, str, str]] = [
     ("city96/FLUX.1-dev-gguf", "flux1-dev-Q8_0.gguf", "unet"),
     ("city96/t5-v1_1-xxl-encoder-gguf", "t5-v1_1-xxl-encoder-Q8_0.gguf", "clip"),
     ("comfyanonymous/flux_text_encoders", "clip_l.safetensors", "clip"),
+    ("google/t5-v1_1-xxl", "spiece.model", "clip"),
     ("black-forest-labs/FLUX.1-dev", "ae.safetensors", "vae"),
     ("madebyollin/taef1", "diffusion_pytorch_model.safetensors", "vae_approx"),
 ]

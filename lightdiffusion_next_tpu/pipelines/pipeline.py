@@ -435,20 +435,33 @@ def flux_t5_tokenize(text: str, min_length: int = 256):
     """T5 tokenization (T5XXLTokenizer parity, FluxClip.py:593-644): pad with
     zeros to min_length, end token 1. Requires sentencepiece + the spiece
     model asset; both are deploy-time assets like the weights."""
-    spiece = os.path.join(_config.asset_root(), "clip", "spiece.model")
-    try:
-        import sentencepiece as spm
+    ids = None
+    # preferred: HF tokenizers fast file (deploy asset, offline)
+    tok_json = os.path.join(_config.asset_root(), "clip", "t5_tokenizer.json")
+    if os.path.exists(tok_json):
+        try:
+            from tokenizers import Tokenizer
 
-        sp = spm.SentencePieceProcessor(model_file=spiece)
-        ids = sp.encode(text)
-    except Exception:
-        # degraded fallback: whitespace hashing into the t5 vocab space —
-        # keeps the pipeline runnable without the tokenizer asset (quality
-        # of conditioning obviously suffers; a warning is logged).
-        import logging
+            ids = Tokenizer.from_file(tok_json).encode(text).ids
+        except Exception:
+            ids = None
+    if ids is None:
+        spiece = os.path.join(_config.asset_root(), "clip", "spiece.model")
+        try:
+            import sentencepiece as spm
 
-        logging.warning("T5 sentencepiece model unavailable; using hash tokenizer")
-        ids = [abs(hash(tk)) % 32000 for tk in text.lower().split()]
+            sp = spm.SentencePieceProcessor(model_file=spiece)
+            ids = sp.encode(text)
+        except Exception:
+            # degraded fallback: whitespace hashing into the t5 vocab space —
+            # keeps the pipeline runnable without the tokenizer asset
+            # (conditioning quality obviously suffers; a warning is logged).
+            import logging
+
+            logging.warning(
+                "T5 tokenizer assets unavailable; using hash tokenizer"
+            )
+            ids = [abs(hash(tk)) % 32000 for tk in text.lower().split()]
     ids = ids[: min_length - 1] + [1]
     row = [(t, 1.0) for t in ids]
     row += [(0, 1.0)] * (min_length - len(row))
