@@ -105,7 +105,17 @@ def apply_lora(
         delta = _lora_delta(up, down, alpha) * strength
         if w.ndim == 4:  # HWIO storage
             delta = np.transpose(delta, (2, 3, 1, 0))
-        out[key] = (w.astype(jnp.float32) + jnp.asarray(delta)).astype(w.dtype)
+        if hasattr(w, "dequantize"):
+            # GGUF Q8_0 target (GGUFModelPatcher semantics, Quantizer.py
+            # :692-760: patches apply on the dequantized value) — the
+            # patched layer becomes dense bf16.
+            out[key] = (
+                w.dequantize(jnp.float32) + jnp.asarray(delta)
+            ).astype(jnp.bfloat16)
+        else:
+            out[key] = (w.astype(jnp.float32) + jnp.asarray(delta)).astype(
+                w.dtype
+            )
     return out
 
 

@@ -145,8 +145,77 @@ class QTensor8:
         return cls(q, scales, aux)
 
 
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class QTensor8T:
+    """Q8_0 weight in the fused-matmul device layout: codes TRANSPOSED to
+    (K, N) int8 with scales (K/32, N) f32, so ops.quant_matmul can stream
+    them straight into VMEM (sublane-axis scale broadcast + MXU contraction
+    over K). Logical value identical to QTensor8 with ``shape`` (N, K).
+    """
+
+    qt: Any  # int8 (K, N)
+    scales_t: Any  # f32 (K // 32, N)
+    shape: Tuple[int, ...]  # logical torch-layout (out=N, in=K)
+
+    @property
+    def ndim(self) -> int:
+        return len(self.shape)
+
+    def dequantize(self, dtype=jnp.bfloat16):
+        k, n = self.qt.shape
+        w_t = self.qt.astype(jnp.float32).reshape(
+            k // 32, 32, n
+        ) * self.scales_t[:, None, :]
+        return w_t.reshape(k, n).T.astype(dtype)
+
+    def fused_matmul(self, x, out_dtype=None):
+        """x (..., K) -> (..., N) through the fused Pallas kernel, falling
+        back to dequant+dot for shapes the kernel doesn't tile."""
+        from lightdiffusion_next_tpu.ops import quant_matmul as qm
+
+        k, n = self.qt.shape
+        m = 1
+        for d in x.shape[:-1]:
+            m *= d
+        if qm.supported(m, k, n):
+            return qm.quant_matmul(x, self.qt, self.scales_t, out_dtype)
+        w = self.dequantize(x.dtype)
+        return jax.lax.dot_general(
+            x,
+            w,
+            dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
+            preferred_element_type=x.dtype,
+        )
+
+    def astype(self, dtype):  # dtype of the DEQUANTIZED output
+        return self
+
+    def tree_flatten(self):
+        return (self.qt, self.scales_t), self.shape
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        qt, scales_t = children
+        return cls(qt, scales_t, aux)
+
+
+def transpose_for_matmul(t: QTensor8) -> QTensor8T:
+    """QTensor8 (host or device) -> fused-layout QTensor8T. Only valid for
+    2-D (out, in) weights."""
+    assert len(t.shape) == 2, t.shape
+    n, k = t.shape
+    q = np.asarray(t.q).reshape(n, k).T  # (K, N) int8
+    scales = np.asarray(t.scales).T  # (K/32, N) f32
+    return QTensor8T(
+        qt=jnp.asarray(np.ascontiguousarray(q)),
+        scales_t=jnp.asarray(np.ascontiguousarray(scales), dtype=jnp.float32),
+        shape=t.shape,
+    )
+
+
 def is_quantized(x) -> bool:
-    return isinstance(x, QTensor8)
+    return isinstance(x, (QTensor8, QTensor8T))
 
 
 def _load_tensor(info: GGUFTensorInfo, buf, data_start: int, lazy_np=True):
@@ -239,17 +308,31 @@ def gguf_clip_loader(path: str) -> Dict[str, Any]:
     return sd
 
 
-def to_device_quantized(sd: Dict[str, Any], dtype=jnp.bfloat16) -> Dict[str, Any]:
-    """Move a GGUF state dict to device: QTensor8 stays int8+scales, dense
-    tensors cast to ``dtype``."""
+def to_device_quantized(
+    sd: Dict[str, Any],
+    dtype=jnp.bfloat16,
+    fused: Optional[bool] = None,
+    embed_keys: Tuple[str, ...] = ("shared.weight", "token_embd.weight"),
+) -> Dict[str, Any]:
+    """Move a GGUF state dict to device: Q8_0 stays int8+scales, dense
+    tensors cast to ``dtype``.
+
+    ``fused`` (default: on) re-lays 2-D quantized matmul weights out as
+    QTensor8T for the fused Pallas dequant-matmul; embedding tables
+    (``embed_keys``) keep the row-major QTensor8 layout for row lookup."""
+    if fused is None:
+        fused = True
     out = {}
     for k, v in sd.items():
-        if is_quantized(v):
-            out[k] = QTensor8(
-                q=jnp.asarray(np.asarray(v.q)),
-                scales=jnp.asarray(np.asarray(v.scales), dtype=jnp.float32),
-                shape=v.shape,
-            )
+        if isinstance(v, QTensor8):
+            if fused and len(v.shape) == 2 and k not in embed_keys:
+                out[k] = transpose_for_matmul(v)
+            else:
+                out[k] = QTensor8(
+                    q=jnp.asarray(np.asarray(v.q)),
+                    scales=jnp.asarray(np.asarray(v.scales), dtype=jnp.float32),
+                    shape=v.shape,
+                )
         else:
             out[k] = jnp.asarray(v, dtype=dtype)
     return out

@@ -26,9 +26,15 @@ import jax.numpy as jnp
 def linear(x, w, b=None):
     """x: (..., in), w: (out, in) torch layout, b: (out,).
 
-    ``w`` may be a quantized ops.ggml.QTensor8 — dequant is traced into the
-    forward so the weight lives in HBM at int8 (GGMLOps.Linear parity,
-    src/Quantize/Quantizer.py:334-390)."""
+    ``w`` may be a quantized ops.ggml.QTensor8/QTensor8T — the weight lives
+    in HBM at int8 (GGMLOps.Linear parity, src/Quantize/Quantizer.py:334-390).
+    QTensor8T routes through the fused Pallas dequant-matmul kernel
+    (ops.quant_matmul); QTensor8 dequantizes into the trace."""
+    if hasattr(w, "fused_matmul"):
+        y = w.fused_matmul(x)
+        if b is not None:
+            y = y + b.astype(y.dtype)
+        return y
     if hasattr(w, "dequantize"):
         w = w.dequantize(x.dtype)
     y = jax.lax.dot_general(
@@ -169,7 +175,16 @@ def _separable_linear_gather(x, ys, xs):
 
 
 def embedding_lookup(ids, table):
-    """ids: int (...,), table: (vocab, dim)."""
+    """ids: int (...,), table: (vocab, dim).
+
+    A quantized table (ops.ggml.QTensor8, e.g. a Q8_0 T5 ``token_embd``)
+    is dequantized row-wise after the gather — only the looked-up rows
+    ever materialize in bf16."""
+    if hasattr(table, "q"):  # QTensor8: q (vocab, nb, 32), scales (vocab, nb)
+        q_rows = jnp.take(table.q, ids, axis=0)
+        s_rows = jnp.take(table.scales, ids, axis=0)
+        rows = q_rows.astype(jnp.float32) * s_rows[..., None]
+        return rows.reshape(ids.shape + (table.shape[-1],))
     return jnp.take(table, ids, axis=0)
 
 

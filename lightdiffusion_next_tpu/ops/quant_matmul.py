@@ -1,0 +1,132 @@
+"""Fused Q8_0 dequant + matmul Pallas kernel.
+
+The reference dequantizes GGUF Q8_0 weights inside every forward
+(GGMLLayer.get_weight, src/Quantize/Quantizer.py:260-332) and then runs a
+normal torch matmul — on TPU that costs 5 bytes/weight of HBM traffic
+(read int8 + write bf16 + re-read bf16). This kernel streams the int8
+codes and per-32-block f32 scales straight into VMEM, dequantizes on the
+VPU, and feeds the MXU — 1.125 bytes/weight, no bf16 weight materialized.
+
+Layout: the weight is stored TRANSPOSED on device, ``qt`` int8 (K, N) with
+``scales_t`` f32 (K/32, N), so the in-kernel scale broadcast is a sublane
+-axis expand (cheap) and the MXU contraction runs over the K sublanes.
+``x`` is (M, K) bf16; out (M, N).
+
+Grid: (M/TM, N/TN, K/TK), K innermost, f32 accumulator scratch.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+QBLOCK = 32  # Q8_0 quantization block (elements per scale)
+
+
+def _kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *, n_k: int, out_dtype):
+    kk = pl.program_id(2)
+
+    @pl.when(kk == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[...]  # (TK, TN) int8
+    s = s_ref[...]  # (TK//QBLOCK, TN) f32
+    tk, tn = q.shape
+    # dequant: split the sublane axis into (blocks, QBLOCK) and broadcast
+    # the scale over each block; lane axis (TN) stays intact.
+    w = q.astype(jnp.float32).reshape(tk // QBLOCK, QBLOCK, tn) * s[:, None, :]
+    w = w.reshape(tk, tn).astype(x_ref.dtype)
+    acc_ref[...] += jnp.dot(
+        x_ref[...], w, preferred_element_type=jnp.float32
+    )
+
+    @pl.when(kk == n_k - 1)
+    def _():
+        o_ref[...] = acc_ref[...].astype(out_dtype)
+
+
+def _pick_tile(dim: int, preferred: int, granule: int) -> int:
+    """Largest tile <= preferred that divides dim and is a multiple of
+    ``granule`` (dim is already a multiple of granule)."""
+    t = min(preferred, dim)
+    t -= t % granule
+    while t > granule and dim % t:
+        t -= granule
+    return max(t, granule)
+
+
+def supported(m: int, k: int, n: int) -> bool:
+    """Shapes the fused kernel handles without padding K/N."""
+    return k % 128 == 0 and n % 128 == 0 and m >= 1
+
+
+@functools.partial(jax.jit, static_argnames=("out_dtype", "interpret"))
+def quant_matmul_2d(x, qt, scales_t, out_dtype=jnp.bfloat16, interpret=False):
+    """x (M, K) x quantized weight qt int8 (K, N) / scales_t (K/32, N)
+    -> (M, N) in ``out_dtype``."""
+    m, k = x.shape
+    k2, n = qt.shape
+    assert k == k2, (x.shape, qt.shape)
+    assert scales_t.shape == (k // QBLOCK, n), scales_t.shape
+
+    # pad M up to the sublane granule, then tile
+    pad = (-m) % 8
+    if pad:
+        x = jnp.pad(x, ((0, pad), (0, 0)))
+    mp = m + pad
+    tm = _pick_tile(mp, 256, 8)
+    tk = _pick_tile(k, 512, 128)
+    tn = _pick_tile(n, 512, 128)
+    n_k = k // tk
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, n_k=n_k, out_dtype=out_dtype),
+        grid=(mp // tm, n // tn, n_k),
+        in_specs=[
+            pl.BlockSpec(
+                (tm, tk), lambda i, j, kk: (i, kk), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (tk, tn), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (tk // QBLOCK, tn),
+                lambda i, j, kk: (kk, j),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (tm, tn), lambda i, j, kk: (i, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((mp, n), out_dtype),
+        scratch_shapes=[pltpu.VMEM((tm, tn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * k * n,
+            bytes_accessed=mp * k * 2 + k * n + (k // QBLOCK) * n * 4 + mp * n * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x, qt, scales_t)
+    return out[:m] if mp != m else out
+
+
+def quant_matmul(x, qt, scales_t, out_dtype=None, interpret=None):
+    """Batched wrapper: x (..., K) -> (..., N)."""
+    out_dtype = out_dtype or x.dtype
+    if interpret is None:
+        # CPU (tests) runs the kernel in interpreter mode; TPU compiles it.
+        interpret = jax.default_backend() == "cpu"
+    lead = x.shape[:-1]
+    k = x.shape[-1]
+    y = quant_matmul_2d(
+        x.reshape(-1, k), qt, scales_t, out_dtype=out_dtype, interpret=interpret
+    )
+    return y.reshape(lead + (y.shape[-1],))

@@ -1,0 +1,110 @@
+"""Fused Q8_0 dequant-matmul Pallas kernel (ops/quant_matmul.py).
+
+Parity oracle: explicit blockwise dequant (d * q per 32-elem block,
+reference semantics Quantizer.py:94-112) followed by a plain fp32 matmul.
+On CPU the kernel runs in Pallas interpret mode; the same code path
+compiles on TPU.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lightdiffusion_next_tpu.ops import ggml, nn, quant_matmul as qm
+
+
+def _make_qweight(rng, n_out, k):
+    w = rng.standard_normal((n_out, k)).astype(np.float32)
+    q, scales = ggml.quantize_q8_0(w)
+    t8 = ggml.QTensor8(jnp.asarray(q), jnp.asarray(scales), (n_out, k))
+    deq = np.asarray(t8.dequantize(jnp.float32))  # exact logical value
+    return t8, deq
+
+
+def test_quant_matmul_matches_dequant_dot(rng):
+    m, k, n = 24, 256, 384
+    t8, deq = _make_qweight(rng, n, k)
+    t8t = ggml.transpose_for_matmul(t8)
+    x = rng.standard_normal((m, k)).astype(np.float32)
+    out = np.asarray(
+        qm.quant_matmul(jnp.asarray(x), t8t.qt, t8t.scales_t,
+                        out_dtype=jnp.float32)
+    )
+    ref = x @ deq.T
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-3)
+
+
+def test_quant_matmul_m_padding(rng):
+    # M not a multiple of the sublane granule exercises the pad/slice path
+    m, k, n = 5, 128, 128
+    t8, deq = _make_qweight(rng, n, k)
+    t8t = ggml.transpose_for_matmul(t8)
+    x = rng.standard_normal((m, k)).astype(np.float32)
+    out = np.asarray(
+        qm.quant_matmul(jnp.asarray(x), t8t.qt, t8t.scales_t,
+                        out_dtype=jnp.float32)
+    )
+    np.testing.assert_allclose(out, x @ deq.T, rtol=2e-4, atol=2e-3)
+
+
+def test_qtensor8t_dequantize_matches_qtensor8(rng):
+    t8, deq = _make_qweight(rng, 64, 160)
+    t8t = ggml.transpose_for_matmul(t8)
+    np.testing.assert_allclose(
+        np.asarray(t8t.dequantize(jnp.float32)), deq, atol=1e-6
+    )
+    assert t8t.shape == (64, 160)
+
+
+def test_fused_matmul_fallback_for_small_shapes(rng):
+    # K=64 is below the 128-lane tile granule -> dequant+dot fallback
+    t8, deq = _make_qweight(rng, 48, 64)
+    t8t = ggml.transpose_for_matmul(t8)
+    x = rng.standard_normal((3, 64)).astype(np.float32)
+    assert not qm.supported(3, 64, 48)
+    out = np.asarray(t8t.fused_matmul(jnp.asarray(x)))
+    np.testing.assert_allclose(out, x @ deq.T, rtol=2e-4, atol=2e-3)
+
+
+def test_linear_dispatches_qtensor8t(rng):
+    t8, deq = _make_qweight(rng, 128, 128)
+    t8t = ggml.transpose_for_matmul(t8)
+    x = rng.standard_normal((4, 128)).astype(np.float32)
+    b = rng.standard_normal((128,)).astype(np.float32)
+    out = np.asarray(nn.linear(jnp.asarray(x), t8t, jnp.asarray(b)))
+    np.testing.assert_allclose(out, x @ deq.T + b, rtol=2e-4, atol=2e-3)
+
+
+def test_to_device_quantized_fused_layout(rng):
+    w = rng.standard_normal((64, 128)).astype(np.float32)
+    emb = rng.standard_normal((100, 128)).astype(np.float32)
+    qw, sw = ggml.quantize_q8_0(w)
+    qe, se = ggml.quantize_q8_0(emb)
+    sd = {
+        "blk.weight": ggml.QTensor8(qw, sw, (64, 128)),
+        "shared.weight": ggml.QTensor8(qe, se, (100, 128)),
+        "norm.weight": np.ones((128,), np.float32),
+    }
+    dev = ggml.to_device_quantized(sd)
+    assert isinstance(dev["blk.weight"], ggml.QTensor8T)
+    assert isinstance(dev["shared.weight"], ggml.QTensor8)  # row lookup
+    assert dev["norm.weight"].dtype == jnp.bfloat16
+
+
+def test_embedding_lookup_quantized_table(rng):
+    emb = rng.standard_normal((50, 96)).astype(np.float32)
+    q, s = ggml.quantize_q8_0(emb)
+    t8 = ggml.QTensor8(jnp.asarray(q), jnp.asarray(s), (50, 96))
+    deq = np.asarray(t8.dequantize(jnp.float32))
+    ids = jnp.asarray([[0, 7, 49], [3, 3, 1]])
+    out = np.asarray(nn.embedding_lookup(ids, t8))
+    np.testing.assert_allclose(out, deq[np.asarray(ids)], atol=1e-5)
+
+
+def test_quant_matmul_batched_leading_dims(rng):
+    t8, deq = _make_qweight(rng, 128, 128)
+    t8t = ggml.transpose_for_matmul(t8)
+    x = rng.standard_normal((2, 3, 128)).astype(np.float32)
+    out = np.asarray(t8t.fused_matmul(jnp.asarray(x)))
+    assert out.shape == (2, 3, 128)
+    np.testing.assert_allclose(out, x @ deq.T, rtol=2e-4, atol=2e-3)
