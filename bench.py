@@ -1,11 +1,22 @@
-"""Benchmark: SD1.5 denoise-step throughput at 1024x1024 bf16, batch 1.
+"""Benchmark: SD1.5 txt2img sampler throughput, 1024x1024 bf16, batch 1.
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 
-Baseline: the reference's best published number — 2.8 it/s with Stable-Fast
-on an RTX 3060 mobile at 1024^2 bf16 batch 1 (reference README.md:83,
-BASELINE.md). One "it" = one sampler step = one CFG denoise call
-(cond+uncond batched), matching the reference's tqdm it/s metric.
+Measures what the reference's README benchmark table measures (README.md:81
+-89): tqdm it/s over the full sampler loop of the default txt2img pipeline
+at 1024^2 bf16 batch 1, where one "it" = one sampler step of the speed
+-priority sampler (dpmpp_2m_cfgpp, 1 CFG-batched denoise per step,
+src/user/pipeline.py:114) with the pipeline-default multi-scale schedule
+(enable_multiscale=True, factor 0.5, fullres_start 3, fullres_end 8 —
+pipeline.py:49-54) and MSW-MSA windowed attention (hidiffoptimizer.go,
+pipeline.py:336). 20 karras steps: 11 full-res + 9 half-res middle steps,
+exactly the plan the reference runs by default.
+
+Baseline: 2.8 it/s — the reference's best published number (Stable-Fast
+compile, RTX 3060 mobile; reference README.md:83, BASELINE.md).
+
+Timing is axon-relay-safe: the sampler segments run as compiled lax.scan
+programs; one host readback at the end closes the measurement.
 """
 
 from __future__ import annotations
@@ -16,6 +27,8 @@ import time
 
 
 def main():
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -26,25 +39,23 @@ def main():
     sd_utils.enable_compilation_cache()
     from lightdiffusion_next_tpu.models import base as base_mod
     from lightdiffusion_next_tpu.models import unet as unet_mod
+    from lightdiffusion_next_tpu.ops import window
     from lightdiffusion_next_tpu.sampling import cfg as cfg_mod
+    from lightdiffusion_next_tpu.sampling import ksampler
+    from lightdiffusion_next_tpu.sampling import samplers as samplers_mod
 
     dtypes = ldt_config.DtypePolicy.for_platform()
-    import dataclasses
-
     cfg = dataclasses.replace(unet_mod.SD15_CONFIG, dtype=dtypes.compute_dtype)
     params = unet_mod.init_params(cfg, seed=0, dtype=dtypes.param_dtype)
     model = base_mod.sd15_model(params, cfg=cfg, dtype=dtypes.param_dtype)
-
-    # MSW-MSA windowed attention is the reference pipeline's default
-    # (hidiffoptimizer.go, src/user/pipeline.py:336) — bench with parity.
-    from lightdiffusion_next_tpu.ops import window
-
+    # MSW-MSA windowed attention: the reference pipeline default
     model = model.with_options(
         attn1_override_factory=window.make_msw_msa_factory()
     )
 
     rng = np.random.default_rng(0)
     h = w = 128  # 1024x1024 image -> 128x128 latent
+    n_steps = 20
     cond = cfg_mod.CondInput(
         cross_attn=jnp.asarray(
             rng.standard_normal((1, 77, 768)), dtype=dtypes.compute_dtype
@@ -59,40 +70,35 @@ def main():
         model.apply_fn, model.params, model.model_sampling, cond, uncond, 7.5
     )
 
-    # weights + conds travel as jit ARGUMENTS (closure constants bloat the
-    # HLO and blow up compile time — see sampling/cfg.py docstring)
-    @jax.jit
-    def step(ja, x, sigma):
-        den, _ = denoise.call_with(ja, x, sigma)
-        return den
+    sigmas = ksampler.sigmas_for(model.model_sampling, "karras", n_steps)
+    ms = samplers_mod.MultiScale(enabled=True)  # pipeline defaults (.5, 3, 8)
+    x0 = jnp.asarray(
+        rng.standard_normal((1, h, w, 4)) * float(sigmas[0]), dtype=jnp.float32
+    )
 
-    ja = denoise.jit_args
-    x = jnp.asarray(rng.standard_normal((1, h, w, 4)), dtype=jnp.float32)
-    sigma = jnp.asarray([14.0], dtype=jnp.float32)
+    def run():
+        out = samplers_mod.sample(
+            denoise, x0, sigmas, sampler="dpmpp_2m_cfgpp", ms=ms
+        )
+        return np.abs(np.asarray(out)).mean()  # full host readback
 
-    # compile + warmup (full host readback so async dispatch can't lie)
-    np.asarray(step(ja, x, sigma))
-    for _ in range(3):
-        x_out = step(ja, x, sigma)
-    np.asarray(x_out)
-
-    # timed: chained steps, one final readback (per-step host sync would
-    # measure the relay round-trip, not the chip)
-    n = 20
-    t0 = time.perf_counter()
-    out = x
-    for _ in range(n):
-        out = step(ja, out, sigma)
-    checksum = float(np.abs(np.asarray(out)).mean())
-    dt = time.perf_counter() - t0
+    checksum = run()  # compile + warmup
     assert np.isfinite(checksum), "non-finite bench output"
+    run()
 
-    it_s = n / dt
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run()
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+
+    it_s = n_steps / dt
     baseline = 2.8  # reference README.md:83
     print(
         json.dumps(
             {
-                "metric": "sd15_unet_1024px_bf16_batch1_it_per_s",
+                "metric": "sd15_txt2img_1024px_bf16_batch1_it_per_s",
                 "value": round(it_s, 3),
                 "unit": "it/s",
                 "vs_baseline": round(it_s / baseline, 3),

@@ -85,11 +85,12 @@ class MultiScale:
 
     @staticmethod
     def preset(name: str) -> "MultiScale":
+        # values from the reference preset table (multiscale_presets.py:49-86)
         presets = {
-            "quality": MultiScale(True, 0.8, 4, 10, True),
-            "performance": MultiScale(True, 0.6, 2, 6, False),
-            "balanced": MultiScale(True, 0.7, 3, 8, False),
-            "disabled": MultiScale(False),
+            "quality": MultiScale(True, 0.5, 10, 8, True),
+            "performance": MultiScale(True, 0.25, 5, 8, True),
+            "balanced": MultiScale(True, 0.5, 5, 8, True),
+            "disabled": MultiScale(False, 1.0, 0, 0, False),
         }
         return presets[name]
 

@@ -25,10 +25,12 @@ def test_cli_parser_flags():
 
 
 def test_multiscale_presets():
+    # reference preset table values (multiscale_presets.py:49-86)
     q = samplers.MultiScale.preset("quality")
-    assert q.enabled and q.factor == 0.8 and q.intermittent
+    assert q.enabled and q.factor == 0.5 and q.intermittent
+    assert q.fullres_start == 10 and q.fullres_end == 8
     p = samplers.MultiScale.preset("performance")
-    assert p.factor == 0.6
+    assert p.factor == 0.25 and p.fullres_start == 5 and p.intermittent
     d = samplers.MultiScale.preset("disabled")
     assert not d.enabled
     with pytest.raises(KeyError):
