@@ -1,83 +1,153 @@
-"""Flux.1-dev single-chip step benchmark (Q8_0 weights, 1024x1024).
+"""Flux.1-dev single-chip benchmark: 1024x1024 txt2img, Q8_0 weights,
+20 steps euler_cfgpp + beta schedule + FBCache 0.120 — the reference's
+default Flux workflow (src/user/pipeline.py:215-277) with random weights
+in the production quantized layout (fused QTensor8T int8 matmuls).
 
-Measures one CONST denoise step (cfg=1: single model pass, the reference's
-Flux setting, pipeline.py:251) with int8 weights living in HBM. The v5e-8
-target (<4 s/image, BASELINE.md) extrapolates from this single-chip number
-via the TP sharding validated in tests/test_flux.py.
+Prints seconds/image for the 20-step denoise (sampler loop only, VAE decode
+excluded — matching the reference's tqdm window) plus it/s.
 
-Usage: python scripts/bench_flux.py [--tiny]
+Run from the repo root: python scripts/bench_flux.py  (axon TPU)
 """
 
+from __future__ import annotations
+
+import dataclasses
 import json
-import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, ".")
+
+import numpy as np
 
 
-def random_q8_flux_params(cfg, seed=0):
-    """Random Flux params with matmul weights quantized to Q8_0 (int8 codes
-    + per-32-block scales) — the exact memory layout of a GGUF load."""
-    import numpy as np
-
-    from lightdiffusion_next_tpu.models import flux as flux_mod
+def build_q8_params(cfg, seed: int = 0, quant_min_dim: int = 256):
+    """Host param dict mirroring models.flux.init_params keys, with every
+    large 2-D weight already in the fused Q8_0 device layout:
+    (key -> ('q8', qt int8 (K,N), scales_t f32 (K/32,N), logical shape))."""
     from lightdiffusion_next_tpu.ops import ggml
 
-    P = flux_mod.init_params(cfg, seed=seed)
-    out = {}
-    for k, v in P.items():
-        if v.ndim == 2 and v.shape[-1] % 32 == 0 and v.shape[0] >= 64:
-            q, scales = ggml.quantize_q8_0(v)
-            out[k] = ggml.QTensor8(q, scales, v.shape)
+    rng = np.random.default_rng(seed)
+    H = cfg.hidden_size
+    P = {}
+
+    def lin(key, out_d, in_d, bias=True):
+        w = rng.standard_normal((out_d, in_d), dtype=np.float32) * in_d**-0.5
+        if (
+            out_d >= quant_min_dim
+            and in_d >= quant_min_dim
+            and in_d % 32 == 0
+        ):
+            q, s = ggml.quantize_q8_0(w)
+            qt = np.ascontiguousarray(q.reshape(out_d, in_d).T)
+            st = np.ascontiguousarray(s.T)
+            P[key + ".weight"] = ("q8", qt, st, (out_d, in_d))
         else:
-            out[k] = v
+            P[key + ".weight"] = w
+        if bias:
+            P[key + ".bias"] = np.zeros((out_d,), np.float32)
+
+    def scale(key, d):
+        P[key] = np.ones((d,), np.float32)
+
+    lin("img_in", H, cfg.in_channels * cfg.patch_size**2)
+    lin("txt_in", H, cfg.context_in_dim)
+    lin("time_in.in_layer", H, 256)
+    lin("time_in.out_layer", H, H)
+    lin("vector_in.in_layer", H, cfg.vec_in_dim)
+    lin("vector_in.out_layer", H, H)
+    if cfg.guidance_embed:
+        lin("guidance_in.in_layer", H, 256)
+        lin("guidance_in.out_layer", H, H)
+    mlp_hidden = int(H * cfg.mlp_ratio)
+    for i in range(cfg.depth):
+        pre = f"double_blocks.{i}."
+        for s in ("img", "txt"):
+            lin(pre + f"{s}_mod.lin", 6 * H, H)
+            lin(pre + f"{s}_attn.qkv", 3 * H, H, bias=cfg.qkv_bias)
+            scale(pre + f"{s}_attn.norm.query_norm.scale", cfg.head_dim)
+            scale(pre + f"{s}_attn.norm.key_norm.scale", cfg.head_dim)
+            lin(pre + f"{s}_attn.proj", H, H)
+            lin(pre + f"{s}_mlp.0", mlp_hidden, H)
+            lin(pre + f"{s}_mlp.2", H, mlp_hidden)
+    for i in range(cfg.depth_single_blocks):
+        pre = f"single_blocks.{i}."
+        lin(pre + "linear1", 3 * H + mlp_hidden, H)
+        lin(pre + "linear2", H, H + mlp_hidden)
+        scale(pre + "norm.query_norm.scale", cfg.head_dim)
+        scale(pre + "norm.key_norm.scale", cfg.head_dim)
+        lin(pre + "modulation.lin", 3 * H, H)
+    lin("final_layer.linear", cfg.patch_size**2 * cfg.in_channels, H)
+    lin("final_layer.adaLN_modulation.1", 2 * H, H)
+    return P
+
+
+def upload(P, param_dtype):
+    """Three packed transfers (int8 codes / f32 scales / dense bf16) —
+    per-leaf asarray would be ~800 serialized RPCs over the relay."""
+    from lightdiffusion_next_tpu.ops import ggml
+    from lightdiffusion_next_tpu.utils import state_dict as sd_utils
+    import jax.numpy as jnp
+
+    qts = {k: v[1] for k, v in P.items() if isinstance(v, tuple)}
+    sts = {k: v[2] for k, v in P.items() if isinstance(v, tuple)}
+    dense = {k: v for k, v in P.items() if not isinstance(v, tuple)}
+    # chunk the 12 GB int8 group: the pack+unpack transiently holds both the
+    # packed buffer and the slices, so cap each chunk at ~2 GB to keep peak
+    # HBM below the 16 GB of one v5e chip
+    dev_q = {}
+    chunk, size = {}, 0
+    for k in sorted(qts):
+        chunk[k] = qts[k]
+        size += qts[k].nbytes
+        if size > 2 << 30:
+            dev_q.update(sd_utils.device_put_params(chunk, jnp.int8))
+            chunk, size = {}, 0
+    if chunk:
+        dev_q.update(sd_utils.device_put_params(chunk, jnp.int8))
+    dev_s = sd_utils.device_put_params(sts, jnp.float32)
+    dev_d = sd_utils.device_put_params(dense, param_dtype)
+    out = dict(dev_d)
+    for k, v in P.items():
+        if isinstance(v, tuple):
+            out[k] = ggml.QTensor8T(qt=dev_q[k], scales_t=dev_s[k], shape=v[3])
     return out
 
 
 def main():
-    import dataclasses
-
-    import jax
     import jax.numpy as jnp
-    import numpy as np
 
-    from lightdiffusion_next_tpu import config as ldt_config
-    from lightdiffusion_next_tpu.models import base as base_mod
-    from lightdiffusion_next_tpu.models import flux as flux_mod
-    from lightdiffusion_next_tpu.ops import ggml
-    from lightdiffusion_next_tpu.sampling import cfg as cfg_mod
-    from lightdiffusion_next_tpu.sampling import model_sampling as ms_mod
-    from lightdiffusion_next_tpu.utils import latent as latent_mod
+    from lightdiffusion_next_tpu import config as _config
     from lightdiffusion_next_tpu.utils import state_dict as sd_utils
 
     sd_utils.enable_compilation_cache()
-    tiny = "--tiny" in sys.argv
-    dtypes = ldt_config.DtypePolicy.for_platform()
-    if tiny:
-        fcfg = dataclasses.replace(
-            flux_mod.FluxConfig(
-                hidden_size=1024, num_heads=8, depth=4, depth_single_blocks=8,
-                axes_dim=(16, 56, 56),
-            ),
-            dtype=dtypes.compute_dtype,
-        )
-    else:
-        fcfg = dataclasses.replace(flux_mod.FLUX_DEV, dtype=dtypes.compute_dtype)
+    from lightdiffusion_next_tpu.models import base as base_mod
+    from lightdiffusion_next_tpu.models import flux as flux_mod
+    from lightdiffusion_next_tpu.sampling import cfg as cfg_mod
+    from lightdiffusion_next_tpu.sampling import fbcache as fb_mod
+    from lightdiffusion_next_tpu.sampling import ksampler as ks
+    from lightdiffusion_next_tpu.sampling import model_sampling as ms_mod
+    from lightdiffusion_next_tpu.utils import latent as latent_mod
 
-    t0 = time.time()
-    params_host = random_q8_flux_params(fcfg, seed=0)
-    print(f"# init+quantize {time.time()-t0:.0f}s", file=sys.stderr)
+    cfgv = _config.get_config()
+    fcfg = dataclasses.replace(
+        flux_mod.FLUX_DEV, dtype=cfgv.dtypes.compute_dtype
+    )
 
-    t0 = time.time()
-    params = ggml.to_device_quantized(params_host, dtype=dtypes.param_dtype)
-    jax.block_until_ready(params)
-    print(f"# upload {time.time()-t0:.0f}s", file=sys.stderr)
+    t0 = time.perf_counter()
+    host = build_q8_params(fcfg, seed=0)
+    print(f"host init+quantize: {time.perf_counter()-t0:.1f}s", flush=True)
 
-    def apply_fn(p, x, t, context, y=None, guidance=None, **kw):
+    t0 = time.perf_counter()
+    params = upload(host, cfgv.dtypes.param_dtype)
+    del host
+    print(f"upload: {time.perf_counter()-t0:.1f}s", flush=True)
+
+    def apply_fn(p, x, t, context, y=None, guidance=None,
+                 first_block_hook=None, **_):
         return flux_mod.apply_flux(
             p, x, t, context, y, guidance=guidance, cfg=fcfg,
-            first_block_hook=kw.get("first_block_hook"),
+            first_block_hook=first_block_hook,
         )
 
     model = base_mod.DiffusionModel(
@@ -85,53 +155,66 @@ def main():
         params=params,
         model_sampling=ms_mod.ModelSamplingFlux(),
         latent_format=latent_mod.FLUX1,
-        config=fcfg,
         model_type="flux",
-    )
+    ).with_options(fbcache=fb_mod.FBCacheConfig(0.120))
 
     rng = np.random.default_rng(0)
-    cond = cfg_mod.CondInput(
+    positive = cfg_mod.CondInput(
         cross_attn=jnp.asarray(
-            rng.standard_normal((1, 256, fcfg.context_in_dim)),
-            dtype=dtypes.compute_dtype,
+            rng.standard_normal((1, 256, 4096), dtype=np.float32) * 0.2,
+            dtype=cfgv.dtypes.compute_dtype,
         ),
         pooled=jnp.asarray(
-            rng.standard_normal((1, fcfg.vec_in_dim)), dtype=jnp.float32
+            rng.standard_normal((1, 768), dtype=np.float32) * 0.2,
+            dtype=cfgv.dtypes.compute_dtype,
         ),
         guidance=3.0,
     )
-    den = cfg_mod.make_cfg_denoiser(
-        model.apply_fn, model.params, model.model_sampling, cond, None, 1.0
+    negative = dataclasses.replace(
+        positive,
+        cross_attn=jnp.zeros_like(positive.cross_attn),
+        pooled=jnp.zeros_like(positive.pooled),
     )
-    step = jax.jit(lambda ja, x, s: den.call_with(ja, x, s)[0])
-    ja = den.jit_args
-    x = jnp.asarray(rng.standard_normal((1, 128, 128, 16)), dtype=jnp.float32)
-    sig = jnp.asarray([0.99], dtype=jnp.float32)
+    latent = latent_mod.empty_latent(1024, 1024, 1, channels=16)
 
-    t0 = time.time()
-    np.asarray(step(ja, x, sig))
-    print(f"# compile+first {time.time()-t0:.0f}s", file=sys.stderr)
+    def run():
+        res = ks.ksample(
+            model,
+            seed=7,
+            steps=20,
+            cfg_scale=1.0,
+            sampler_name="euler_cfgpp",
+            scheduler="beta",
+            positive=positive,
+            negative=negative,
+            latent_image=latent,
+        )
+        return float(np.abs(np.asarray(res.latent)).mean())
 
-    n = 6
-    t0 = time.time()
-    out = x
-    for _ in range(n):
-        out = step(ja, out, sig)
-    checksum = float(np.abs(np.asarray(out)).mean())
-    dt = (time.time() - t0) / n
-    assert np.isfinite(checksum)
+    t0 = time.perf_counter()
+    chk = run()
+    print(f"compile+first run: {time.perf_counter()-t0:.1f}s "
+          f"(checksum {chk:.4f})", flush=True)
+    assert np.isfinite(chk)
+
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run()
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
     print(
         json.dumps(
             {
-                "metric": "flux_q8_1024px_batch1_s_per_step"
-                + ("_tiny" if tiny else ""),
+                "metric": "flux_dev_q8_txt2img_1024px_20step_s_per_image",
                 "value": round(dt, 3),
-                "unit": "s/step",
-                "vs_baseline": round((4.0 / 20) / dt, 3),
+                "unit": "s/image",
+                "it_per_s": round(20 / dt, 3),
             }
-        )
+        ),
+        flush=True,
     )
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

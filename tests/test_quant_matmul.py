@@ -108,3 +108,44 @@ def test_quant_matmul_batched_leading_dims(rng):
     out = np.asarray(t8t.fused_matmul(jnp.asarray(x)))
     assert out.shape == (2, 3, 128)
     np.testing.assert_allclose(out, x @ deq.T, rtol=2e-4, atol=2e-3)
+
+
+def test_t5_forward_with_fused_quantized_weights(rng):
+    """QTensor8T weights inside a real T5 encoder forward: the fused
+    kernel path (d_model=128 satisfies the 128-lane tile granule) must
+    match the same forward run on the dequantized dense weights."""
+    import jax.numpy as jnp
+
+    from lightdiffusion_next_tpu.models.clip import t5
+
+    cfg = t5.T5Config(
+        d_model=128, d_ff=256, num_heads=4, num_layers=1, vocab_size=96
+    )
+    P = t5.init_params(cfg, seed=0)
+    tokens = jnp.asarray(rng.integers(0, 96, (1, 8)).astype(np.int32))
+
+    quant, dense = {}, {}
+    for k, v in P.items():
+        v = np.asarray(v, dtype=np.float32)
+        if v.ndim == 2 and k != "shared.weight" and v.shape[1] % 32 == 0:
+            q, s = ggml.quantize_q8_0(v)
+            t8 = ggml.QTensor8(q, s, v.shape)
+            quant[k] = t8
+            dense[k] = jnp.asarray(
+                np.asarray(
+                    ggml.QTensor8(
+                        jnp.asarray(q), jnp.asarray(s), v.shape
+                    ).dequantize(jnp.float32)
+                )
+            )
+        else:
+            quant[k] = v
+            dense[k] = jnp.asarray(v)
+    dev = ggml.to_device_quantized(quant, dtype=jnp.float32)
+    assert any(isinstance(x, ggml.QTensor8T) for x in dev.values())
+
+    out_q, _, _ = t5.apply_t5(dev, tokens, cfg=cfg)
+    out_d, _, _ = t5.apply_t5(dense, tokens, cfg=cfg)
+    np.testing.assert_allclose(
+        np.asarray(out_q), np.asarray(out_d), rtol=2e-3, atol=2e-3
+    )
