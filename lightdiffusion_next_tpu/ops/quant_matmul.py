@@ -61,8 +61,10 @@ def _pick_tile(dim: int, preferred: int, granule: int) -> int:
 
 
 def supported(m: int, k: int, n: int) -> bool:
-    """Shapes the fused kernel handles without padding K/N."""
-    return k % 128 == 0 and n % 128 == 0 and m >= 1
+    """Shapes the fused kernel handles without padding K/N. K must tile in
+    256-multiples so the scales block keeps an 8-divisible sublane count
+    (tk/32 % 8 == 0 — Mosaic block-shape constraint)."""
+    return k % 256 == 0 and n % 128 == 0 and m >= 1
 
 
 @functools.partial(jax.jit, static_argnames=("out_dtype", "interpret"))
@@ -80,7 +82,7 @@ def quant_matmul_2d(x, qt, scales_t, out_dtype=jnp.bfloat16, interpret=False):
         x = jnp.pad(x, ((0, pad), (0, 0)))
     mp = m + pad
     tm = _pick_tile(mp, 256, 8)
-    tk = _pick_tile(k, 512, 128)
+    tk = _pick_tile(k, 512, 256)
     tn = _pick_tile(n, 512, 128)
     n_k = k // tk
 

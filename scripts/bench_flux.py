@@ -135,8 +135,21 @@ def main():
     )
 
     t0 = time.perf_counter()
-    host = build_q8_params(fcfg, seed=0)
-    print(f"host init+quantize: {time.perf_counter()-t0:.1f}s", flush=True)
+    cache = "/tmp/flux_q8_params.npz"
+    import os
+    import pickle
+
+    if os.path.exists(cache):
+        with open(cache, "rb") as f:
+            host = pickle.load(f)
+        print(f"host params from cache: {time.perf_counter()-t0:.1f}s",
+              flush=True)
+    else:
+        host = build_q8_params(fcfg, seed=0)
+        with open(cache, "wb") as f:
+            pickle.dump(host, f, protocol=5)
+        print(f"host init+quantize: {time.perf_counter()-t0:.1f}s",
+              flush=True)
 
     t0 = time.perf_counter()
     params = upload(host, cfgv.dtypes.param_dtype)
@@ -155,6 +168,7 @@ def main():
         params=params,
         model_sampling=ms_mod.ModelSamplingFlux(),
         latent_format=latent_mod.FLUX1,
+        config=fcfg,
         model_type="flux",
     ).with_options(fbcache=fb_mod.FBCacheConfig(0.120))
 

@@ -36,7 +36,7 @@ def test_quant_matmul_matches_dequant_dot(rng):
 
 def test_quant_matmul_m_padding(rng):
     # M not a multiple of the sublane granule exercises the pad/slice path
-    m, k, n = 5, 128, 128
+    m, k, n = 5, 256, 128
     t8, deq = _make_qweight(rng, n, k)
     t8t = ggml.transpose_for_matmul(t8)
     x = rng.standard_normal((m, k)).astype(np.float32)
@@ -62,6 +62,7 @@ def test_fused_matmul_fallback_for_small_shapes(rng):
     t8t = ggml.transpose_for_matmul(t8)
     x = rng.standard_normal((3, 64)).astype(np.float32)
     assert not qm.supported(3, 64, 48)
+    assert not qm.supported(3, 128, 128)  # K must be a 256-multiple
     out = np.asarray(t8t.fused_matmul(jnp.asarray(x)))
     np.testing.assert_allclose(out, x @ deq.T, rtol=2e-4, atol=2e-3)
 
