@@ -178,7 +178,7 @@ class QTensor8T:
         m = 1
         for d in x.shape[:-1]:
             m *= d
-        if qm.supported(m, k, n):
+        if qm.supported(m, k, n) and not self._multi_device():
             return qm.quant_matmul(x, self.qt, self.scales_t, out_dtype)
         w = self.dequantize(x.dtype)
         return jax.lax.dot_general(
@@ -187,6 +187,24 @@ class QTensor8T:
             dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
             preferred_element_type=x.dtype,
         )
+
+    def _multi_device(self) -> bool:
+        """True when the codes are sharded across devices (tensor parallel):
+        the Pallas kernel is single-device — under SPMD the dequant+dot
+        fallback partitions natively (dequant is elementwise-local, the dot
+        follows the Megatron param shardings)."""
+        try:
+            if len(self.qt.sharding.device_set) > 1:
+                return True
+        except Exception:  # tracers inside jit don't carry shardings
+            pass
+        try:  # ambient `with mesh:` context (the TP entry points use one)
+            from jax._src.mesh import thread_resources
+
+            m = thread_resources.env.physical_mesh
+            return m.size > 1
+        except Exception:
+            return False
 
     def astype(self, dtype):  # dtype of the DEQUANTIZED output
         return self

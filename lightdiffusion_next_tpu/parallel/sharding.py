@@ -44,8 +44,36 @@ def flux_param_spec(key: str) -> "P":
     return P()  # replicate (mods, embedders, norms, in/out projections)
 
 
+def _quantized_sharding(leaf, spec: "P", mesh: Mesh):
+    """Shardings for a ggml.QTensor8T leaf from its LOGICAL (out, in) spec.
+
+    Device layout is transposed: qt int8 (in=K, out=N), scales_t (K/32, N).
+    Column-parallel P("model", None) (out sharded) -> shard axis 1 of both;
+    row-parallel P(None, "model") (in sharded) -> shard axis 0 of both
+    (K and K/32 both divide evenly per 32-block granularity)."""
+    from lightdiffusion_next_tpu.ops import ggml
+
+    if spec == P("model", None):
+        qs = P(None, "model")
+    elif spec == P(None, "model"):
+        qs = P("model", None)
+    else:
+        qs = P()
+    return ggml.QTensor8T(
+        qt=_ns(mesh, *qs), scales_t=_ns(mesh, *qs), shape=leaf.shape
+    )
+
+
 def flux_param_shardings(params: Dict, mesh: Mesh) -> Dict:
-    return {k: _ns(mesh, *flux_param_spec(k)) for k in params}
+    out = {}
+    for k in params:
+        spec = flux_param_spec(k)
+        leaf = params[k]
+        if hasattr(leaf, "qt"):  # fused-layout quantized weight
+            out[k] = _quantized_sharding(leaf, spec, mesh)
+        else:
+            out[k] = _ns(mesh, *spec)
+    return out
 
 
 def replicated_shardings(params: Dict, mesh: Mesh) -> Dict:

@@ -137,3 +137,59 @@ def test_graft_entry_dryrun():
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 virtual devices")
     ge.dryrun_multichip(8)
+
+def test_flux_tp_sharded_quantized_matches_unsharded(rng):
+    """Tensor-parallel Flux with Q8_0 fused-layout weights: the structured
+    QTensor8T shardings (parallel/sharding.py _quantized_sharding) must
+    reproduce the single-device quantized forward exactly."""
+    from lightdiffusion_next_tpu.ops import ggml
+    from lightdiffusion_next_tpu.parallel import sharding as shard_rules
+    from lightdiffusion_next_tpu.parallel.mesh import make_mesh
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs virtual multi-device CPU")
+    params = flux_mod.init_params(TINY, seed=3)
+    # quantize the TP-sharded weight classes (qkv/proj/mlp/linear1/linear2)
+    qparams = {}
+    for k, v in params.items():
+        v = np.asarray(v, np.float32)
+        if (
+            v.ndim == 2
+            and v.shape[1] % 32 == 0
+            and any(
+                k.endswith(s)
+                for s in (
+                    "attn.qkv.weight", "attn.proj.weight", "mlp.0.weight",
+                    "mlp.2.weight", "linear1.weight", "linear2.weight",
+                )
+            )
+        ):
+            q, s = ggml.quantize_q8_0(v)
+            qparams[k] = ggml.transpose_for_matmul(
+                ggml.QTensor8(q, s, v.shape)
+            )
+        else:
+            qparams[k] = jnp.asarray(v)
+    assert any(isinstance(v, ggml.QTensor8T) for v in qparams.values())
+
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 4)), dtype=jnp.float32)
+    t = jnp.asarray([0.5, 0.5])
+    ctx = jnp.asarray(rng.standard_normal((2, 6, 32)), dtype=jnp.float32)
+    y = jnp.asarray(rng.standard_normal((2, 16)), dtype=jnp.float32)
+    base = np.asarray(flux_mod.apply_flux(qparams, x, t, ctx, y, cfg=TINY))
+
+    mesh = make_mesh(2, 2)
+    pshard = shard_rules.flux_param_shardings(qparams, mesh)
+    assert isinstance(pshard[
+        "double_blocks.0.img_attn.qkv.weight"], ggml.QTensor8T)
+    sharded = shard_rules.shard_params(qparams, pshard)
+    xs = jax.device_put(x, shard_rules.batch_sharding(mesh))
+
+    with mesh:
+        fn = jax.jit(
+            lambda p, xx, tt, cc, yy: flux_mod.apply_flux(
+                p, xx, tt, cc, yy, cfg=TINY
+            )
+        )
+        out = np.asarray(fn(sharded, xs, t, ctx, y))
+    np.testing.assert_allclose(out, base, atol=2e-4)
