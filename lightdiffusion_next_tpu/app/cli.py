@@ -8,6 +8,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 
@@ -41,12 +42,22 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--multiscale-fullres-end", type=int, default=8)
     p.add_argument("--multiscale-intermittent-fullres", action="store_true")
     p.add_argument("--output-dir", default="./output")
+    p.add_argument("--preview", action="store_true",
+                   help="write step previews to <output>/preview and track "
+                        "progress (same channel the WebUI polls)")
     return p
 
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     from lightdiffusion_next_tpu.pipelines.pipeline import pipeline
+
+    progress_callback = None
+    if args.preview:
+        from lightdiffusion_next_tpu.app import instance as instance_mod
+
+        instance_mod.app.preview_dir = os.path.join(args.output_dir, "preview")
+        progress_callback = instance_mod.PreviewHook(instance_mod.app)
 
     paths = pipeline(
         args.prompt,
@@ -72,6 +83,7 @@ def main(argv=None) -> int:
         multiscale_fullres_end=args.multiscale_fullres_end,
         multiscale_intermittent_fullres=args.multiscale_intermittent_fullres,
         output_dir=args.output_dir,
+        progress_callback=progress_callback,
     )
     for p_ in paths:
         print(p_)

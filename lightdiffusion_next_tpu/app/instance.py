@@ -9,6 +9,7 @@ reference's preview threads read live tensors unsynchronized, SURVEY §5
 
 from __future__ import annotations
 
+import dataclasses
 import os
 import threading
 import time
@@ -84,6 +85,21 @@ class AppInstance:
 app = AppInstance()
 
 
+@dataclasses.dataclass
+class PreviewHook:
+    """Marker accepted by ``pipeline(progress_callback=...)``.
+
+    The caller (WebUI / CLI --preview) cannot build the real sampler
+    callback — the latent format, step count, and TAESD variant are
+    per-stage details only the pipeline knows — so it passes this marker
+    and the pipeline resolves it into ``make_preview_callback`` for every
+    sampling stage (reference: app.py:312-464 preview polling fed by the
+    taesd threads at samplers.py:160)."""
+
+    instance: AppInstance
+    every: int = 5
+
+
 def make_preview_callback(
     instance: AppInstance,
     latent_format,
@@ -100,15 +116,24 @@ def make_preview_callback(
         instance.progress.set((i + 1) / max(total_steps, 1))
         if not instance.previewer_enabled or i % every != 0:
             return
-        x = np.asarray(info["x"])
-        if taesd_params is not None:
-            from lightdiffusion_next_tpu.models import taesd
+        # a failed preview must never kill the generation (the reference's
+        # preview threads die silently; we log instead)
+        try:
+            x = np.asarray(info["x"])
+            if taesd_params is not None:
+                from lightdiffusion_next_tpu.models import taesd
 
-            img = taesd.decode_preview(taesd_params, x[:1])
-        else:
-            from lightdiffusion_next_tpu.utils.latent import latent_preview_rgb
+                img = taesd.decode_preview(taesd_params, x[:1])
+            else:
+                from lightdiffusion_next_tpu.utils.latent import (
+                    latent_preview_rgb,
+                )
 
-            img = latent_preview_rgb(latent_format, x[:1])
-        instance.update_image(img)
+                img = latent_preview_rgb(latent_format, x[:1])
+            instance.update_image(img)
+        except Exception:
+            import logging
+
+            logging.exception("preview decode failed")
 
     return callback

@@ -60,9 +60,12 @@ def save_settings(settings: dict) -> None:
 def generate_images_with_preview(output_dir: str = "./output", **kwargs):
     """Threaded generation with 0.5s preview polling (app.py:312-464
     parity). Yields (gallery_paths, status) tuples."""
+    from lightdiffusion_next_tpu.app.instance import PreviewHook
     from lightdiffusion_next_tpu.pipelines.pipeline import pipeline
 
     save_settings({k: v for k, v in kwargs.items() if k in DEFAULT_SETTINGS})
+    kwargs.setdefault("progress_callback", PreviewHook(app_instance))
+    app_instance.progress.set(0.0)
     result: dict = {}
 
     def run():

@@ -110,10 +110,15 @@ def apply_t5(
     intermediate_output: Optional[int] = None,
     final_layer_norm_intermediate: bool = True,
     cfg: T5Config = T5_XXL,
+    compute_dtype=jnp.float32,
 ):
     """T5Stack.forward parity (FluxClip.py:457-500). Returns (x, intermediate,
-    pooled=None)."""
-    x = nn.embedding_lookup(tokens, params["shared.weight"]).astype(jnp.float32)
+    pooled=None). ``compute_dtype`` is the activation dtype (the reference
+    Embedding casts gathered rows to out_dtype, Quantizer.py:404-431; use
+    bf16 on TPU — norms/softmax stay fp32 inside ops.nn regardless)."""
+    x = nn.embedding_lookup(
+        tokens, params["shared.weight"], dtype=compute_dtype
+    )
 
     L = x.shape[1]
     buckets = compute_bias_table(L, L, cfg)
@@ -151,11 +156,18 @@ def apply_t5(
 class T5XXLModel:
     """SDClipModel-like facade for T5 (T5XXLModel, FluxClip.py:565-592)."""
 
-    def __init__(self, params: Dict, cfg: T5Config = T5_XXL, dtype=jnp.float32):
+    def __init__(
+        self,
+        params: Dict,
+        cfg: T5Config = T5_XXL,
+        dtype=jnp.float32,
+        compute_dtype=None,
+    ):
         from lightdiffusion_next_tpu.utils import state_dict as sd_utils
 
         self.cfg = cfg
         self.params = sd_utils.device_put_params(params, dtype)
+        self.compute_dtype = compute_dtype or dtype
         self.special_tokens = {"end": 1, "pad": 0}
 
     def encode_token_weights(self, token_weight_pairs):
@@ -165,7 +177,9 @@ class T5XXLModel:
         encode)."""
         rows = [[int(a[0]) for a in row] for row in token_weight_pairs]
         tokens = jnp.asarray(np.asarray(rows, dtype=np.int32))
-        out, _, _ = apply_t5(self.params, tokens, cfg=self.cfg)
+        out, _, _ = apply_t5(
+            self.params, tokens, cfg=self.cfg, compute_dtype=self.compute_dtype
+        )
         return np.asarray(out, dtype=np.float32), None
 
 

@@ -5,12 +5,12 @@ CLIPTokenizerFast; here the byte-pair encoder is implemented directly (the
 vocab/merges data files are vendored under assets/tokenizer/clip — they are
 OpenAI CLIP's public vocabulary, not reference code). Prompt syntax parity:
 
-- ``(text)`` weight x1.1, nested multiplies (SDToken.token_weights, :50)
-- ``(text:1.3)`` explicit weight (rfind ':', :66-71)
-- ``\\(`` / ``\\)`` escapes (escape_important, :79)
-- ``embedding:name`` textual-inversion splices (:125-206, :292-340)
-- 77-token batching with start/end/pad, long words (>=8 tokens) split across
-  batches (SDTokenizer.tokenize_with_weights, :292-400)
+- ``(text)`` weight x1.1, nested multiplies; ``(text:1.3)`` explicit weight
+  (surface of SDToken.py:50-77, re-derived as a group-tree parse)
+- ``\\(`` / ``\\)`` escapes (SDToken.py:79)
+- ``embedding:name`` textual-inversion splices (SDToken.py:125-206)
+- 77-token row packing with start/end/pad, long words (>=8 tokens) spanning
+  rows (behavior of SDToken.py:292-400)
 """
 
 from __future__ import annotations
@@ -33,64 +33,134 @@ except ImportError:  # pragma: no cover
 
 
 # ---------------------------------------------------------------------------
-# Prompt weight parsing (semantics of SDToken.py:13-103)
+# Prompt weight parsing.
+#
+# Syntax (same surface as SDToken.py:13-103, re-derived): ``(x)`` multiplies
+# the ambient weight by 1.1, nesting compounds, and a ``:N`` suffix inside a
+# group REPLACES the group's weight with N (inner groups still multiply off
+# it). ``\(`` / ``\)`` are literal parentheses. The parse is a single pass
+# building a group tree; weights resolve on the way back out.
 # ---------------------------------------------------------------------------
 
+# Private-use sentinels standing in for escaped parens during the parse.
+_LPAREN_SENTINEL = ""
+_RPAREN_SENTINEL = ""
 
-def parse_parentheses(string: str) -> List[str]:
-    result = []
-    current_item = ""
-    nesting_level = 0
-    for char in string:
-        if char == "(":
-            if nesting_level == 0:
-                if current_item:
-                    result.append(current_item)
-                current_item = "("
-            else:
-                current_item += char
-            nesting_level += 1
-        elif char == ")":
-            nesting_level -= 1
-            if nesting_level == 0:
-                result.append(current_item + ")")
-                current_item = ""
-            else:
-                current_item += char
+
+def protect_escaped_parens(text: str) -> str:
+    """Hide ``\\(`` / ``\\)`` from the group parser."""
+    return text.replace("\\(", _LPAREN_SENTINEL).replace(
+        "\\)", _RPAREN_SENTINEL
+    )
+
+
+def restore_escaped_parens(text: str) -> str:
+    return text.replace(_LPAREN_SENTINEL, "(").replace(_RPAREN_SENTINEL, ")")
+
+
+class _WeightGroup:
+    """One parenthesized group: an ordered mix of text runs and subgroups."""
+
+    __slots__ = ("parts", "closed")
+
+    def __init__(self):
+        self.parts: List = []
+        self.closed = False
+
+    def add_text(self, s: str) -> None:
+        if s:
+            self.parts.append(s)
+
+
+def _build_group_tree(text: str) -> _WeightGroup:
+    """Parse into a group tree. Unbalanced input degrades like the
+    reference: an unclosed ``(`` group is flattened back into literal text
+    (including its paren), and a stray ``)`` at depth 0 is literal."""
+    root = _WeightGroup()
+    root.closed = True
+    stack = [root]
+    run: List[str] = []
+
+    def flush():
+        stack[-1].add_text("".join(run))
+        run.clear()
+
+    for ch in text:
+        if ch == "(":
+            flush()
+            child = _WeightGroup()
+            stack[-1].parts.append(child)
+            stack.append(child)
+        elif ch == ")" and len(stack) > 1:
+            flush()
+            stack[-1].closed = True
+            stack.pop()
         else:
-            current_item += char
-    if current_item:
-        result.append(current_item)
-    return result
+            run.append(ch)
+    flush()
+    return root
 
 
-def token_weights(string: str, current_weight: float) -> List[Tuple[str, float]]:
-    a = parse_parentheses(string)
-    out = []
-    for x in a:
-        weight = current_weight
-        if len(x) >= 2 and x[-1] == ")" and x[0] == "(":
-            x = x[1:-1]
-            xx = x.rfind(":")
-            weight *= 1.1
-            if xx > 0:
-                try:
-                    weight = float(x[xx + 1 :])
-                    x = x[:xx]
-                except ValueError:
-                    pass
-            out += token_weights(x, weight)
-        else:
-            out += [(x, current_weight)]
+def _flatten_literal(group: _WeightGroup) -> str:
+    """Render an unclosed group back to its source text."""
+    out = "("
+    for p in group.parts:
+        out += p if isinstance(p, str) else _render_group(p)
     return out
 
 
-def escape_important(text: str) -> str:
-    return text.replace("\\)", "\0\1").replace("\\(", "\0\2")
+def _render_group(group: _WeightGroup) -> str:
+    inner = "".join(
+        p if isinstance(p, str) else _render_group(p) for p in group.parts
+    )
+    return "(" + inner + ")" if group.closed else "(" + inner
 
 
-def unescape_important(text: str) -> str:
-    return text.replace("\0\1", ")").replace("\0\2", "(")
+def _explicit_weight(group: _WeightGroup) -> Optional[Tuple[float, str]]:
+    """``:N`` suffix detection. The reference scans the group's full inner
+    text for its LAST colon and float()s everything after it; any nested
+    group after the colon makes that text unparseable, so equivalently: the
+    suffix must live in the group's final text run."""
+    if not group.parts or not isinstance(group.parts[-1], str):
+        return None
+    tail = group.parts[-1]
+    cut = tail.rfind(":")
+    if cut < 0:
+        return None
+    if len(group.parts) == 1 and cut == 0:
+        return None  # ":N" alone is not a weight suffix
+    try:
+        return float(tail[cut + 1 :]), tail[:cut]
+    except ValueError:
+        return None
+
+
+def _emit_weighted(group: _WeightGroup, weight: float, out: List) -> None:
+    for part in group.parts:
+        if isinstance(part, str):
+            out.append((part, weight))
+        elif not part.closed:
+            # unclosed group: literal text at the AMBIENT weight
+            out.append((_flatten_literal(part), weight))
+        else:
+            sub_weight = weight * 1.1
+            sub = part
+            explicit = _explicit_weight(part)
+            if explicit is not None:
+                sub_weight, kept_tail = explicit
+                sub = _WeightGroup()
+                sub.parts = part.parts[:-1]
+                sub.add_text(kept_tail)
+                sub.closed = True
+            _emit_weighted(sub, sub_weight, out)
+
+
+def parse_prompt_weights(text: str, base_weight: float = 1.0) -> List[Tuple[str, float]]:
+    """Prompt -> ordered [(text_run, weight)] (token_weights-equivalent
+    surface, SDToken.py:50-77)."""
+    out: List[Tuple[str, float]] = []
+    _emit_weighted(_build_group_tree(text), base_weight, out)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -347,92 +417,109 @@ class SDTokenizer:
         self.embedding_size = embedding_size
         self.embedding_key = embedding_key
 
-    def _try_get_embedding(self, name: str):
-        embed = load_embed(
+    def _lookup_embedding(self, name: str):
+        """Resolve a textual-inversion name. Punctuation can end up glued to
+        the name ("embedding:foo,"): if the raw name misses, retry without
+        trailing commas and hand the suffix back for normal tokenization.
+        (The reference strips commas from BOTH ends, SDToken.py:286 — a
+        leading comma there corrupts the leftover slice; we only strip
+        trailing ones, which is the case that actually occurs.)"""
+        hit = load_embed(
             name, self.embedding_directory, self.embedding_size, self.embedding_key
         )
-        if embed is None:
-            stripped = name.strip(",")
-            if len(stripped) < len(name):
-                embed = load_embed(
-                    stripped,
-                    self.embedding_directory,
-                    self.embedding_size,
-                    self.embedding_key,
-                )
-                return embed, name[len(stripped) :]
-        return embed, ""
-
-    def tokenize_with_weights(self, text: str, return_word_ids: bool = False):
-        pad_token = self.end_token if self.pad_with_end else 0
-        text = escape_important(text)
-        parsed_weights = token_weights(text, 1.0)
-
-        tokens: List[List[Tuple]] = []
-        for weighted_segment, weight in parsed_weights:
-            to_tokenize = (
-                unescape_important(weighted_segment).replace("\n", " ").split(" ")
+        if hit is not None:
+            return hit, ""
+        bare = name.rstrip(",")
+        if bare != name:
+            hit = load_embed(
+                bare,
+                self.embedding_directory,
+                self.embedding_size,
+                self.embedding_key,
             )
-            for word in (w for w in to_tokenize if w):
+            if hit is not None:
+                return hit, name[len(bare) :]
+        return None, ""
+
+    def _word_groups(self, text: str) -> List[List[Tuple]]:
+        """Prompt -> per-word token groups [[(token_or_embed_row, weight)]].
+        Words split on spaces within each weighted run; ``embedding:name``
+        words yield their embedding rows instead of BPE ids."""
+        groups: List[List[Tuple]] = []
+        for run, weight in parse_prompt_weights(protect_escaped_parens(text)):
+            run = restore_escaped_parens(run).replace("\n", " ")
+            for word in filter(None, run.split(" ")):
                 if (
-                    word.startswith(self.embedding_identifier)
-                    and self.embedding_directory is not None
+                    self.embedding_directory is not None
+                    and word.startswith(self.embedding_identifier)
                 ):
-                    embedding_name = word[len(self.embedding_identifier) :].strip("\n")
-                    embed, leftover = self._try_get_embedding(embedding_name)
+                    name = word[len(self.embedding_identifier):].strip("\n")
+                    embed, suffix = self._lookup_embedding(name)
                     if embed is None:
                         import logging
 
                         logging.warning(
                             "warning, embedding:%s does not exist, ignoring",
-                            embedding_name,
+                            name,
                         )
-                    else:
-                        tokens.append([(embed[x], weight) for x in range(embed.shape[0])])
-                    if leftover:
-                        word = leftover
-                    else:
                         continue
-                tokens.append([(t, weight) for t in self.bpe.encode(word)])
+                    groups.append([(row, weight) for row in embed])
+                    if not suffix:
+                        continue
+                    word = suffix
+                groups.append([(t, weight) for t in self.bpe.encode(word)])
+        return groups
 
-        # batch to max_length rows
-        batched_tokens = []
-        batch: List[Tuple] = []
-        if self.start_token is not None:
-            batch.append((self.start_token, 1.0, 0))
-        batched_tokens.append(batch)
-        for i, t_group in enumerate(tokens):
-            is_large = len(t_group) >= self.max_word_length
-            while len(t_group) > 0:
-                if len(t_group) + len(batch) > self.max_length - 1:
-                    remaining_length = self.max_length - len(batch) - 1
-                    if is_large:
-                        batch.extend(
-                            [(t, w, i + 1) for t, w in t_group[:remaining_length]]
-                        )
-                        batch.append((self.end_token, 1.0, 0))
-                        t_group = t_group[remaining_length:]
-                    else:
-                        batch.append((self.end_token, 1.0, 0))
-                        if self.pad_to_max_length:
-                            batch.extend([(pad_token, 1.0, 0)] * remaining_length)
-                    batch = []
-                    if self.start_token is not None:
-                        batch.append((self.start_token, 1.0, 0))
-                    batched_tokens.append(batch)
+    def tokenize_with_weights(self, text: str, return_word_ids: bool = False):
+        """Tokenize + pack into max_length rows.
+
+        Packing rule (same behavior as SDTokenizer.tokenize_with_weights,
+        SDToken.py:292-400): every row is [start] ... [end] (+pad); a word
+        group that doesn't fit moves wholesale to the next row, unless it
+        has >= max_word_length tokens, in which case it fills the remainder
+        and continues on the next row. Entries are (token, weight, word_id)
+        with word_id 0 for specials."""
+        pad_token = self.end_token if self.pad_with_end else 0
+        groups = self._word_groups(text)
+
+        body_room = self.max_length - 1  # one slot always reserved for <end>
+        rows: List[List[Tuple]] = []
+
+        def new_row() -> List[Tuple]:
+            r = [(self.start_token, 1.0, 0)] if self.start_token is not None else []
+            rows.append(r)
+            return r
+
+        row = new_row()
+        for word_id, group in enumerate(groups, start=1):
+            pending = [(t, w, word_id) for t, w in group]
+            spans_rows = len(pending) >= self.max_word_length
+            while pending:
+                space = body_room - len(row)
+                if len(pending) <= space:
+                    row += pending
+                    break
+                if spans_rows:
+                    row += pending[:space]
+                    pending = pending[space:]
+                    row.append((self.end_token, 1.0, 0))
                 else:
-                    batch.extend([(t, w, i + 1) for t, w in t_group])
-                    t_group = []
+                    row.append((self.end_token, 1.0, 0))
+                    if self.pad_to_max_length:
+                        row += [(pad_token, 1.0, 0)] * space
+                row = new_row()
 
-        batch.append((self.end_token, 1.0, 0))
+        row.append((self.end_token, 1.0, 0))
+        fill = 0
         if self.pad_to_max_length:
-            batch.extend([(pad_token, 1.0, 0)] * (self.max_length - len(batch)))
-        if self.min_length is not None and len(batch) < self.min_length:
-            batch.extend([(pad_token, 1.0, 0)] * (self.min_length - len(batch)))
+            fill = self.max_length - len(row)
+        if self.min_length is not None:
+            fill = max(fill, self.min_length - len(row))
+        row += [(pad_token, 1.0, 0)] * fill
 
-        if not return_word_ids:
-            batched_tokens = [[(t, w) for t, w, _ in x] for x in batched_tokens]
-        return batched_tokens
+        if return_word_ids:
+            return rows
+        return [[(t, w) for t, w, _ in r] for r in rows]
 
     def untokenize(self, token_weight_pair):
         return list(

@@ -97,18 +97,43 @@ def apply_lora(
     built in OIHW and transposed before adding."""
     import jax.numpy as jnp
 
+    from lightdiffusion_next_tpu.ops import ggml
+
     out = dict(params)
     for key, (up, down, alpha) in patches.items():
         if key not in out:
             continue
         w = out[key]
+        if (
+            hasattr(w, "fused_matmul")  # QTensor8T / stacked QTensorLoRA
+            and w.ndim == 2
+            and up.ndim == 2
+            and down.ndim == 2
+        ):
+            # GGUF Q8_0 target: keep the weight quantized and apply the
+            # low-rank patch at compute time (GGUFModelPatcher semantics,
+            # Quantizer.py:260-292 — patches evaluate on the dequantized
+            # value per forward; merging would densify int8 -> bf16 and
+            # double the layer's HBM). Stacked LoRAs chain onto the same
+            # base by concatenating ranks.
+            rank = down.shape[0]
+            scale = strength * (1.0 if alpha is None else alpha / rank)
+            new_up = jnp.asarray(up * scale, dtype=jnp.float32)
+            new_down = jnp.asarray(down, dtype=jnp.float32)
+            if isinstance(w, ggml.QTensorLoRA):
+                out[key] = ggml.QTensorLoRA(
+                    base=w.base,
+                    up=jnp.concatenate([w.up, new_up], axis=1),
+                    down=jnp.concatenate([w.down, new_down], axis=0),
+                )
+            else:
+                out[key] = ggml.QTensorLoRA(base=w, up=new_up, down=new_down)
+            continue
         delta = _lora_delta(up, down, alpha) * strength
         if w.ndim == 4:  # HWIO storage
             delta = np.transpose(delta, (2, 3, 1, 0))
         if hasattr(w, "dequantize"):
-            # GGUF Q8_0 target (GGUFModelPatcher semantics, Quantizer.py
-            # :692-760: patches apply on the dequantized value) — the
-            # patched layer becomes dense bf16.
+            # non-2D quantized target (none in practice): densify
             out[key] = (
                 w.dequantize(jnp.float32) + jnp.asarray(delta)
             ).astype(jnp.bfloat16)

@@ -157,6 +157,12 @@ class QTensor8T:
     qt: Any  # int8 (K, N)
     scales_t: Any  # f32 (K // 32, N)
     shape: Tuple[int, ...]  # logical torch-layout (out=N, in=K)
+    # True when this weight participates in a multi-device (tensor-parallel)
+    # computation: the single-device Pallas kernel is bypassed for the
+    # dequant+dot path, which XLA SPMD partitions along the Megatron param
+    # shardings. Set explicitly by parallel.sharding.shard_params — never
+    # inferred from tracers (shardings are invisible inside jit).
+    tp: bool = False
 
     @property
     def ndim(self) -> int:
@@ -178,7 +184,8 @@ class QTensor8T:
         m = 1
         for d in x.shape[:-1]:
             m *= d
-        if qm.supported(m, k, n) and not self._multi_device():
+        if not self.tp and qm.supported(m, k, n):
+            self._check_not_silently_sharded()
             return qm.quant_matmul(x, self.qt, self.scales_t, out_dtype)
         w = self.dequantize(x.dtype)
         return jax.lax.dot_general(
@@ -188,46 +195,118 @@ class QTensor8T:
             preferred_element_type=x.dtype,
         )
 
-    def _multi_device(self) -> bool:
-        """True when the codes are sharded across devices (tensor parallel):
-        the Pallas kernel is single-device — under SPMD the dequant+dot
-        fallback partitions natively (dequant is elementwise-local, the dot
-        follows the Megatron param shardings)."""
+    def _check_not_silently_sharded(self) -> None:
+        """Backstop for the explicit ``tp`` flag: a CONCRETE multi-device
+        array reaching the single-device kernel path is a wiring bug (the
+        caller sharded the weight without marking it tp) — fail loudly
+        instead of letting GSPMD replicate 12 GB of codes per chip. Tracers
+        carry no shardings, so inside jit this check is a no-op and the flag
+        is the only authority."""
+        sharding = getattr(self.qt, "sharding", None)
+        if sharding is None:
+            return
         try:
-            if len(self.qt.sharding.device_set) > 1:
-                return True
-        except Exception:  # tracers inside jit don't carry shardings
-            pass
-        try:  # ambient `with mesh:` context (the TP entry points use one)
-            from jax._src.mesh import thread_resources
-
-            m = thread_resources.env.physical_mesh
-            return m.size > 1
+            multi = len(sharding.device_set) > 1
         except Exception:
-            return False
+            return
+        if multi:
+            raise ValueError(
+                "QTensor8T spans multiple devices but tp=False; shard it "
+                "through parallel.sharding.shard_params (which sets tp=True)"
+            )
 
     def astype(self, dtype):  # dtype of the DEQUANTIZED output
         return self
 
     def tree_flatten(self):
-        return (self.qt, self.scales_t), self.shape
+        return (self.qt, self.scales_t), (self.shape, self.tp)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         qt, scales_t = children
-        return cls(qt, scales_t, aux)
+        shape, tp = aux
+        return cls(qt, scales_t, shape, tp)
 
 
-def transpose_for_matmul(t: QTensor8) -> QTensor8T:
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class QTensorLoRA:
+    """Quantized weight + UNMERGED low-rank patch, applied at compute time.
+
+    The reference GGUFModelPatcher applies LoRA on the dequantized value
+    inside each forward (Quantizer.py:260-292) so weights stay 1.06 B/param
+    in memory. Merging would densify to bf16 (2 B/param) and break the
+    13-GB-in-16-GB single-chip Flux budget; instead ops.nn.linear computes
+    ``y = base_matmul(x) + (x @ down^T) @ up^T`` — the base keeps its fused
+    int8 kernel path and the low-rank correction is two skinny matmuls.
+    ``up`` is pre-scaled by strength * alpha/rank at construction.
+    """
+
+    base: Any  # QTensor8T (fused layout)
+    up: Any  # f32 (out, rank)
+    down: Any  # f32 (rank, in)
+
+    @property
+    def shape(self) -> Tuple[int, ...]:
+        return self.base.shape
+
+    @property
+    def ndim(self) -> int:
+        return len(self.base.shape)
+
+    def fused_matmul(self, x, out_dtype=None):
+        y = self.base.fused_matmul(x, out_dtype)
+        h = jax.lax.dot_general(
+            x,
+            self.down.astype(x.dtype),
+            dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
+            preferred_element_type=x.dtype,
+        )
+        corr = jax.lax.dot_general(
+            h,
+            self.up.astype(x.dtype),
+            dimension_numbers=(((h.ndim - 1,), (1,)), ((), ())),
+            preferred_element_type=x.dtype,
+        )
+        return y + corr.astype(y.dtype)
+
+    def dequantize(self, dtype=jnp.bfloat16):
+        w = self.base.dequantize(jnp.float32)
+        return (w + self.up @ self.down).astype(dtype)
+
+    def astype(self, dtype):  # dtype of the DEQUANTIZED output
+        return self
+
+    def tree_flatten(self):
+        return (self.base, self.up, self.down), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+def transpose_for_matmul(t: QTensor8, sharding=None) -> QTensor8T:
     """QTensor8 (host or device) -> fused-layout QTensor8T. Only valid for
-    2-D (out, in) weights."""
+    2-D (out, in) weights. ``sharding`` is an optional QTensor8T-of-shardings
+    record (parallel.sharding._quantized_sharding): the transposed codes are
+    uploaded straight to their shards (host -> sharded, never materializing
+    the full weight on one device) and the tp flag is stamped from it."""
     assert len(t.shape) == 2, t.shape
     n, k = t.shape
-    q = np.asarray(t.q).reshape(n, k).T  # (K, N) int8
-    scales = np.asarray(t.scales).T  # (K/32, N) f32
+    q = np.ascontiguousarray(np.asarray(t.q).reshape(n, k).T)  # (K, N) int8
+    scales = np.ascontiguousarray(
+        np.asarray(t.scales).T.astype(np.float32)
+    )  # (K/32, N) f32
+    if sharding is not None:
+        return QTensor8T(
+            qt=jax.device_put(q, sharding.qt),
+            scales_t=jax.device_put(scales, sharding.scales_t),
+            shape=t.shape,
+            tp=sharding.tp,
+        )
     return QTensor8T(
-        qt=jnp.asarray(np.ascontiguousarray(q)),
-        scales_t=jnp.asarray(np.ascontiguousarray(scales), dtype=jnp.float32),
+        qt=jnp.asarray(q),
+        scales_t=jnp.asarray(scales, dtype=jnp.float32),
         shape=t.shape,
     )
 
@@ -331,28 +410,47 @@ def to_device_quantized(
     dtype=jnp.bfloat16,
     fused: Optional[bool] = None,
     embed_keys: Tuple[str, ...] = ("shared.weight", "token_embd.weight"),
+    sharding_for=None,
 ) -> Dict[str, Any]:
     """Move a GGUF state dict to device: Q8_0 stays int8+scales, dense
     tensors cast to ``dtype``.
 
     ``fused`` (default: on) re-lays 2-D quantized matmul weights out as
     QTensor8T for the fused Pallas dequant-matmul; embedding tables
-    (``embed_keys``) keep the row-major QTensor8 layout for row lookup."""
+    (``embed_keys``) keep the row-major QTensor8 layout for row lookup.
+
+    ``sharding_for(key) -> sharding record`` (optional) places each tensor
+    straight onto its mesh shards (tensor parallel): a NamedSharding for
+    dense leaves, a QTensor8T-of-shardings record for quantized ones."""
     if fused is None:
         fused = True
     out = {}
     for k, v in sd.items():
+        rec = sharding_for(k) if sharding_for is not None else None
         if isinstance(v, QTensor8):
             if fused and len(v.shape) == 2 and k not in embed_keys:
-                out[k] = transpose_for_matmul(v)
+                out[k] = transpose_for_matmul(v, sharding=rec)
             else:
-                out[k] = QTensor8(
-                    q=jnp.asarray(np.asarray(v.q)),
-                    scales=jnp.asarray(np.asarray(v.scales), dtype=jnp.float32),
-                    shape=v.shape,
-                )
+                q = np.asarray(v.q)
+                scales = np.asarray(v.scales, dtype=np.float32)
+                if rec is not None and hasattr(rec, "q"):
+                    out[k] = QTensor8(
+                        q=jax.device_put(q, rec.q),
+                        scales=jax.device_put(scales, rec.scales),
+                        shape=v.shape,
+                    )
+                else:
+                    out[k] = QTensor8(
+                        q=jnp.asarray(q),
+                        scales=jnp.asarray(scales),
+                        shape=v.shape,
+                    )
         else:
-            out[k] = jnp.asarray(v, dtype=dtype)
+            arr = np.asarray(v).astype(jnp.dtype(dtype), copy=False)
+            if rec is not None and not hasattr(rec, "qt"):
+                out[k] = jax.device_put(arr, rec)
+            else:
+                out[k] = jnp.asarray(arr)
     return out
 
 

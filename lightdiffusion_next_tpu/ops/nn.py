@@ -174,18 +174,28 @@ def _separable_linear_gather(x, ys, xs):
     return (xa[:, :, x0] * (1 - wx) + xa[:, :, x1] * wx).astype(x.dtype)
 
 
-def embedding_lookup(ids, table):
+def embedding_lookup(ids, table, dtype=None):
     """ids: int (...,), table: (vocab, dim).
 
     A quantized table (ops.ggml.QTensor8, e.g. a Q8_0 T5 ``token_embd``)
     is dequantized row-wise after the gather — only the looked-up rows
-    ever materialize in bf16."""
+    ever materialize. ``dtype`` is the compute dtype of the returned rows
+    (defaults to bf16 for quantized tables, matching the reference
+    Embedding's out_dtype cast, src/Quantize/Quantizer.py:404-431)."""
+    if hasattr(table, "qt"):
+        raise TypeError(
+            "embedding table was laid out as a fused-matmul QTensor8T; pass "
+            "its key in to_device_quantized(embed_keys=...) so it keeps the "
+            "row-major QTensor8 layout for lookup"
+        )
     if hasattr(table, "q"):  # QTensor8: q (vocab, nb, 32), scales (vocab, nb)
         q_rows = jnp.take(table.q, ids, axis=0)
         s_rows = jnp.take(table.scales, ids, axis=0)
         rows = q_rows.astype(jnp.float32) * s_rows[..., None]
-        return rows.reshape(ids.shape + (table.shape[-1],))
-    return jnp.take(table, ids, axis=0)
+        rows = rows.reshape(ids.shape + (table.shape[-1],))
+        return rows.astype(dtype or jnp.bfloat16)
+    rows = jnp.take(table, ids, axis=0)
+    return rows if dtype is None else rows.astype(dtype)
 
 
 class ParamView:

@@ -50,7 +50,12 @@ def _quantized_sharding(leaf, spec: "P", mesh: Mesh):
     Device layout is transposed: qt int8 (in=K, out=N), scales_t (K/32, N).
     Column-parallel P("model", None) (out sharded) -> shard axis 1 of both;
     row-parallel P(None, "model") (in sharded) -> shard axis 0 of both
-    (K and K/32 both divide evenly per 32-block granularity)."""
+    (K and K/32 both divide evenly per 32-block granularity).
+
+    The returned record carries tp=True whenever the mesh spans more than
+    one device — shard_params() stamps that onto the weight so its forward
+    takes the SPMD-partitionable dequant+dot path instead of the
+    single-device Pallas kernel (ops/ggml.py QTensor8T.tp)."""
     from lightdiffusion_next_tpu.ops import ggml
 
     if spec == P("model", None):
@@ -60,16 +65,30 @@ def _quantized_sharding(leaf, spec: "P", mesh: Mesh):
     else:
         qs = P()
     return ggml.QTensor8T(
-        qt=_ns(mesh, *qs), scales_t=_ns(mesh, *qs), shape=leaf.shape
+        qt=_ns(mesh, *qs),
+        scales_t=_ns(mesh, *qs),
+        shape=leaf.shape,
+        tp=mesh.devices.size > 1,
     )
 
 
 def flux_param_shardings(params: Dict, mesh: Mesh) -> Dict:
+    from lightdiffusion_next_tpu.ops import ggml
+
     out = {}
     for k in params:
         spec = flux_param_spec(k)
         leaf = params[k]
-        if hasattr(leaf, "qt"):  # fused-layout quantized weight
+        # NB: isinstance, not hasattr("base") — np.ndarray has a .base attr
+        if isinstance(leaf, ggml.QTensorLoRA):  # quantized + compute-time LoRA
+            # base shards per the Megatron spec; the skinny low-rank factors
+            # replicate (GSPMD inserts any needed resharding around them)
+            out[k] = ggml.QTensorLoRA(
+                base=_quantized_sharding(leaf.base, spec, mesh),
+                up=_ns(mesh),
+                down=_ns(mesh),
+            )
+        elif hasattr(leaf, "qt"):  # fused-layout quantized weight
             out[k] = _quantized_sharding(leaf, spec, mesh)
         else:
             out[k] = _ns(mesh, *spec)
@@ -86,9 +105,28 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_params(params: Dict, shardings: Dict) -> Dict:
-    return {
-        k: jax.device_put(v, shardings[k]) for k, v in params.items()
-    }
+    """device_put params to their shardings; quantized leaves are rebuilt
+    with the explicit tp flag from their sharding record (the flag is aux
+    data, so the plain structural device_put would reject the mismatch)."""
+    from lightdiffusion_next_tpu.ops import ggml
+
+    def put(v, s):
+        if isinstance(v, ggml.QTensorLoRA):
+            return ggml.QTensorLoRA(
+                base=put(v.base, s.base),
+                up=jax.device_put(v.up, s.up),
+                down=jax.device_put(v.down, s.down),
+            )
+        if hasattr(v, "qt"):
+            return ggml.QTensor8T(
+                qt=jax.device_put(v.qt, s.qt),
+                scales_t=jax.device_put(v.scales_t, s.scales_t),
+                shape=v.shape,
+                tp=s.tp,
+            )
+        return jax.device_put(v, s)
+
+    return {k: put(v, shardings[k]) for k, v in params.items()}
 
 
 HEAD_SHARDED_NOTE = """

@@ -61,8 +61,13 @@ def load_checkpoint_guess_config(
     return model, clip, vae
 
 
-def load_diffusion_model_gguf(path: str) -> base_mod.DiffusionModel:
-    """Flux GGUF -> quantized DiffusionModel (UnetLoaderGGUF parity)."""
+def load_diffusion_model_gguf(path: str, mesh=None) -> base_mod.DiffusionModel:
+    """Flux GGUF -> quantized DiffusionModel (UnetLoaderGGUF parity).
+
+    With ``mesh`` (a ("data","model") jax.sharding.Mesh), params are laid
+    out tensor-parallel per parallel.sharding.flux_param_spec as they are
+    uploaded — each chip only ever holds its shard (the 12B Q8_0 weights
+    are ~13 GB; one v5e chip has 16 GB)."""
     from lightdiffusion_next_tpu.ops import ggml
 
     cfgv = _config.get_config()
@@ -75,7 +80,22 @@ def load_diffusion_model_gguf(path: str) -> base_mod.DiffusionModel:
         guidance_embed=guidance,
         dtype=cfgv.dtypes.compute_dtype,
     )
-    params = ggml.to_device_quantized(sd, dtype=cfgv.dtypes.param_dtype)
+    sharding_for = None
+    if mesh is not None:
+        from lightdiffusion_next_tpu.parallel import sharding as shard_rules
+
+        def sharding_for(key):
+            leaf = sd[key]
+            spec = shard_rules.flux_param_spec(key)
+            if ggml.is_quantized(leaf) and len(leaf.shape) == 2:
+                return shard_rules._quantized_sharding(leaf, spec, mesh)
+            from jax.sharding import NamedSharding
+
+            return NamedSharding(mesh, spec)
+
+    params = ggml.to_device_quantized(
+        sd, dtype=cfgv.dtypes.param_dtype, sharding_for=sharding_for
+    )
 
     def apply_fn(p, x, t, context, y=None, guidance=None, first_block_hook=None, **_):
         return flux_mod.apply_flux(

@@ -133,6 +133,40 @@ def pipeline(
     return saved
 
 
+def _resolve_callback(progress_callback, latent_format, total_steps, taesd_file):
+    """Turn an app.instance.PreviewHook into a real per-stage sampler
+    callback (previews + 0..1 progress); raw callables pass through.
+
+    The TAESD decoder asset is optional — without it previews fall back to
+    the latent-format linear RGB projection (Latent.py preview factors)."""
+    from lightdiffusion_next_tpu.app import instance as instance_mod
+
+    if progress_callback is None or not isinstance(
+        progress_callback, instance_mod.PreviewHook
+    ):
+        return progress_callback
+
+    taesd_params = None
+    if taesd_file:
+        path = downloader.asset_path("vae_approx", taesd_file)
+        if os.path.exists(path):
+            try:
+                from lightdiffusion_next_tpu.utils import state_dict as sd_utils
+
+                taesd_params = sd_utils.convs_to_hwio(
+                    sd_utils.load_torch_file(path)
+                )
+            except Exception:
+                taesd_params = None
+    return instance_mod.make_preview_callback(
+        progress_callback.instance,
+        latent_format,
+        taesd_params,
+        every=progress_callback.every,
+        total_steps=total_steps,
+    )
+
+
 # ---------------------------------------------------------------------------
 # SD1.5 txt2img (+hires, +adetailer) — pipeline.py:279-511
 # ---------------------------------------------------------------------------
@@ -209,6 +243,9 @@ def _sd15_generate(
 
     latent = latent_mod.empty_latent(w, h, batch)
     sampler_name = "dpmpp_2m_cfgpp" if prio_speed else "dpmpp_sde_cfgpp"
+    callback = _resolve_callback(
+        progress_callback, model.latent_format, 20, "taesd_decoder.safetensors"
+    )
     result = ks.ksample(
         model,
         seed=seed,
@@ -221,7 +258,7 @@ def _sd15_generate(
         latent_image=latent,
         denoise=1.0,
         ms=ms,
-        callback=progress_callback,
+        callback=callback,
     )
 
     if hires_fix:
@@ -237,7 +274,10 @@ def _sd15_generate(
             negative=negative,
             latent_image=jnp.asarray(up),
             denoise=0.45,
-            callback=progress_callback,
+            callback=_resolve_callback(
+                progress_callback, model.latent_format, 10,
+                "taesd_decoder.safetensors",
+            ),
         )
 
     images = np.asarray(vae.decode(result.latent))
@@ -385,7 +425,10 @@ def _flux_txt2img(prompt, w, h, batch, autohdr, saver, progress_callback):
         negative=negative,
         latent_image=latent,
         denoise=1.0,
-        callback=progress_callback,
+        callback=_resolve_callback(
+            progress_callback, latent_mod.FLUX1, 20,
+            "diffusion_pytorch_model.safetensors",  # taef1
+        ),
     )
     images = np.asarray(vae.decode(result.latent))
     if autohdr:

@@ -30,13 +30,11 @@ from lightdiffusion_next_tpu.sampling import schedules
 SAMPLERS = samplers_mod.SAMPLER_NAMES
 SCHEDULERS = schedules.SCHEDULERS
 
-# per-sampler multi-scale fullres defaults (samplers.py signatures)
-_MS_DEFAULTS = {
-    "dpmpp_2m_cfgpp": (5, 8, True),
-    "dpmpp_sde_cfgpp": (5, 8, False),
-    "euler": (3, 8, False),
-    "euler_ancestral": (3, 8, False),
-}
+# NOTE: the reference's sampler signatures carry their own multi-scale
+# fullres defaults (e.g. 5/8 for dpmpp_2m, samplers.py:755-775), but its
+# pipeline always passes pipeline-level values down (pipeline.py:52-53 ->
+# sampling.py:884-885), so those signature defaults are unreachable in the
+# product. We keep only the pipeline-level defaults (MultiScale dataclass).
 
 
 def sigmas_for(
@@ -254,16 +252,8 @@ def ksample(
     else:
         run_denoise = denoise_fn
 
-    # --- multi-scale defaults per sampler ---
     if ms is None:
         ms = samplers_mod.MultiScale()
-    elif ms.enabled and sampler_name in _MS_DEFAULTS:
-        fs, fe, inter = _MS_DEFAULTS[sampler_name]
-        ms = dataclasses.replace(
-            ms,
-            fullres_start=ms.fullres_start if ms.fullres_start >= 0 else fs,
-            fullres_end=ms.fullres_end if ms.fullres_end >= 0 else fe,
-        )
 
     out = samplers_mod.sample(
         run_denoise,

@@ -135,14 +135,20 @@ def main():
     )
 
     t0 = time.perf_counter()
-    cache = "/tmp/flux_q8_params.npz"
+    # pickle cache keyed by the exact param recipe — a stale cache from a
+    # different config/seed/quantization layout must never be reused
+    import hashlib
     import os
     import pickle
+
+    recipe = repr((fcfg, "seed=0", "quant_min_dim=default"))
+    tag = hashlib.sha1(recipe.encode()).hexdigest()[:12]
+    cache = f"/tmp/flux_q8_params_{tag}.pkl"
 
     if os.path.exists(cache):
         with open(cache, "rb") as f:
             host = pickle.load(f)
-        print(f"host params from cache: {time.perf_counter()-t0:.1f}s",
+        print(f"host params from cache {cache}: {time.perf_counter()-t0:.1f}s",
               flush=True)
     else:
         host = build_q8_params(fcfg, seed=0)

@@ -1,0 +1,103 @@
+"""App-layer wiring: preview/progress callbacks reach the sampler loop and
+the WebUI generator injects the PreviewHook (reference: app.py:312-464 +
+the taesd preview threads at samplers.py:160)."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lightdiffusion_next_tpu.app import instance as instance_mod
+from lightdiffusion_next_tpu.models import base as base_mod
+from lightdiffusion_next_tpu.models import unet as unet_mod
+from lightdiffusion_next_tpu.models.clip import facade as clip_facade
+from lightdiffusion_next_tpu.models.clip import text_encoder as te
+from lightdiffusion_next_tpu.models.clip import tokenizer as tok
+from lightdiffusion_next_tpu.sampling import ksampler as ks
+from lightdiffusion_next_tpu.utils import latent as latent_mod
+
+TINY_UNET = unet_mod.UNetConfig(
+    model_channels=32, channel_mult=(1, 2), num_res_blocks=(1, 1),
+    transformer_depth=(1, 1), context_dim=768, num_heads=4, dtype=jnp.float32,
+)
+
+
+def test_preview_hook_produces_previews_and_progress(tmp_path):
+    """PreviewHook -> _resolve_callback -> ksample: preview PNGs appear and
+    progress lands in (0, 1]."""
+    from lightdiffusion_next_tpu.pipelines.pipeline import _resolve_callback
+
+    model = base_mod.sd15_model(
+        unet_mod.init_params(TINY_UNET, seed=0), cfg=TINY_UNET,
+        dtype=jnp.float32,
+    )
+    clip_params = te.init_params(num_layers=2, width=768, heads=8, seed=2)
+    clip = clip_facade.CLIP(
+        tok.SD1Tokenizer(),
+        te.SD1ClipModel(te.SDClipModel(clip_params, num_layers=2, heads=8)),
+    )
+    encode = clip_facade.CLIPTextEncode()
+    positive = encode.encode(clip, "a cat")
+    negative = encode.encode(clip, "")
+
+    inst = instance_mod.AppInstance(preview_dir=str(tmp_path / "preview"))
+    hook = instance_mod.PreviewHook(inst, every=1)
+    steps = 3
+    cb = _resolve_callback(hook, model.latent_format, steps, None)
+    assert callable(cb)
+
+    ks.ksample(
+        model,
+        seed=1,
+        steps=steps,
+        cfg_scale=7.0,
+        sampler_name="euler",
+        scheduler="normal",
+        positive=positive,
+        negative=negative,
+        latent_image=latent_mod.empty_latent(64, 64, 1),
+        callback=cb,
+    )
+    assert 0.0 < inst.progress.get() <= 1.0
+    previews = inst.get_latest_previews(4)
+    assert previews, "no preview files were written"
+    for p in previews:
+        assert os.path.exists(p) and p.endswith(".png")
+
+
+def test_resolve_callback_passthrough_and_none():
+    from lightdiffusion_next_tpu.pipelines.pipeline import _resolve_callback
+
+    assert _resolve_callback(None, latent_mod.SD15, 20, None) is None
+    raw = lambda info: None  # noqa: E731
+    assert _resolve_callback(raw, latent_mod.SD15, 20, None) is raw
+
+
+def test_webui_generator_injects_preview_hook(monkeypatch, tmp_path):
+    monkeypatch.chdir(tmp_path)  # webui_settings.json lands here
+    from lightdiffusion_next_tpu.app import webui
+    from lightdiffusion_next_tpu.pipelines import pipeline as pipeline_mod
+
+    captured = {}
+
+    def fake_pipeline(output_dir=None, progress_callback=None, **kw):
+        captured["cb"] = progress_callback
+        return [os.path.join(str(tmp_path), "out.png")]
+
+    monkeypatch.setattr(pipeline_mod, "pipeline", fake_pipeline)
+    outputs = list(
+        webui.generate_images_with_preview(
+            output_dir=str(tmp_path), prompt="hello", w=64, h=64
+        )
+    )
+    assert isinstance(captured["cb"], instance_mod.PreviewHook)
+    paths, status = outputs[-1]
+    assert status == "done" and paths
+
+
+def test_cli_preview_flag_parses():
+    from lightdiffusion_next_tpu.app.cli import build_parser
+
+    args = build_parser().parse_args(["a cat", "64", "64", "--preview"])
+    assert args.preview

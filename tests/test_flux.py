@@ -138,6 +138,145 @@ def test_graft_entry_dryrun():
         pytest.skip("needs 8 virtual devices")
     ge.dryrun_multichip(8)
 
+def _quantize_flux_params(params):
+    """Quantize the TP-sharded weight classes to fused-layout Q8_0."""
+    from lightdiffusion_next_tpu.ops import ggml
+
+    qparams = {}
+    for k, v in params.items():
+        v = np.asarray(v, np.float32)
+        if (
+            v.ndim == 2
+            and v.shape[1] % 32 == 0
+            and any(
+                k.endswith(s)
+                for s in (
+                    "attn.qkv.weight", "attn.proj.weight", "mlp.0.weight",
+                    "mlp.2.weight", "linear1.weight", "linear2.weight",
+                )
+            )
+        ):
+            q, s = ggml.quantize_q8_0(v)
+            qparams[k] = ggml.transpose_for_matmul(ggml.QTensor8(q, s, v.shape))
+        else:
+            qparams[k] = jnp.asarray(v)
+    return qparams
+
+
+# TP-test config: big enough that Q8_0 scale rows (K/32) divide over a
+# 4-way model axis (K % 128 == 0 everywhere)
+TINY_TP = flux_mod.FluxConfig(
+    in_channels=4,
+    hidden_size=128,
+    num_heads=4,
+    depth=2,
+    depth_single_blocks=2,
+    axes_dim=(8, 12, 12),
+    context_in_dim=32,
+    vec_in_dim=16,
+)
+
+
+def _tiny_flux_model(params, fbcache=None, cfg=TINY):
+    from lightdiffusion_next_tpu.models import base as base_mod
+    from lightdiffusion_next_tpu.sampling import model_sampling as ms_mod
+    from lightdiffusion_next_tpu.utils import latent as latent_mod
+
+    def apply_fn(p, x, t, context, y=None, guidance=None,
+                 first_block_hook=None, **_):
+        return flux_mod.apply_flux(
+            p, x, t, context, y, guidance=guidance, cfg=cfg,
+            first_block_hook=first_block_hook,
+        )
+
+    opts = {}
+    if fbcache is not None:
+        opts["fbcache"] = fbcache
+    return base_mod.DiffusionModel(
+        apply_fn=apply_fn,
+        params=params,
+        model_sampling=ms_mod.ModelSamplingFlux(),
+        latent_format=latent_mod.FLUX1,
+        config=cfg,
+        model_type="flux",
+        model_options=opts,
+    )
+
+
+def test_flux_tp_inference_ksample_matches_single(rng):
+    """THE multi-chip inference path: a full quantized ksample (euler +
+    FBCache, the real Flux pipeline configuration) over a pure-TP mesh must
+    reproduce the single-device result."""
+    from lightdiffusion_next_tpu.parallel import inference as par_inf
+    from lightdiffusion_next_tpu.sampling import cfg as cfg_mod
+    from lightdiffusion_next_tpu.sampling import fbcache as fb_mod
+    from lightdiffusion_next_tpu.sampling import ksampler as ks
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs virtual multi-device CPU")
+    qparams = _quantize_flux_params(flux_mod.init_params(TINY_TP, seed=4))
+    fbc = fb_mod.FBCacheConfig(0.12)
+    pos = cfg_mod.CondInput(
+        cross_attn=jnp.asarray(
+            rng.standard_normal((1, 8, TINY_TP.context_in_dim)), jnp.float32
+        ),
+        pooled=jnp.asarray(
+            rng.standard_normal((1, TINY_TP.vec_in_dim)), jnp.float32
+        ),
+        guidance=3.5,
+    )
+    latent = jnp.zeros((1, 8, 8, TINY_TP.in_channels), jnp.float32)
+
+    def run(model):
+        return np.asarray(
+            ks.ksample(
+                model,
+                seed=7,
+                steps=4,
+                cfg_scale=1.0,
+                sampler_name="euler",
+                scheduler="beta",
+                positive=pos,
+                negative=None,
+                latent_image=latent,
+            ).latent
+        )
+
+    base = run(_tiny_flux_model(qparams, fbcache=fbc, cfg=TINY_TP))
+    mesh = par_inf.inference_mesh(n_model=4)
+    tp_model = par_inf.shard_flux_model(
+        _tiny_flux_model(qparams, fbcache=fbc, cfg=TINY_TP), mesh
+    )
+    assert tp_model.params["double_blocks.0.img_attn.qkv.weight"].tp
+    out = run(tp_model)
+    np.testing.assert_allclose(out, base, atol=2e-3, rtol=1e-4)
+
+
+def test_qtensor8t_sharded_without_tp_flag_raises(rng):
+    """Backstop for the explicit tp flag: a concretely multi-device QTensor8T
+    reaching the single-device kernel path must fail loudly."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from lightdiffusion_next_tpu.ops import ggml
+    from lightdiffusion_next_tpu.parallel.mesh import make_mesh
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs virtual multi-device CPU")
+    w = rng.standard_normal((256, 256)).astype(np.float32)
+    q, s = ggml.quantize_q8_0(w)
+    qt = ggml.transpose_for_matmul(ggml.QTensor8(q, s, w.shape))
+    mesh = make_mesh(1, 4)
+    bad = ggml.QTensor8T(
+        qt=jax.device_put(qt.qt, NamedSharding(mesh, P(None, "model"))),
+        scales_t=jax.device_put(qt.scales_t, NamedSharding(mesh, P(None, "model"))),
+        shape=qt.shape,
+        tp=False,
+    )
+    x = jnp.asarray(rng.standard_normal((256, 256)), jnp.float32)
+    with pytest.raises(ValueError, match="tp=False"):
+        bad.fused_matmul(x)
+
+
 def test_flux_tp_sharded_quantized_matches_unsharded(rng):
     """Tensor-parallel Flux with Q8_0 fused-layout weights: the structured
     QTensor8T shardings (parallel/sharding.py _quantized_sharding) must

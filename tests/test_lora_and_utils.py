@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import torch
 
 from lightdiffusion_next_tpu.models import lora
@@ -20,6 +21,43 @@ def test_lora_linear_merge_matches_torch(rng):
         torch.tensor(up), torch.tensor(down)
     )
     np.testing.assert_allclose(np.asarray(out["foo.weight"]), oracle.numpy(), atol=1e-5)
+
+
+def test_lora_on_quantized_weight_stays_quantized(rng):
+    """LoRA onto a Q8_0 weight must NOT densify (ADVICE r1): the result is a
+    QTensorLoRA whose compute-time matmul equals the dense merged oracle,
+    and whose base stays int8."""
+    from lightdiffusion_next_tpu.ops import ggml
+
+    w = rng.standard_normal((64, 128)).astype(np.float32)
+    q, s = ggml.quantize_q8_0(w)
+    qt = ggml.transpose_for_matmul(ggml.QTensor8(q, s, w.shape))
+    deq = np.asarray(qt.dequantize(jnp.float32))
+    up = rng.standard_normal((64, 4)).astype(np.float32)
+    down = rng.standard_normal((4, 128)).astype(np.float32)
+    alpha = 2.0
+    params = {"foo.weight": qt}
+    patches = {"foo.weight": (up, down, alpha)}
+    out = lora.apply_lora(params, patches, strength=0.7)
+    patched = out["foo.weight"]
+    assert isinstance(patched, ggml.QTensorLoRA)
+    assert patched.base.qt.dtype == jnp.int8
+
+    x = rng.standard_normal((3, 128)).astype(np.float32)
+    got = np.asarray(patched.fused_matmul(jnp.asarray(x), jnp.float32))
+    oracle = x @ (deq + 0.7 * (alpha / 4) * (up @ down)).T
+    np.testing.assert_allclose(got, oracle, rtol=2e-4, atol=2e-3)
+
+    # stacking a second LoRA chains onto the same quantized base
+    up2 = rng.standard_normal((64, 2)).astype(np.float32)
+    down2 = rng.standard_normal((2, 128)).astype(np.float32)
+    out2 = lora.apply_lora(out, {"foo.weight": (up2, down2, None)}, strength=0.5)
+    stacked = out2["foo.weight"]
+    assert isinstance(stacked, ggml.QTensorLoRA)
+    assert stacked.up.shape == (64, 6)
+    got2 = np.asarray(stacked.fused_matmul(jnp.asarray(x), jnp.float32))
+    oracle2 = oracle + x @ (0.5 * (up2 @ down2)).T
+    np.testing.assert_allclose(got2, oracle2, rtol=2e-4, atol=2e-3)
 
 
 def test_lora_conv_merge_matches_torch(rng):
@@ -115,6 +153,7 @@ def test_save_image_counters(tmp_path, rng):
     assert p2[0].endswith("LD_00002_.png")
 
 
+@pytest.mark.slow
 def test_state_dict_split_and_detect(rng):
     from lightdiffusion_next_tpu.models import unet as unet_mod
 

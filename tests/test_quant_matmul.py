@@ -98,8 +98,23 @@ def test_embedding_lookup_quantized_table(rng):
     t8 = ggml.QTensor8(jnp.asarray(q), jnp.asarray(s), (50, 96))
     deq = np.asarray(t8.dequantize(jnp.float32))
     ids = jnp.asarray([[0, 7, 49], [3, 3, 1]])
-    out = np.asarray(nn.embedding_lookup(ids, t8))
+    # explicit f32 compute dtype: exact dequantized rows
+    out = np.asarray(nn.embedding_lookup(ids, t8, dtype=jnp.float32))
     np.testing.assert_allclose(out, deq[np.asarray(ids)], atol=1e-5)
+    # default: rows cast to bf16 (the reference Embedding's out_dtype cast)
+    out_bf = nn.embedding_lookup(ids, t8)
+    assert out_bf.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(out_bf, np.float32), deq[np.asarray(ids)], rtol=1e-2, atol=2e-2
+    )
+    # a fused-layout table must fail loudly, not crash at trace time
+    t8t = ggml.transpose_for_matmul(
+        ggml.QTensor8(np.asarray(q), np.asarray(s), (50, 96))
+    )
+    import pytest
+
+    with pytest.raises(TypeError, match="embed_keys"):
+        nn.embedding_lookup(ids, t8t)
 
 
 def test_quant_matmul_batched_leading_dims(rng):

@@ -46,7 +46,7 @@ def test_special_tokens(bpe):
 
 
 def test_token_weights_nesting():
-    out = tok.token_weights("a (b) ((c)) (d:1.5)", 1.0)
+    out = tok.parse_prompt_weights("a (b) ((c)) (d:1.5)", 1.0)
     d = {k.strip(): w for k, w in out if k.strip()}
     assert d["a"] == 1.0
     assert d["b"] == pytest.approx(1.1)
@@ -55,9 +55,86 @@ def test_token_weights_nesting():
 
 
 def test_escapes():
-    out = tok.token_weights(tok.escape_important(r"smile \(happy\)"), 1.0)
+    out = tok.parse_prompt_weights(
+        tok.protect_escaped_parens(r"smile \(happy\)"), 1.0
+    )
     assert len(out) == 1
-    assert tok.unescape_important(out[0][0]) == "smile (happy)"
+    assert tok.restore_escaped_parens(out[0][0]) == "smile (happy)"
+
+
+def test_weight_parser_matches_reference_semantics():
+    """Differential check of the group-tree parser against an independent
+    reimplementation of the reference's recursive split (SDToken.py:13-77),
+    over tricky nesting / explicit-weight / malformed inputs."""
+
+    def oracle_split(s):
+        res, cur, depth = [], "", 0
+        for ch in s:
+            if ch == "(":
+                if depth == 0:
+                    if cur:
+                        res.append(cur)
+                    cur = "("
+                else:
+                    cur += ch
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    res.append(cur + ")")
+                    cur = ""
+                else:
+                    cur += ch
+            else:
+                cur += ch
+        if cur:
+            res.append(cur)
+        return res
+
+    def oracle(s, w):
+        out = []
+        for x in oracle_split(s):
+            weight = w
+            if len(x) >= 2 and x[0] == "(" and x[-1] == ")":
+                x = x[1:-1]
+                pos = x.rfind(":")
+                weight *= 1.1
+                if pos > 0:
+                    try:
+                        weight = float(x[pos + 1 :])
+                        x = x[:pos]
+                    except ValueError:
+                        pass
+                out += oracle(x, weight)
+            else:
+                out.append((x, w))
+        return out
+
+    cases = [
+        "plain text",
+        "(a)",
+        "((a))",
+        "(a:1.5)",
+        "(a:2 b)",
+        "(a (b:2) c)",
+        "(a (b) c:2.0)",
+        "((b):2)",
+        "(a:)",
+        "(:2)",
+        "(a (b:2))",
+        "(a:1.5 (b))",
+        "text (mid:0.8) tail",
+        "(nested (deep (deeper:3)))",
+        "(a, b:1.25), c",
+        "()",
+        "(a:nan_not_float)",
+        "(unclosed",
+        "trail (x:2",
+    ]
+    for s in cases:
+        got = [(t, round(w, 9)) for t, w in tok.parse_prompt_weights(s, 1.0)]
+        want = [(t, round(w, 9)) for t, w in oracle(s, 1.0)]
+        assert got == want, (s, got, want)
 
 
 def test_tokenize_with_weights_structure(bpe):

@@ -3,6 +3,7 @@ tiny-config end-to-end forward."""
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import torch
 import torch.nn.functional as F
 
@@ -34,6 +35,7 @@ def test_sd15_plan_structure():
     assert output_blocks[11][0].in_ch == 320 + 320  # level-0 ch + conv_in skip
 
 
+@pytest.mark.slow
 def test_sd15_param_keys_match_checkpoint_layout():
     params = unet.init_params(unet.SD15_CONFIG, seed=0, dtype=jnp.float32)
     # SD1.5 diffusion_model has 686 tensors
