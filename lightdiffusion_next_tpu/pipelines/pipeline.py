@@ -365,6 +365,10 @@ def _img2img_usdu(image_path, autohdr, saver, realistic_model, progress_callback
         sampler_name="dpmpp_2m_cfgpp",
         scheduler="karras",
         denoise=0.3,
+        callback=_resolve_callback(
+            progress_callback, model.latent_format, 8,
+            "taesd_decoder.safetensors",
+        ),
     )
     if autohdr:
         out = hdr_mod.apply_hdr_batch(out)

@@ -2,18 +2,41 @@
 
 Counterpart of src/UltimateSDUpscale/UltimateSDUpscale.py (USDUpscaler /
 USDURedraw.linear_process :493-526 / USDUSeamsFix.half_tile_process
-:557-650 / process_images :126-245) and image_util.crop_cond (:288).
+:557-650 / process_images :126-245) and image_util (get_crop_region :206,
+expand_crop :248).
 
-TPU design: every tile is processed at ONE static (tile_h, tile_w) shape —
-crop regions are expanded/clamped to the fixed size instead of resized
-per-tile, so the denoiser compiles once for the whole grid (the reference
-re-runs torch at whatever crop size falls out; under XLA that would be a
-recompile per tile).
+Behavioral notes vs the reference:
+- Each redraw tile is denoised on a PADDED crop: the tile rectangle grown
+  by ``padding`` then expanded to the model aspect/target size
+  (ceil((tile+padding)/8)*8 per the reference's init_draw override,
+  UltimateSDUpscale.py:842-843), so neighboring tiles overlap in context;
+  only the blurred tile rectangle is composited back.
+- The seam pass runs at the plain tile size with its own ``seam_fix_denoise``
+  and ``seam_fix_padding`` (half_tile_process :612-650); its gradient band
+  crop is downscaled from the padded region to the tile size like the
+  reference's LANCZOS resize (bilinear here; declared delta).
+- ``seam_fix_width`` and ``force_uniform_tiles`` are accepted for API
+  parity but are DEAD IN THE REFERENCE TOO: Script.start always runs
+  half-tile (seam_fix_width only matters to the unimplemented Band Pass
+  mode, :528-541/:653-663) and force_uniform_tiles is stored but never
+  read (:988). Same for redraw mode "Chess" (start always linear, :541).
+- crop_cond (image_util.py:288-308) is an IDENTITY copy in the reference
+  (the area-cropping machinery was stripped), so conditioning is passed
+  through unchanged — that IS parity, not a gap.
+- Mask feathering is a cumulative-sum box blur standing in for PIL
+  GaussianBlur (declared delta; same visual role).
+
+TPU design: every redraw tile is denoised at ONE static (model_h, model_w)
+shape and every seam tile at (tile_h, tile_w) — edge crops are resized to
+the static shape instead of re-tracing at arbitrary sizes, so the whole
+grid reuses two compiled programs (the reference re-runs torch at whatever
+crop size falls out; under XLA that would be a recompile per tile).
 """
 
 from __future__ import annotations
 
 import dataclasses
+import math
 from typing import Optional, Tuple
 
 import numpy as np
@@ -29,32 +52,83 @@ class USDUConfig:
     mask_blur: int = 8
     padding: int = 32
     seam_fix_mode: str = "half_tile"  # "none" | "half_tile"
+    seam_fix_denoise: float = 0.2
+    seam_fix_mask_blur: int = 16
+    seam_fix_padding: int = 32
+    # accepted for parity; dead in the reference too (module docstring)
     seam_fix_width: int = 64
-    seam_fix_mask_blur: int = 8
-    seam_fix_padding: int = 16
     force_uniform_tiles: bool = True
 
 
+def _box_blur_1d(arr: np.ndarray, radius: int, axis: int) -> np.ndarray:
+    """Mean filter via cumulative sums with edge clamping (window 2r+1)."""
+    if radius <= 0:
+        return arr
+    arr = np.moveaxis(arr, axis, 0)
+    n = arr.shape[0]
+    csum = np.cumsum(arr, axis=0, dtype=np.float64)
+    csum = np.concatenate([np.zeros_like(csum[:1]), csum], axis=0)
+    idx = np.arange(n)
+    hi = np.minimum(idx + radius + 1, n)
+    lo = np.maximum(idx - radius, 0)
+    out = (csum[hi] - csum[lo]) / (hi - lo).reshape((-1,) + (1,) * (arr.ndim - 1))
+    return np.moveaxis(out.astype(np.float32), 0, axis)
+
+
 def _feather(mask: np.ndarray, blur: int) -> np.ndarray:
-    """Box-blur feathering of a binary mask (stand-in for the reference's
-    PIL GaussianBlur; same visual role)."""
+    """Separable box blur of a mask (GaussianBlur stand-in)."""
     if blur <= 0:
-        return mask
-    k = 2 * blur + 1
-    # separable two-pass mean filter ~ gaussian
-    out = mask.astype(np.float32)
-    for axis in (0, 1):
-        kernel = np.ones(k, dtype=np.float32) / k
-        out = np.apply_along_axis(
-            lambda m: np.convolve(m, kernel, mode="same"), axis, out
-        )
+        return mask.astype(np.float32)
+    out = _box_blur_1d(mask.astype(np.float32), blur, 0)
+    out = _box_blur_1d(out, blur, 1)
     return np.clip(out, 0.0, 1.0)
 
 
-def _clamp_region(x0: int, y0: int, tw: int, th: int, W: int, H: int):
-    x0 = max(0, min(x0, W - tw))
-    y0 = max(0, min(y0, H - th))
-    return x0, y0
+def expand_region(
+    region: Tuple[int, int, int, int],
+    W: int,
+    H: int,
+    target_w: int,
+    target_h: int,
+) -> Tuple[int, int, int, int]:
+    """Grow a region to (target_w, target_h) inside the image, spilling the
+    unplaceable half to the other side (expand_crop semantics,
+    image_util.py:248-285)."""
+    x1, y1, x2, y2 = region
+    x2 = min(x2 + (target_w - (x2 - x1)) // 2, W)
+    x1 = max(x1 - (target_w - (x2 - x1)), 0)
+    x2 = min(x2 + (target_w - (x2 - x1)), W)
+    y2 = min(y2 + (target_h - (y2 - y1)) // 2, H)
+    y1 = max(y1 - (target_h - (y2 - y1)), 0)
+    y2 = min(y2 + (target_h - (y2 - y1)), H)
+    return x1, y1, x2, y2
+
+
+def region_for_rect(
+    rect: Tuple[int, int, int, int],
+    W: int,
+    H: int,
+    pad: int,
+    model_w: int,
+    model_h: int,
+) -> Tuple[int, int, int, int]:
+    """Tile rectangle -> denoise crop region: pad (get_crop_region,
+    image_util.py:206-226), match the model aspect, expand in-image
+    (process_images, UltimateSDUpscale.py:143-165)."""
+    x1 = max(rect[0] - pad, 0)
+    y1 = max(rect[1] - pad, 0)
+    x2 = min(rect[2] + pad, W)
+    y2 = min(rect[3] + pad, H)
+    cw, ch = x2 - x1, y2 - y1
+    p_ratio = model_w / model_h
+    if cw / max(ch, 1) > p_ratio:
+        target_w, target_h = cw, round(cw / p_ratio)
+    else:
+        target_w, target_h = round(ch * p_ratio), ch
+    # never smaller than the model shape (interior tiles land exactly on it)
+    target_w = max(target_w, min(model_w, W))
+    target_h = max(target_h, min(model_h, H))
+    return expand_region((x1, y1, x2, y2), W, H, target_w, target_h)
 
 
 class UltimateSDUpscale:
@@ -76,28 +150,40 @@ class UltimateSDUpscale:
             up = image
         # resize to the exact requested factor (ESRGAN is x4; USDU rescales)
         if up.shape[1] != target_h or up.shape[2] != target_w:
-            import jax.numpy as jnp
-
-            from lightdiffusion_next_tpu.ops import nn
-
-            up = np.asarray(
-                nn.interpolate_bilinear(jnp.asarray(up), (target_h, target_w))
-            )
+            up = self._resize(up, target_h, target_w)
         return np.clip(up, 0.0, 1.0)
 
-    # --- step 2: per-tile img2img (process_images parity, :126-245) ---
-    def _tile_dims(self, image: np.ndarray):
-        """Tile size clamped to the image (the reference's crop regions are
-        clamped the same way in process_images, UltimateSDUpscale.py:126)."""
-        H, W = image.shape[1:3]
-        return min(self.cfg.tile_height, H), min(self.cfg.tile_width, W)
+    @staticmethod
+    def _resize(img: np.ndarray, h: int, w: int) -> np.ndarray:
+        import jax.numpy as jnp
 
-    def _process_tile(
+        from lightdiffusion_next_tpu.ops import nn
+
+        return np.asarray(nn.interpolate_bilinear(jnp.asarray(img), (h, w)))
+
+    def _model_tile(self, image: np.ndarray, pad: int) -> Tuple[int, int]:
+        """Static denoise shape: ceil((tile+padding)/8)*8, clamped to the
+        image (UltimateSDUpscale.py:842-843)."""
+        H, W = image.shape[1:3]
+        mh = math.ceil((self.cfg.tile_height + pad) / 8) * 8
+        mw = math.ceil((self.cfg.tile_width + pad) / 8) * 8
+        return min(mh, H // 8 * 8 or H), min(mw, W // 8 * 8 or W)
+
+    def _grid(self, image: np.ndarray) -> Tuple[int, int]:
+        """rows/cols over the CONFIG tile size (USDUpscaler, :303-304)."""
+        H, W = image.shape[1:3]
+        return (
+            max(1, math.ceil(H / self.cfg.tile_height)),
+            max(1, math.ceil(W / self.cfg.tile_width)),
+        )
+
+    def _process_region(
         self,
         image: np.ndarray,
-        x0: int,
-        y0: int,
-        mask: np.ndarray,
+        mask_full: np.ndarray,  # (H, W) feathered composite mask
+        rect: Tuple[int, int, int, int],  # mask bounding rect (x1,y1,x2,y2)
+        model_hw: Tuple[int, int],
+        pad: int,
         positive,
         negative,
         seed: int,
@@ -106,15 +192,20 @@ class UltimateSDUpscale:
         sampler_name: str,
         scheduler: str,
         denoise: float,
+        callback=None,
     ) -> np.ndarray:
+        """One tile: padded crop -> (resize) -> encode -> ksample -> decode
+        -> (resize back) -> masked composite (process_images parity)."""
         import jax.numpy as jnp
 
-        th, tw = self._tile_dims(image)
         H, W = image.shape[1:3]
-        x0, y0 = _clamp_region(x0, y0, tw, th, W, H)
-        crop = image[:, y0 : y0 + th, x0 : x0 + tw, :]
+        mh, mw = model_hw
+        x1, y1, x2, y2 = region_for_rect(rect, W, H, pad, mw, mh)
+        crop = image[:, y1:y2, x1:x2, :]
+        resized = crop.shape[1:3] != (mh, mw)
+        crop_in = self._resize(crop, mh, mw) if resized else crop
 
-        latent = self.vae.encode(jnp.asarray(crop))
+        latent = self.vae.encode(jnp.asarray(crop_in))
         result = ks.ksample(
             self.model,
             seed=seed,
@@ -126,48 +217,63 @@ class UltimateSDUpscale:
             negative=negative,
             latent_image=latent,
             denoise=denoise,
+            callback=callback,
         )
         decoded = np.asarray(self.vae.decode(result.latent))
-        m = mask[None, :, :, None]
+        if resized:
+            decoded = self._resize(decoded, y2 - y1, x2 - x1)
+
+        m = mask_full[y1:y2, x1:x2][None, :, :, None]
         out = image.copy()
-        out[:, y0 : y0 + th, x0 : x0 + tw, :] = (
-            decoded * m + crop * (1.0 - m)
-        )
+        out[:, y1:y2, x1:x2, :] = decoded * m + crop * (1.0 - m)
         return out
 
     def redraw(
         self, image: np.ndarray, positive, negative, seed, steps, cfg_scale,
-        sampler_name, scheduler, denoise,
+        sampler_name, scheduler, denoise, callback=None,
     ) -> np.ndarray:
-        """Linear per-tile redraw (USDURedraw.linear_process, :493-526)."""
+        """Linear per-tile redraw (USDURedraw.linear_process, :493-526):
+        each tile rectangle is masked, feathered, and denoised on its
+        padded crop region."""
         H, W = image.shape[1:3]
-        th, tw = self._tile_dims(image)
-        rows = max(1, -(-H // th))
-        cols = max(1, -(-W // tw))
-        base_mask = _feather(np.ones((th, tw), dtype=np.float32), self.cfg.mask_blur)
+        rows, cols = self._grid(image)
+        model_hw = self._model_tile(image, self.cfg.padding)
         for yi in range(rows):
             for xi in range(cols):
-                image = self._process_tile(
-                    image, xi * tw, yi * th, base_mask, positive, negative,
-                    seed, steps, cfg_scale, sampler_name, scheduler, denoise,
+                rect = (
+                    xi * self.cfg.tile_width,
+                    yi * self.cfg.tile_height,
+                    min((xi + 1) * self.cfg.tile_width, W),
+                    min((yi + 1) * self.cfg.tile_height, H),
+                )
+                if rect[0] >= rect[2] or rect[1] >= rect[3]:
+                    continue
+                mask = np.zeros((H, W), dtype=np.float32)
+                mask[rect[1] : rect[3], rect[0] : rect[2]] = 1.0
+                mask = _feather(mask, self.cfg.mask_blur)
+                image = self._process_region(
+                    image, mask, rect, model_hw, self.cfg.padding, positive,
+                    negative, seed, steps, cfg_scale, sampler_name, scheduler,
+                    denoise, callback,
                 )
         return image
 
     def seam_fix(
         self, image: np.ndarray, positive, negative, seed, steps, cfg_scale,
-        sampler_name, scheduler, denoise,
+        sampler_name, scheduler, callback=None,
     ) -> np.ndarray:
-        """Half-tile offset pass with gradient band masks
-        (USDUSeamsFix.half_tile_process, :557-650)."""
+        """Half-tile offset pass with gradient band masks and its own
+        denoise/padding (USDUSeamsFix.half_tile_process, :557-650)."""
         if self.cfg.seam_fix_mode == "none":
             return image
         H, W = image.shape[1:3]
-        th, tw = self._tile_dims(image)
-        rows = max(1, -(-H // th))
-        cols = max(1, -(-W // tw))
+        rows, cols = self._grid(image)
+        tw = min(self.cfg.tile_width, W)
+        th = min(self.cfg.tile_height, H)
+        model_hw = (th // 8 * 8 or th, tw // 8 * 8 or tw)
+        denoise = self.cfg.seam_fix_denoise
 
-        # seam gradients: triangular band peaking at the tile center
-        def tri(n):
+        def tri(n: int) -> np.ndarray:
             return np.concatenate(
                 [
                     np.linspace(0, 1, n // 2, dtype=np.float32),
@@ -175,28 +281,36 @@ class UltimateSDUpscale:
                 ]
             )
 
-        v_mask = _feather(
-            np.tile(tri(tw)[None, :], (th, 1)), self.cfg.seam_fix_mask_blur
-        )
-        h_mask = _feather(
-            np.tile(tri(th)[:, None], (1, tw)), self.cfg.seam_fix_mask_blur
-        )
+        def band_pass(rect, band: np.ndarray):
+            x1, y1, x2, y2 = rect
+            if x1 >= x2 or y1 >= y2:
+                return image
+            mask = np.zeros((H, W), dtype=np.float32)
+            mask[y1:y2, x1:x2] = band[: y2 - y1, : x2 - x1]
+            mask = _feather(mask, self.cfg.seam_fix_mask_blur)
+            return self._process_region(
+                image, mask, rect, model_hw, self.cfg.seam_fix_padding,
+                positive, negative, seed, steps, cfg_scale, sampler_name,
+                scheduler, denoise, callback,
+            )
 
-        # vertical seams (between columns): offset by half tile in x
-        for yi in range(rows):
-            for xi in range(cols - 1):
-                image = self._process_tile(
-                    image, xi * tw + tw // 2, yi * th, v_mask, positive,
-                    negative, seed, steps, cfg_scale, sampler_name, scheduler,
-                    denoise,
-                )
-        # horizontal seams: offset by half tile in y
+        # horizontal seams (between rows): band peaks along y
+        h_band = np.tile(tri(th)[:, None], (1, tw))
         for yi in range(rows - 1):
             for xi in range(cols):
-                image = self._process_tile(
-                    image, xi * tw, yi * th + th // 2, h_mask, positive,
-                    negative, seed, steps, cfg_scale, sampler_name, scheduler,
-                    denoise,
+                x1 = xi * self.cfg.tile_width
+                y1 = yi * self.cfg.tile_height + self.cfg.tile_height // 2
+                image = band_pass(
+                    (x1, y1, min(x1 + tw, W), min(y1 + th, H)), h_band
+                )
+        # vertical seams (between columns): band peaks along x
+        v_band = np.tile(tri(tw)[None, :], (th, 1))
+        for yi in range(rows):
+            for xi in range(cols - 1):
+                x1 = xi * self.cfg.tile_width + self.cfg.tile_width // 2
+                y1 = yi * self.cfg.tile_height
+                image = band_pass(
+                    (x1, y1, min(x1 + tw, W), min(y1 + th, H)), v_band
                 )
         return image
 
@@ -211,15 +325,16 @@ class UltimateSDUpscale:
         sampler_name: str = "dpmpp_2m_cfgpp",
         scheduler: str = "karras",
         denoise: float = 0.3,
+        callback=None,
     ) -> np.ndarray:
         """Full USDU: upscale -> redraw -> seam fix (facade :900)."""
         image = self.model_upscale(np.asarray(image, dtype=np.float32))
         image = self.redraw(
             image, positive, negative, seed, steps, cfg_scale, sampler_name,
-            scheduler, denoise,
+            scheduler, denoise, callback,
         )
         image = self.seam_fix(
             image, positive, negative, seed, steps, cfg_scale, sampler_name,
-            scheduler, denoise,
+            scheduler, callback,
         )
         return image
