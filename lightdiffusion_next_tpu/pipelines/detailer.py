@@ -43,9 +43,58 @@ class SEG:
 # ---------------------------------------------------------------------------
 
 
+def _resize_mask(mask: np.ndarray, h: int, w: int) -> np.ndarray:
+    if mask.shape == (h, w):
+        return mask.astype(np.float32)
+    import jax.numpy as jnp
+
+    from lightdiffusion_next_tpu.ops import nn
+
+    out = nn.interpolate_bilinear(
+        jnp.asarray(mask, dtype=jnp.float32)[None, :, :, None], (h, w)
+    )
+    return np.asarray(out)[0, :, :, 0]
+
+
+def segs_from_yolo_result(result, h: int, w: int) -> List[SEG]:
+    """Ultralytics result -> SEG list.
+
+    Uses the model's SEGMENTATION masks when it provides them (the default
+    person_yolov8m-seg IS a seg model), falling back to bbox rectangle
+    fill. NOTE: this is deliberately BETTER than the reference, whose
+    inference_bbox rectangle-fills even for seg models (AD_util.py:54-58;
+    its UltraSegmDetector is an empty stub, bbox.py:103-115) — rectangle
+    masks inpaint background around people/faces."""
+    boxes = np.asarray(result.boxes.xyxy.cpu().numpy())
+    confs = np.asarray(result.boxes.conf.cpu().numpy())
+    seg_masks = None
+    masks = getattr(result, "masks", None)
+    if masks is not None:
+        try:
+            seg_masks = np.asarray(masks.data.cpu().numpy())
+        except Exception:
+            seg_masks = None
+
+    segs: List[SEG] = []
+    for i, (box, conf) in enumerate(zip(boxes, confs)):
+        x0, y0, x1, y1 = (int(v) for v in box)
+        mask = None
+        if seg_masks is not None and i < len(seg_masks):
+            m = _resize_mask(seg_masks[i], h, w)
+            m = (m > 0.5).astype(np.float32)
+            if m.any():
+                mask = m
+        if mask is None:  # bbox fill (inference_bbox parity)
+            mask = np.zeros((h, w), dtype=np.float32)
+            mask[y0:y1, x0:x1] = 1.0
+        segs.append(SEG((x0, y0, x1, y1), (x0, y0, x1, y1), mask, float(conf)))
+    return segs
+
+
 class UltralyticsDetector:
-    """YOLO bbox/segm detector (bbox.py:20-122, AD_util.inference_bbox
-    parity). Requires the optional `ultralytics` package."""
+    """YOLO detector (bbox.py:20-122 / AD_util.inference_bbox counterpart,
+    with real segm-mask support — see segs_from_yolo_result). Requires the
+    optional `ultralytics` package."""
 
     def __init__(self, model_path: str):
         try:
@@ -63,16 +112,8 @@ class UltralyticsDetector:
             np.clip(np.asarray(image[0]) * 255, 0, 255).astype(np.uint8)
         )
         pred = self.model(pil, conf=threshold)
-        segs = []
         h, w = image.shape[1:3]
-        for box, conf in zip(
-            pred[0].boxes.xyxy.cpu().numpy(), pred[0].boxes.conf.cpu().numpy()
-        ):
-            x0, y0, x1, y1 = (int(v) for v in box)
-            mask = np.zeros((h, w), dtype=np.float32)
-            mask[y0:y1, x0:x1] = 1.0
-            segs.append(SEG((x0, y0, x1, y1), (x0, y0, x1, y1), mask, float(conf)))
-        return segs
+        return segs_from_yolo_result(pred[0], h, w)
 
 
 class StaticMaskDetector:

@@ -380,14 +380,58 @@ def _img2img_usdu(image_path, autohdr, saver, realistic_model, progress_callback
 # ---------------------------------------------------------------------------
 
 
-def _flux_txt2img(prompt, w, h, batch, autohdr, saver, progress_callback):
-    import jax.numpy as jnp
+def _get_flux_models(unet_path, t5_path, clip_l_path, ae_path, mesh=None):
+    """Load (or fetch cached) flux model + VAE + text encoders.
 
+    Everything is keyed in the session ModelCache by path+mtime so a second
+    generation re-reads NOTHING from disk (the reference keeps these
+    resident between generations, src/Device/ModelCache.py:34-62; round 1
+    re-read the 12B GGUF per image)."""
     from lightdiffusion_next_tpu.models import vae as vae_mod
     from lightdiffusion_next_tpu.models.clip import t5 as t5_mod
     from lightdiffusion_next_tpu.models.clip import text_encoder as te
     from lightdiffusion_next_tpu.ops import ggml
     from lightdiffusion_next_tpu.utils import state_dict as sd_utils
+
+    cache = loader.get_model_cache()
+
+    # a TP-sharded model is a different resident object than the single-chip
+    # one; key it by the mesh layout
+    unet_key = unet_path if mesh is None else (
+        f"{unet_path}::mesh{tuple(mesh.shape.values())}"
+    )
+    model = cache.get(unet_key)
+    if model is None:
+        model = loader.load_diffusion_model_gguf(unet_path, mesh=mesh)
+        model = model.with_options(fbcache=fb_mod.FBCacheConfig(0.120))
+        cache.put(unet_key, model)
+
+    vae = cache.get(ae_path)
+    if vae is None:
+        vae = vae_mod.VAE(
+            sd_utils.convs_to_hwio(sd_utils.load_torch_file(ae_path)),
+            cfg=vae_mod.FLUX_AE,
+        )
+        cache.put(ae_path, vae)
+
+    t5_model = cache.get(t5_path)
+    if t5_model is None:
+        import jax.numpy as jnp
+
+        t5_params = ggml.to_device_quantized(ggml.gguf_clip_loader(t5_path))
+        t5_model = t5_mod.T5XXLModel(t5_params, compute_dtype=jnp.bfloat16)
+        cache.put(t5_path, t5_model)
+
+    clip_model = cache.get(clip_l_path)
+    if clip_model is None:
+        clip_model = te.SDClipModel(sd_utils.load_torch_file(clip_l_path))
+        cache.put(clip_l_path, clip_model)
+
+    return model, vae, t5_model, clip_model
+
+
+def _flux_txt2img(prompt, w, h, batch, autohdr, saver, progress_callback):
+    import jax.numpy as jnp
 
     downloader.check_and_download_flux()
 
@@ -399,17 +443,24 @@ def _flux_txt2img(prompt, w, h, batch, autohdr, saver, progress_callback):
         if not os.path.exists(p):
             raise FileNotFoundError(f"flux asset missing: {p}")
 
-    model = loader.load_diffusion_model_gguf(unet_path)
-    model = model.with_options(fbcache=fb_mod.FBCacheConfig(0.120))
+    # multi-chip: shard the 12B DiT tensor-parallel over every device
+    # (pure-TP (1, N) mesh; set LDT_FLUX_TP=off to force single-chip)
+    mesh = None
+    if os.environ.get("LDT_FLUX_TP", "auto") != "off":
+        import jax
 
-    vae = vae_mod.VAE(
-        sd_utils.convs_to_hwio(sd_utils.load_torch_file(ae_path)),
-        cfg=vae_mod.FLUX_AE,
+        if len(jax.devices()) > 1:
+            from lightdiffusion_next_tpu.parallel import inference as par_inf
+
+            mesh = par_inf.inference_mesh(n_model=len(jax.devices()))
+
+    model, vae, t5_model, clip_model = _get_flux_models(
+        unet_path, t5_path, clip_l_path, ae_path, mesh=mesh
     )
 
     # dual text encode (CLIPTextEncodeFlux, Quantizer.py:960-991)
     positive = encode_flux_conditioning(
-        prompt, prompt, guidance=3.0, t5_path=t5_path, clip_l_path=clip_l_path
+        prompt, prompt, guidance=3.0, t5_model=t5_model, clip_model=clip_model
     )
     negative = dataclasses.replace(  # ConditioningZeroOut (Quantizer.py:993)
         positive,
@@ -444,11 +495,16 @@ def encode_flux_conditioning(
     clip_l_text: str,
     t5xxl_text: str,
     guidance: float = 3.0,
+    t5_model=None,
+    clip_model=None,
     t5_path: Optional[str] = None,
     clip_l_path: Optional[str] = None,
 ) -> cfg_mod.CondInput:
     """FluxClipModel.encode_token_weights parity (FluxClip.py:704-755):
-    T5 sequence as cross-attn context + CLIP-L projected pooled vector."""
+    T5 sequence as cross-attn context + CLIP-L projected pooled vector.
+    Pass resident models (``t5_model``/``clip_model``, from
+    _get_flux_models); the path arguments load-on-the-spot for one-shot
+    callers."""
     import jax.numpy as jnp
 
     from lightdiffusion_next_tpu.models.clip import t5 as t5_mod
@@ -457,17 +513,18 @@ def encode_flux_conditioning(
     from lightdiffusion_next_tpu.ops import ggml
     from lightdiffusion_next_tpu.utils import state_dict as sd_utils
 
+    if clip_model is None:
+        clip_model = te.SDClipModel(sd_utils.load_torch_file(clip_l_path))
+    if t5_model is None:
+        t5_params = ggml.to_device_quantized(ggml.gguf_clip_loader(t5_path))
+        t5_model = t5_mod.T5XXLModel(t5_params, compute_dtype=jnp.bfloat16)
+
     # CLIP-L pooled
-    clip_sd = sd_utils.load_torch_file(clip_l_path)
-    clip_model = te.SDClipModel(clip_sd)
     bpe = tok.SDTokenizer()
     clip_rows = bpe.tokenize_with_weights(clip_l_text)
     _, pooled = clip_model.encode_token_weights(clip_rows)
 
     # T5 sequence (min_length 256, no max padding — T5XXLTokenizer parity)
-    t5_sd = ggml.gguf_clip_loader(t5_path)
-    t5_params = ggml.to_device_quantized(t5_sd)
-    t5_model = t5_mod.T5XXLModel(t5_params)
     t5_tok = flux_t5_tokenize(t5xxl_text)
     t5_out, _ = t5_model.encode_token_weights([t5_tok])
 
@@ -479,37 +536,56 @@ def encode_flux_conditioning(
 
 
 def flux_t5_tokenize(text: str, min_length: int = 256):
-    """T5 tokenization (T5XXLTokenizer parity, FluxClip.py:593-644): pad with
-    zeros to min_length, end token 1. Requires sentencepiece + the spiece
-    model asset; both are deploy-time assets like the weights."""
-    ids = None
-    # preferred: HF tokenizers fast file (deploy asset, offline)
-    tok_json = os.path.join(_config.asset_root(), "clip", "t5_tokenizer.json")
-    if os.path.exists(tok_json):
-        try:
-            from tokenizers import Tokenizer
+    """T5 tokenization (T5XXLTokenizer parity, FluxClip.py:593-644): pad
+    with zeros to min_length, end token 1.
 
-            ids = Tokenizer.from_file(tok_json).encode(text).ids
-        except Exception:
-            ids = None
-    if ids is None:
-        spiece = os.path.join(_config.asset_root(), "clip", "spiece.model")
-        try:
-            import sentencepiece as spm
-
-            sp = spm.SentencePieceProcessor(model_file=spiece)
-            ids = sp.encode(text)
-        except Exception:
-            # degraded fallback: whitespace hashing into the t5 vocab space —
-            # keeps the pipeline runnable without the tokenizer asset
-            # (conditioning quality obviously suffers; a warning is logged).
-            import logging
-
-            logging.warning(
-                "T5 tokenizer assets unavailable; using hash tokenizer"
-            )
-            ids = [abs(hash(tk)) % 32000 for tk in text.lower().split()]
+    The T5 tokenizer JSON is VENDORED under assets/tokenizer/t5 (public
+    vocabulary data, same status as the vendored CLIP vocab — the reference
+    vendors the identical file at src/clip/clip/t5_tokenizer). A user-
+    provided asset-root copy takes precedence. Without any tokenizer this
+    raises — hash-tokenized prompts produce garbage conditioning — unless
+    LDT_ALLOW_DEGRADED_TOKENIZER=1 explicitly opts into the fallback."""
+    ids = _t5_encode_ids(text)
+    if ids and ids[-1] == 1:  # tokenizer post-processor already added </s>
+        ids = ids[:-1]
     ids = ids[: min_length - 1] + [1]
     row = [(t, 1.0) for t in ids]
     row += [(0, 1.0)] * (min_length - len(row))
     return row
+
+
+def _t5_encode_ids(text: str):
+    candidates = [
+        os.path.join(_config.asset_root(), "clip", "t5_tokenizer.json"),
+        _config.repo_asset("tokenizer", "t5", "tokenizer.json"),
+    ]
+    for tok_json in candidates:
+        if os.path.exists(tok_json):
+            try:
+                from tokenizers import Tokenizer
+
+                return Tokenizer.from_file(tok_json).encode(text).ids
+            except Exception:
+                continue
+    spiece = os.path.join(_config.asset_root(), "clip", "spiece.model")
+    if os.path.exists(spiece):
+        try:
+            import sentencepiece as spm
+
+            sp = spm.SentencePieceProcessor(model_file=spiece)
+            return list(sp.encode(text))
+        except Exception:
+            pass
+    if os.environ.get("LDT_ALLOW_DEGRADED_TOKENIZER") == "1":
+        import logging
+
+        logging.warning(
+            "T5 tokenizer assets unavailable; using DEGRADED hash tokenizer"
+        )
+        return [abs(hash(tk)) % 32000 for tk in text.lower().split()]
+    raise RuntimeError(
+        "no T5 tokenizer available (looked for the vendored "
+        "assets/tokenizer/t5/tokenizer.json, <asset_root>/clip/"
+        "t5_tokenizer.json and spiece.model). Set "
+        "LDT_ALLOW_DEGRADED_TOKENIZER=1 to force the hash fallback."
+    )

@@ -1,0 +1,90 @@
+"""ADetailer mask extraction: YOLO segm masks are used when present
+(non-rectangular), bbox rectangle fill otherwise (reference behavior:
+AD_util.inference_bbox :29-67 rectangle-fills always; we improve on it)."""
+
+import numpy as np
+
+from lightdiffusion_next_tpu.pipelines.detailer import (
+    SEG,
+    dilate_masks,
+    segs_from_yolo_result,
+)
+
+
+class _T:
+    """torch-tensor stand-in with .cpu().numpy()."""
+
+    def __init__(self, arr):
+        self._arr = np.asarray(arr)
+
+    def cpu(self):
+        return self
+
+    def numpy(self):
+        return self._arr
+
+
+class _Boxes:
+    def __init__(self, xyxy, conf):
+        self.xyxy = _T(xyxy)
+        self.conf = _T(conf)
+
+
+class _Masks:
+    def __init__(self, data):
+        self.data = _T(data)
+
+
+class _Result:
+    def __init__(self, xyxy, conf, masks=None):
+        self.boxes = _Boxes(xyxy, conf)
+        self.masks = masks
+
+
+def test_segm_masks_produce_non_rectangular_mask():
+    h = w = 64
+    # a filled circle as the instance mask, at half model resolution
+    yy, xx = np.mgrid[0:32, 0:32]
+    circle = (((yy - 16) ** 2 + (xx - 16) ** 2) <= 10**2).astype(np.float32)
+    res = _Result(
+        xyxy=[[8.0, 8.0, 56.0, 56.0]],
+        conf=[0.9],
+        masks=_Masks(circle[None]),
+    )
+    (seg,) = segs_from_yolo_result(res, h, w)
+    assert seg.bbox == (8, 8, 56, 56)
+    mask = seg.mask
+    assert mask.shape == (h, w)
+    # non-rectangular: the bbox corners are NOT covered but the center is
+    assert mask[32, 32] == 1.0
+    assert mask[9, 9] == 0.0 and mask[54, 54] == 0.0
+    # roughly circular area (pi*r^2 scaled 2x = ~1257), not bbox area (2304)
+    area = mask.sum()
+    assert 800 < area < 1800, area
+
+
+def test_bbox_fallback_without_masks():
+    (seg,) = segs_from_yolo_result(
+        _Result(xyxy=[[4.0, 6.0, 20.0, 30.0]], conf=[0.7]), 64, 64
+    )
+    assert seg.mask[7, 5] == 1.0 and seg.mask[5, 5] == 0.0
+    assert seg.mask.sum() == (20 - 4) * (30 - 6)
+    assert seg.confidence == np.float32(0.7)
+
+
+def test_empty_segm_mask_falls_back_to_bbox():
+    res = _Result(
+        xyxy=[[4.0, 4.0, 12.0, 12.0]],
+        conf=[0.5],
+        masks=_Masks(np.zeros((1, 64, 64), np.float32)),
+    )
+    (seg,) = segs_from_yolo_result(res, 64, 64)
+    assert seg.mask.sum() == 64.0  # 8x8 bbox fill
+
+
+def test_dilate_non_rectangular_mask_grows():
+    m = np.zeros((32, 32), np.float32)
+    m[16, 16] = 1.0
+    (seg,) = dilate_masks([SEG((15, 15, 17, 17), (15, 15, 17, 17), m, 1.0)], 3)
+    assert seg.mask.sum() > 1
+    assert seg.mask[16, 19] == 1.0 and seg.mask[16, 20] == 0.0

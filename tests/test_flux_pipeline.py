@@ -1,0 +1,107 @@
+"""Flux pipeline plumbing: T5 tokenizer asset handling and the session
+model cache (reference: FluxClip.py:593-644, ModelCache.py:34-62)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from lightdiffusion_next_tpu.pipelines import loader
+from lightdiffusion_next_tpu.pipelines import pipeline as pl
+
+
+def test_flux_t5_tokenize_uses_vendored_asset():
+    row = pl.flux_t5_tokenize("a photo of an astronaut riding a horse")
+    assert len(row) == 256
+    ids = [t for t, _w in row]
+    # real sentencepiece ids, not whitespace hashes: "a" -> 3/9 prefix pieces
+    assert ids[0] == 3 and ids[1] == 9
+    # exactly one end token (1) before zero padding
+    nonzero = [t for t in ids if t != 0]
+    assert nonzero[-1] == 1 and nonzero.count(1) == 1
+
+
+def test_flux_t5_tokenize_hard_errors_without_assets(monkeypatch, tmp_path):
+    from lightdiffusion_next_tpu import config as cfg
+
+    monkeypatch.setenv("LDT_ASSET_ROOT", str(tmp_path))
+    monkeypatch.setattr(
+        cfg, "repo_asset", lambda *parts: str(tmp_path / "missing.json")
+    )
+    monkeypatch.setattr(pl._config, "repo_asset", cfg.repo_asset)
+    monkeypatch.delenv("LDT_ALLOW_DEGRADED_TOKENIZER", raising=False)
+    with pytest.raises(RuntimeError, match="LDT_ALLOW_DEGRADED_TOKENIZER"):
+        pl.flux_t5_tokenize("hello")
+    monkeypatch.setenv("LDT_ALLOW_DEGRADED_TOKENIZER", "1")
+    row = pl.flux_t5_tokenize("hello world")
+    assert len(row) == 256  # degraded path still shaped correctly
+
+
+def test_flux_models_cached_across_calls(monkeypatch, tmp_path):
+    """Second _get_flux_models call must hit the ModelCache and load NOTHING
+    from disk (the round-1 build re-read the 12B GGUF per image)."""
+    from lightdiffusion_next_tpu.models import vae as vae_mod
+    from lightdiffusion_next_tpu.models.clip import t5 as t5_mod
+    from lightdiffusion_next_tpu.models.clip import text_encoder as te
+    from lightdiffusion_next_tpu.ops import ggml
+    from lightdiffusion_next_tpu.utils import state_dict as sd_utils
+
+    paths = {}
+    for name in ("unet.gguf", "t5.gguf", "clip_l.safetensors", "ae.safetensors"):
+        p = tmp_path / name
+        p.write_bytes(b"stub")
+        paths[name] = str(p)
+
+    calls = {"unet": 0, "vae": 0, "t5": 0, "clip": 0, "disk": 0}
+
+    class FakeModel:
+        def with_options(self, **k):
+            return self
+
+    def fake_load_gguf(path, mesh=None):
+        calls["unet"] += 1
+        calls["disk"] += 1
+        return FakeModel()
+
+    def fake_load_torch(path):
+        calls["disk"] += 1
+        return {}
+
+    monkeypatch.setattr(loader, "load_diffusion_model_gguf", fake_load_gguf)
+    monkeypatch.setattr(sd_utils, "load_torch_file", fake_load_torch)
+    monkeypatch.setattr(sd_utils, "convs_to_hwio", lambda sd: sd)
+    monkeypatch.setattr(
+        vae_mod, "VAE",
+        lambda sd, cfg=None: calls.__setitem__("vae", calls["vae"] + 1) or "VAE",
+    )
+    monkeypatch.setattr(
+        ggml, "gguf_clip_loader",
+        lambda p: calls.__setitem__("disk", calls["disk"] + 1) or {},
+    )
+    monkeypatch.setattr(ggml, "to_device_quantized", lambda sd: sd)
+    monkeypatch.setattr(
+        t5_mod, "T5XXLModel",
+        lambda params, compute_dtype=None: calls.__setitem__(
+            "t5", calls["t5"] + 1
+        ) or "T5",
+    )
+    monkeypatch.setattr(
+        te, "SDClipModel",
+        lambda sd: calls.__setitem__("clip", calls["clip"] + 1) or "CLIP",
+    )
+
+    cache = loader.get_model_cache()
+    cache.clear()
+    try:
+        args = (
+            paths["unet.gguf"], paths["t5.gguf"],
+            paths["clip_l.safetensors"], paths["ae.safetensors"],
+        )
+        pl._get_flux_models(*args)
+        disk_after_first = calls["disk"]
+        assert disk_after_first > 0
+        pl._get_flux_models(*args)
+        assert calls["disk"] == disk_after_first, "second call hit the disk"
+        assert calls["unet"] == 1 and calls["t5"] == 1 and calls["clip"] == 1
+    finally:
+        cache.clear()
