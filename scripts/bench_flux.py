@@ -235,6 +235,17 @@ def main():
         flush=True,
     )
 
+    if "--trace" in sys.argv:
+        # device trace of one more full run; parse the per-op breakdown with
+        # scripts/parse_trace.py (the ONLY reliable per-op numbers over the
+        # axon relay — see ARCHITECTURE.md)
+        import jax
+
+        trace_dir = "/tmp/flux_trace"
+        with jax.profiler.trace(trace_dir):
+            run()
+        print(f"trace written to {trace_dir}", flush=True)
+
 
 if __name__ == "__main__":
     sys.exit(main())
