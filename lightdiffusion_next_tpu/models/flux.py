@@ -76,16 +76,11 @@ def _qk_norm(p: nn.ParamView, q, k):
 
 
 def _attention(q, k, v, pe):
-    """attention() (Flux.py:18-34): rope then SDPA, heads folded out."""
+    """attention() (Flux.py:18-34): rope then SDPA, heads folded out.
+    q/k/v stay head-major (B, H, L, D) straight into the kernel — no
+    fold/unfold transpose round-trip."""
     q, k = rope_ops.apply_rope(q, k, pe)
-    b, h, l, d = q.shape
-    out = attn_ops.attention(
-        q.transpose(0, 2, 1, 3).reshape(b, l, h * d),
-        k.transpose(0, 2, 1, 3).reshape(b, l, h * d),
-        v.transpose(0, 2, 1, 3).reshape(b, l, h * d),
-        heads=h,
-    )
-    return out
+    return attn_ops.attention_heads(q, k, v)
 
 
 def _split_heads(qkv, num_heads: int):

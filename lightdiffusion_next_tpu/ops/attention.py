@@ -75,6 +75,18 @@ def attention(q, k, v, heads: int, mask: Optional[jax.Array] = None):
     return attention_xla(q, k, v, heads, mask)
 
 
+def attention_heads(q, k, v, mask: Optional[jax.Array] = None):
+    """Backend-dispatching attention on HEAD-MAJOR (B, H, L, D) tensors,
+    returning folded (B, L, H*D). For callers that already hold split heads
+    (Flux after RoPE) — skips the fold->unfold round-trip of attention()."""
+    from lightdiffusion_next_tpu.ops import flash_attention as fa
+
+    backend = _config.get_config().resolve_attention_backend()
+    if backend == "pallas" and mask is None and fa.supported(q, k, v):
+        return _fold_heads(fa.flash_attention(q, k, v))
+    return _fold_heads(sdpa(q, k, v, mask=mask))
+
+
 def vae_attention(x):
     """Single-head spatial attention for the VAE mid-block.
 

@@ -67,10 +67,26 @@ def supported(m: int, k: int, n: int) -> bool:
     return k % 256 == 0 and n % 128 == 0 and m >= 1
 
 
-@functools.partial(jax.jit, static_argnames=("out_dtype", "interpret"))
-def quant_matmul_2d(x, qt, scales_t, out_dtype=jnp.bfloat16, interpret=False):
+@functools.partial(
+    jax.jit,
+    static_argnames=("out_dtype", "interpret", "tile_m", "tile_k", "tile_n"),
+)
+def quant_matmul_2d(
+    x,
+    qt,
+    scales_t,
+    out_dtype=jnp.bfloat16,
+    interpret=False,
+    tile_m=None,
+    tile_k=None,
+    tile_n=None,
+):
     """x (M, K) x quantized weight qt int8 (K, N) / scales_t (K/32, N)
-    -> (M, N) in ``out_dtype``."""
+    -> (M, N) in ``out_dtype``.
+
+    Tile choice: the weight block is RE-dequantized for every M-tile, so a
+    larger tile_m directly divides the VPU dequant overhead (M/tm repeats);
+    the defaults favor the largest M-tile VMEM accommodates."""
     m, k = x.shape
     k2, n = qt.shape
     assert k == k2, (x.shape, qt.shape)
@@ -81,9 +97,9 @@ def quant_matmul_2d(x, qt, scales_t, out_dtype=jnp.bfloat16, interpret=False):
     if pad:
         x = jnp.pad(x, ((0, pad), (0, 0)))
     mp = m + pad
-    tm = _pick_tile(mp, 256, 8)
-    tk = _pick_tile(k, 512, 256)
-    tn = _pick_tile(n, 512, 128)
+    tm = _pick_tile(mp, tile_m or 256, 8)
+    tk = _pick_tile(k, tile_k or 512, 256)
+    tn = _pick_tile(n, tile_n or 512, 128)
     n_k = k // tk
 
     out = pl.pallas_call(

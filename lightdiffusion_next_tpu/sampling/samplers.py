@@ -531,13 +531,65 @@ def sample(
     nanfill = jnp.full_like(x, jnp.nan, dtype=jnp.float32)
     inner = (x.astype(jnp.float32), nanfill, nanfill)
 
-    if callback is None and not is_dy:
+    def run_dy_extra(inner, i):
+        """The half-res checkerboard extra step (dy_sampling_step_cfg_pp);
+        the checkerboard tensor is already half-res so the model is called
+        directly at that shape; a stateful cache gets a throwaway state."""
+        if stateful:
+            m_, n_ = inner[0].shape[1] // 2, inner[0].shape[2] // 2
+            tmp = denoise_fn.init_state(jnp.zeros((b, m_, n_, ch), jnp.float32))
+
+            def half_den(xx, ss, _tmp=tmp):
+                d, u, _ = denoise_fn(xx, ss, _tmp)
+                return d, u
+
+        else:
+            half_den = denoise_fn
+        new_x = _dy_extra_step(
+            inner[0],
+            half_den,
+            {
+                "sigma": jnp.asarray(sigmas[i], jnp.float32),
+                "sigma_next": jnp.asarray(sigmas[i + 1], jnp.float32),
+            },
+        )
+        return (new_x,) + inner[1:]
+
+    dy_extra_steps = {
+        i
+        for i in range(n_steps)
+        if is_dy and opts.s_extra_steps and sigmas[i + 1] > 0 and i // 2 == 1
+    }
+
+    if callback is None and not dy_extra_steps:
         # scan mode: one compiled program per (segment length, resolution)
         for i0, i1, fullres in segment_flags(flags):
             runner = get_runner(fullres)
             carry = (inner, init_segment_state(fullres))
             carry, _ = runner(jit_args, carry, xs_for(i0, i1))
             inner = carry[0]
+    elif callback is None:
+        # dy scan mode: everything runs as lax.scan segments except the two
+        # checkerboard-extra steps, which need a host-interleaved half-res
+        # model call. One dispatch per segment instead of one per step —
+        # over a relay-attached TPU the per-step dispatch of a ~1000-leaf
+        # param pytree dominated the whole Flux denoise (device was idle
+        # ~90% of the run).
+        boundaries = sorted(dy_extra_steps)
+        step_runner = get_step_runner(True)
+        runner = get_runner(True)
+        state = init_segment_state(True)
+        i = 0
+        while i < n_steps:
+            if i in dy_extra_steps:
+                xs = {k: v[0] for k, v in xs_for(i, i + 1).items()}
+                (inner, state), _ = step_runner(jit_args, (inner, state), xs)
+                inner = run_dy_extra(inner, i)
+                i += 1
+            else:
+                j = min([bx for bx in boundaries if bx > i] + [n_steps])
+                (inner, state), _ = runner(jit_args, (inner, state), xs_for(i, j))
+                i = j
     else:
         # eager mode with callbacks (previews/progress) or dy extra steps
         seg_state = None
@@ -550,32 +602,8 @@ def sample(
             step = get_step_runner(fullres)
             xs = {k: v[0] for k, v in xs_for(i, i + 1).items()}
             (inner, seg_state), _ = step(jit_args, (inner, seg_state), xs)
-            if is_dy and opts.s_extra_steps and sigmas[i + 1] > 0 and i // 2 == 1:
-                # the checkerboard tensor is already half-res: call the model
-                # directly at that shape (dy_sampling_step_cfg_pp parity);
-                # a stateful cache is bypassed with a throwaway state.
-                if stateful:
-                    m, nn_ = inner[0].shape[1] // 2, inner[0].shape[2] // 2
-                    tmp = denoise_fn.init_state(
-                        jnp.zeros((b, m, nn_, ch), jnp.float32)
-                    )
-
-                    def half_den(xx, ss, _tmp=tmp):
-                        d, u, _ = denoise_fn(xx, ss, _tmp)
-                        return d, u
-
-                else:
-                    half_den = denoise_fn
-                inner = (
-                    _dy_extra_step(
-                        inner[0],
-                        half_den,
-                        {
-                            "sigma": jnp.asarray(sigmas[i], jnp.float32),
-                            "sigma_next": jnp.asarray(sigmas[i + 1], jnp.float32),
-                        },
-                    ),
-                ) + inner[1:]
+            if i in dy_extra_steps:
+                inner = run_dy_extra(inner, i)
             if callback is not None:
                 callback(
                     {
