@@ -98,6 +98,40 @@ def list_history(output_dir: str = "./output") -> List[str]:
     return sorted(out, key=os.path.getmtime, reverse=True)
 
 
+def delete_history_image(path: str, output_dir: str = "./output") -> str:
+    """Remove one generated image (app.py:212-282 capability). Refuses
+    paths outside ``output_dir`` so a stale gallery entry can never delete
+    an arbitrary file."""
+    if not path:
+        return "no image selected"
+    real = os.path.realpath(path)
+    base = os.path.realpath(output_dir)
+    if not real.startswith(base + os.sep):
+        return f"refusing to delete outside {output_dir}: {path}"
+    try:
+        os.remove(real)
+        return f"deleted {os.path.basename(real)}"
+    except OSError as e:
+        return f"error deleting {os.path.basename(real)}: {e}"
+
+
+def clear_history(output_dir: str = "./output") -> str:
+    """Delete every generated PNG under ``output_dir`` (app.py:284-304
+    capability)."""
+    n = 0
+    errors = 0
+    for p in list_history(output_dir):
+        try:
+            os.remove(p)
+            n += 1
+        except OSError:
+            errors += 1
+    msg = f"deleted {n} image(s)"
+    if errors:
+        msg += f", {errors} failed"
+    return msg
+
+
 def memory_info() -> str:
     from lightdiffusion_next_tpu.pipelines.loader import get_model_cache
 
@@ -153,6 +187,13 @@ def build_app():
                     refresh_mem = gr.Button("Refresh memory")
                     clear_cache = gr.Button("Clear model cache")
                 history = gr.Gallery(label="History", value=list_history())
+                with gr.Row():
+                    delete_img = gr.Button("Delete selected image")
+                    clear_all = gr.Button("Clear all images", variant="stop")
+                action_status = gr.Textbox(
+                    label="History actions", interactive=False
+                )
+                selected_path = gr.State("")
 
         def on_generate(
             prompt, negative, width, height, num_images, batch_size, hires,
@@ -190,6 +231,31 @@ def build_app():
             return memory_info()
 
         clear_cache.click(on_clear, None, mem)
+
+        def on_select(evt: gr.SelectData):
+            v = evt.value
+            # Gradio galleries report either the path string or an
+            # {"image": {"path": ...}} dict depending on version.
+            if isinstance(v, dict):
+                v = (v.get("image") or {}).get("path", "")
+            return v or ""
+
+        history.select(on_select, None, selected_path)
+
+        def on_delete(path):
+            msg = delete_history_image(path)
+            return msg, list_history(), ""
+
+        delete_img.click(
+            on_delete, selected_path, [action_status, history, selected_path]
+        )
+
+        def on_clear_all():
+            return clear_history(), list_history(), ""
+
+        clear_all.click(
+            on_clear_all, None, [action_status, history, selected_path]
+        )
     return demo
 
 

@@ -209,9 +209,14 @@ def _step_consts(sigmas: np.ndarray, eta: float, r: float = 0.5) -> dict:
             last, 0.0, np.expm1(np.maximum(t_ - t_next_, -80.0))
         )
         c["sde_su2"] = su2
-        # sde h_ratio for true-cfg++ momentum: (t - s_) / (2*(t - t_next))
+        # sde h_ratio for true-cfg++ momentum: (t - s_) / (2*(t - t_next)).
+        # Numerator and denominator are both negative (t increases as sigma
+        # falls), so guard by |den| — clamping with maximum() would wipe out
+        # the negative denominator entirely.
+        den = 2.0 * (t_ - t_next)
+        safe_den = np.where(np.abs(den) > 1e-12, den, 1.0)
         c["sde_h_ratio"] = np.where(
-            sig[1:] > 0, (t_ - s_) / np.maximum(2 * (t_ - t_next), 1e-38), 0.0
+            (sig[1:] > 0) & (np.abs(den) > 1e-12), (t_ - s_) / safe_den, 0.0
         )
     return {k: np.asarray(v, dtype=np.float32) for k, v in c.items()}
 

@@ -1,11 +1,15 @@
-"""Build a tiny synthetic SD checkpoint so the full CLI/pipeline can be
-driven end-to-end without downloading real weights (zero-egress environments
-and CI smoke runs).
+"""Build a synthetic SD checkpoint so the full CLI/pipeline can be driven
+end-to-end without downloading real weights (zero-egress environments and
+CI smoke runs).
 
-Usage: python scripts/make_tiny_assets.py [asset_root]
+Usage: python scripts/make_tiny_assets.py [asset_root] [--full]
 Creates <root>/checkpoints/"Meina V10 - baked VAE.safetensors" with
 model.diffusion_model.* / first_stage_model.* / cond_stage_model.* tensors
 in the checkpoint's native layout (OIHW convs, torch-style keys).
+
+``--full`` emits the production SD1.5 architecture (860M UNet + full VAE +
+12-layer CLIP, ~4 GB fp32) — random values, real shapes — for honest
+end-to-end wall-clock benchmarking (scripts/bench_e2e_sd15.py).
 """
 
 import os
@@ -14,7 +18,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main(root=None):
+def main(root=None, full=False):
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
     import jax
 
@@ -30,14 +34,22 @@ def main(root=None):
     os.makedirs(ckpt_dir, exist_ok=True)
     os.makedirs(os.path.join(root, "embeddings"), exist_ok=True)
 
-    ucfg = unet_mod.UNetConfig(
-        model_channels=32, channel_mult=(1, 2), num_res_blocks=(1, 1),
-        transformer_depth=(1, 1), context_dim=768, num_heads=4,
-    )
+    if full:
+        ucfg = unet_mod.SD15_CONFIG
+        vcfg = vae_mod.VAEConfig()
+        clip_layers, clip_heads = 12, 12
+    else:
+        ucfg = unet_mod.UNetConfig(
+            model_channels=32, channel_mult=(1, 2), num_res_blocks=(1, 1),
+            transformer_depth=(1, 1), context_dim=768, num_heads=4,
+        )
+        vcfg = vae_mod.VAEConfig(ch=32, ch_mult=(1, 2, 4, 4), num_res_blocks=1)
+        clip_layers, clip_heads = 2, 12
     unet_params = unet_mod.init_params(ucfg, seed=0)
-    vcfg = vae_mod.VAEConfig(ch=32, ch_mult=(1, 2, 4, 4), num_res_blocks=1)
     vae_params = vae_mod.init_params(vcfg, seed=1)
-    clip_params = te.init_params(num_layers=2, width=768, heads=12, seed=2)
+    clip_params = te.init_params(
+        num_layers=clip_layers, width=768, heads=clip_heads, seed=2
+    )
 
     sd = {}
     for k, v in unet_params.items():
@@ -62,4 +74,5 @@ def main(root=None):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else None)
+    args = [a for a in sys.argv[1:] if a != "--full"]
+    main(args[0] if args else None, full="--full" in sys.argv[1:])

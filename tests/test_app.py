@@ -96,6 +96,35 @@ def test_webui_generator_injects_preview_hook(monkeypatch, tmp_path):
     assert status == "done" and paths
 
 
+def test_history_delete_and_clear(tmp_path):
+    """History management (reference app.py:212-304): delete one selected
+    image, clear all, and refuse paths outside the output dir."""
+    from lightdiffusion_next_tpu.app import webui
+
+    out = tmp_path / "output"
+    (out / "Classic").mkdir(parents=True)
+    (out / "Flux").mkdir()
+    a = out / "Classic" / "LD_00001_.png"
+    b = out / "Flux" / "LD_00002_.png"
+    a.write_bytes(b"png")
+    b.write_bytes(b"png")
+    outside = tmp_path / "precious.png"
+    outside.write_bytes(b"png")
+
+    assert sorted(webui.list_history(str(out))) == sorted([str(a), str(b)])
+
+    msg = webui.delete_history_image(str(a), output_dir=str(out))
+    assert "deleted" in msg and not a.exists() and b.exists()
+
+    msg = webui.delete_history_image(str(outside), output_dir=str(out))
+    assert "refusing" in msg and outside.exists()
+    assert "no image" in webui.delete_history_image("", output_dir=str(out))
+
+    msg = webui.clear_history(str(out))
+    assert "deleted 1" in msg
+    assert webui.list_history(str(out)) == []
+
+
 def test_cli_preview_flag_parses():
     from lightdiffusion_next_tpu.app.cli import build_parser
 

@@ -176,6 +176,43 @@ def test_euler_dy_extra_steps(rng):
     np.testing.assert_allclose(np.asarray(out), x, atol=1e-3)
 
 
+def test_sde_h_ratio_matches_reference_formula():
+    """Regression: the true-CFG++ momentum ratio for dpmpp_sde is
+    (t - s_)/(2*(t - t_next)) with BOTH terms negative (reference
+    samplers.py:1178) — a maximum()-style clamp on the denominator turned
+    it into ±1e40. The ratio must be finite and positive on live steps."""
+    cs = samplers._step_consts(SIGMAS, eta=1.0)
+    hr = np.asarray(cs["sde_h_ratio"], np.float64)
+    assert np.all(np.isfinite(hr))
+    live = SIGMAS[1:] > 0
+    assert np.all(hr[live] > 0) and np.all(hr[live] < 1.0)
+    # oracle: reference formula per step
+    for i in range(len(SIGMAS) - 1):
+        if SIGMAS[i + 1] == 0:
+            assert hr[i] == 0.0
+            continue
+        t, t_next = -np.log(SIGMAS[i]), -np.log(SIGMAS[i + 1])
+        s = t + (t_next - t) * 0.5
+        sd, _ = get_ancestral_step(float(SIGMAS[i]), float(np.exp(-s)), 1.0)
+        s_ = -np.log(sd)
+        np.testing.assert_allclose(
+            hr[i], (t - s_) / (2 * (t - t_next)), rtol=1e-6
+        )
+
+
+def test_dpmpp_sde_true_cfgpp_finite(rng):
+    denoise, _ = make_denoiser(rng)
+    x0 = rng.standard_normal(SHAPE).astype(np.float32)
+    n = len(SIGMAS) - 1
+    noise = rng.standard_normal((2 * n,) + SHAPE).astype(np.float32)
+    out = samplers.sample(
+        denoise, jnp.asarray(x0), SIGMAS, sampler="dpmpp_sde_cfgpp",
+        step_noise=noise,
+        opts=samplers.SamplerOptions(true_cfgpp=True, cfg_scale=2.0),
+    )
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
 def test_true_cfgpp_differs(rng):
     denoise, _ = make_denoiser(rng)
     x0 = rng.standard_normal(SHAPE).astype(np.float32)
