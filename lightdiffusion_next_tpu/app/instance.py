@@ -42,8 +42,18 @@ class AppInstance:
         self.preview_lock = threading.Lock()
         self.progress = ProgressTracker()
         self.previewer_enabled = True
-        self.interrupt_flag = False
+        self.interrupt_flag = False  # set via request_interrupt()
         self._preview_paths: List[str] = []
+
+    def request_interrupt(self) -> None:
+        """Ask the running generation to stop after its current step (the
+        reference checks app.interrupt_flag in every sampler loop but
+        nothing ever sets it — samplers.py:120-125; here the WebUI button
+        does, and the preview callback honors it)."""
+        self.interrupt_flag = True
+
+    def clear_interrupt(self) -> None:
+        self.interrupt_flag = False
 
     def update_image(self, image: np.ndarray) -> Optional[str]:
         """Write a preview PNG (update_image parity, :26-46)."""
@@ -114,6 +124,12 @@ def make_preview_callback(
     def callback(info):
         i = info["i"]
         instance.progress.set((i + 1) / max(total_steps, 1))
+        if instance.interrupt_flag:
+            from lightdiffusion_next_tpu.sampling.samplers import (
+                SampleInterrupted,
+            )
+
+            raise SampleInterrupted()
         if not instance.previewer_enabled or i % every != 0:
             return
         # a failed preview must never kill the generation (the reference's

@@ -65,6 +65,7 @@ def generate_images_with_preview(output_dir: str = "./output", **kwargs):
 
     save_settings({k: v for k, v in kwargs.items() if k in DEFAULT_SETTINGS})
     kwargs.setdefault("progress_callback", PreviewHook(app_instance))
+    app_instance.clear_interrupt()
     app_instance.progress.set(0.0)
     result: dict = {}
 
@@ -178,7 +179,9 @@ def build_app():
                         value=s["multiscale_preset"],
                         label="Preset",
                     )
-                go = gr.Button("Generate", variant="primary")
+                with gr.Row():
+                    go = gr.Button("Generate", variant="primary")
+                    stop = gr.Button("Interrupt")
             with gr.Column():
                 gallery = gr.Gallery(label="Output")
                 status = gr.Textbox(label="Status", interactive=False)
@@ -223,6 +226,7 @@ def build_app():
             [gallery, status],
         )
         refresh_mem.click(lambda: memory_info(), None, mem)
+        stop.click(lambda: app_instance.request_interrupt(), None, None)
 
         def on_clear():
             from lightdiffusion_next_tpu.pipelines.loader import get_model_cache

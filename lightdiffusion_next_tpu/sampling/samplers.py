@@ -57,6 +57,12 @@ SAMPLER_ALIASES = {
 }
 
 
+class SampleInterrupted(Exception):
+    """Raised by a sampler callback to stop generation; the loop returns
+    the current (partial) latent, the behavior the reference's dead
+    interrupt_flag check intended (samplers.py:120-125)."""
+
+
 def to_d(x, sigma, denoised):
     """Euler derivative (src/Utilities/util.py:26)."""
     return (x - denoised) / sigma
@@ -610,12 +616,18 @@ def sample(
             if i in dy_extra_steps:
                 inner = run_dy_extra(inner, i)
             if callback is not None:
-                callback(
-                    {
-                        "x": inner[0],
-                        "i": i,
-                        "sigma": float(sigmas[i]),
-                        "denoised": inner[1],
-                    }
-                )
+                try:
+                    callback(
+                        {
+                            "x": inner[0],
+                            "i": i,
+                            "sigma": float(sigmas[i]),
+                            "denoised": inner[1],
+                        }
+                    )
+                except SampleInterrupted:
+                    # the reference's (inert) interrupt_flag check returns
+                    # the partial latent mid-loop (samplers.py:120-125);
+                    # here a callback raises to stop — and it actually works
+                    break
     return inner[0]

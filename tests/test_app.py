@@ -96,6 +96,42 @@ def test_webui_generator_injects_preview_hook(monkeypatch, tmp_path):
     assert status == "done" and paths
 
 
+def test_interrupt_stops_sampling(tmp_path):
+    """request_interrupt() actually stops the loop (the reference's
+    interrupt_flag is checked but never set — samplers.py:120-125); the
+    partial latent is returned and later steps never run."""
+    from lightdiffusion_next_tpu.sampling import samplers
+
+    inst = instance_mod.AppInstance(preview_dir=str(tmp_path / "p"))
+    inst.previewer_enabled = False  # progress/interrupt only
+    cb = instance_mod.make_preview_callback(
+        inst, latent_mod.SD15, total_steps=6
+    )
+    calls = []
+
+    def denoise(x, sigma):
+        calls.append(1)
+        return 0.3 * x, 0.2 * x
+
+    sigmas = np.asarray([14.0, 8.0, 4.0, 2.0, 1.0, 0.5, 0.0], np.float32)
+    x0 = jnp.zeros((1, 8, 8, 4), jnp.float32)
+
+    def interrupting_cb(info):
+        if info["i"] == 1:
+            inst.request_interrupt()
+        cb(info)
+
+    out = samplers.sample(
+        denoise, x0, sigmas, sampler="euler", callback=interrupting_cb
+    )
+    assert out.shape == x0.shape
+    # steps 0 and 1 ran; the interrupt fired in step 1's callback
+    assert len(calls) == 2
+    assert inst.progress.get() == pytest.approx(2 / 6)
+    inst.clear_interrupt()
+    assert not inst.interrupt_flag
+
+
 def test_history_delete_and_clear(tmp_path):
     """History management (reference app.py:212-304): delete one selected
     image, clear all, and refuse paths outside the output dir."""
