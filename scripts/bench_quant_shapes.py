@@ -96,6 +96,30 @@ def bench_quant(name, m, k, n, tiles):
         except Exception as e:
             print(f"{name} tm{tm} tk{tk} tn{tn} FAILED: {type(e).__name__} {e}",
                   flush=True)
+
+    # XLA dequant-then-dot baseline (what nn.linear falls back to off
+    # 256-multiples / under TP): materializes the bf16 weight per call.
+    def xla_fn(v):
+        w_deq = (
+            t8t.qt.astype(jnp.bfloat16).reshape(k // 32, 32, n)
+            * t8t.scales_t[:, None, :].astype(jnp.bfloat16)
+        ).reshape(k, n)
+        y = jnp.dot(v, w_deq, preferred_element_type=jnp.float32)
+        y = y.astype(jnp.bfloat16)
+        if y.shape[-1] != v.shape[-1]:
+            y = jnp.broadcast_to(y[:, :1], (y.shape[0], v.shape[-1])) * 1e-3 + v
+        return y.astype(v.dtype)
+
+    try:
+        dt = time_chain(xla_fn, x)
+        results["xla_dequant_dot"] = dt
+        print(
+            f"{name:14s} M{m} K{k} N{n} xla dequant+dot      "
+            f"  {dt*1e3:8.2f} ms  {flops/dt/1e12:7.1f} TF/s",
+            flush=True,
+        )
+    except Exception as e:
+        print(f"{name} xla FAILED: {type(e).__name__} {e}", flush=True)
     return results
 
 

@@ -213,6 +213,33 @@ def test_dpmpp_sde_true_cfgpp_finite(rng):
     assert np.all(np.isfinite(np.asarray(out)))
 
 
+def test_dy_extra_step_uses_compiled_runner(rng):
+    """Regression: the dy checkerboard extra step must dispatch through a
+    jitted runner (one compiled program), not the denoiser's raw __call__ —
+    eager op-by-op execution of a 12B model over the device relay cost
+    ~20s per extra step."""
+
+    class KeyedDenoiser:
+        cache_key = ("test-dy", 1)
+        jit_args = {"w": jnp.asarray(0.3)}
+
+        def call_with(self, ja, x, sigma):
+            return ja["w"] * x, 0.2 * x
+
+        def __call__(self, x, sigma):
+            return self.call_with(self.jit_args, x, sigma)
+
+    den = KeyedDenoiser()
+    x0 = rng.standard_normal(SHAPE).astype(np.float32)
+    out = samplers.sample(
+        den, jnp.asarray(x0), SIGMAS, sampler="euler_dy_cfg_pp"
+    )
+    assert np.isfinite(np.asarray(out)).all()
+    assert any(
+        len(k) == 2 and k[1] == "dy_extra" for k in samplers._RUNNER_CACHE
+    ), "dy extra step did not register a compiled runner"
+
+
 def test_true_cfgpp_differs(rng):
     denoise, _ = make_denoiser(rng)
     x0 = rng.standard_normal(SHAPE).astype(np.float32)
