@@ -176,7 +176,13 @@ def main():
         latent_format=latent_mod.FLUX1,
         config=fcfg,
         model_type="flux",
-    ).with_options(fbcache=fb_mod.FBCacheConfig(0.120))
+    )
+    # --no-fbcache: the conservative every-step-computed bound. With random
+    # weights the residual barely moves between steps, so the default-cache
+    # number over-hits vs real checkpoints; report both.
+    use_fbcache = "--no-fbcache" not in sys.argv
+    if use_fbcache:
+        model = model.with_options(fbcache=fb_mod.FBCacheConfig(0.120))
 
     rng = np.random.default_rng(0)
     positive = cfg_mod.CondInput(
@@ -226,7 +232,8 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "flux_dev_q8_txt2img_1024px_20step_s_per_image",
+                "metric": "flux_dev_q8_txt2img_1024px_20step_s_per_image"
+                + ("" if use_fbcache else "_nofbcache"),
                 "value": round(dt, 3),
                 "unit": "s/image",
                 "it_per_s": round(20 / dt, 3),
