@@ -45,6 +45,11 @@ class FluxConfig:
     context_in_dim: int = 4096
     patch_size: int = 2
     dtype: Any = jnp.float32
+    # params re-laid out by parallel.layout.to_tp_layout: qkv rows
+    # head-interleaved, single-block linear1 split into linear1_qkv +
+    # linear1_mlp (shard boundaries align with heads; zero reshape
+    # collectives under "model"-axis tensor parallelism)
+    tp_layout: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -83,11 +88,19 @@ def _attention(q, k, v, pe):
     return attn_ops.attention_heads(q, k, v)
 
 
-def _split_heads(qkv, num_heads: int):
-    """(B, L, 3*H) -> q,k,v (B, heads, L, head_dim)."""
+def _split_heads(qkv, num_heads: int, interleaved: bool = False):
+    """(B, L, 3*H) -> q,k,v (B, heads, L, head_dim).
+
+    ``interleaved``: rows are head-major [h0:(q,k,v), h1:(q,k,v), ...]
+    (parallel.layout.to_tp_layout) — the reshape's leading factor is then
+    ``heads``, so a "model"-sharded last dim propagates shard-aligned."""
     b, l, _ = qkv.shape
-    qkv = qkv.reshape(b, l, 3, num_heads, -1)
-    qkv = qkv.transpose(2, 0, 3, 1, 4)
+    if interleaved:
+        qkv = qkv.reshape(b, l, num_heads, 3, -1)
+        qkv = qkv.transpose(3, 0, 2, 1, 4)
+    else:
+        qkv = qkv.reshape(b, l, 3, num_heads, -1)
+        qkv = qkv.transpose(2, 0, 3, 1, 4)
     return qkv[0], qkv[1], qkv[2]
 
 
@@ -104,14 +117,14 @@ def _double_block(p: nn.ParamView, img, txt, vec, pe, cfg: FluxConfig):
     img_qkv = nn.linear(
         img_modulated, p("img_attn.qkv.weight"), p.get("img_attn.qkv.bias")
     )
-    img_q, img_k, img_v = _split_heads(img_qkv, cfg.num_heads)
+    img_q, img_k, img_v = _split_heads(img_qkv, cfg.num_heads, cfg.tp_layout)
     img_q, img_k = _qk_norm(p.scope("img_attn.norm."), img_q, img_k)
 
     txt_modulated = nn.layer_norm(txt) * (1 + tx1_scale) + tx1_shift
     txt_qkv = nn.linear(
         txt_modulated, p("txt_attn.qkv.weight"), p.get("txt_attn.qkv.bias")
     )
-    txt_q, txt_k, txt_v = _split_heads(txt_qkv, cfg.num_heads)
+    txt_q, txt_k, txt_v = _split_heads(txt_qkv, cfg.num_heads, cfg.tp_layout)
     txt_q, txt_k = _qk_norm(p.scope("txt_attn.norm."), txt_q, txt_k)
 
     q = jnp.concatenate([txt_q, img_q], axis=2)
@@ -143,10 +156,19 @@ def _single_block(p: nn.ParamView, x, vec, pe, cfg: FluxConfig):
     shift, scale, gate = _modulation(p.scope("modulation."), vec, 3)
     x_mod = nn.layer_norm(x) * (1 + scale) + shift
     hidden = cfg.hidden_size
-    mlp_hidden = int(hidden * cfg.mlp_ratio)
-    proj = nn.linear(x_mod, p("linear1.weight"), p("linear1.bias"))
-    qkv, mlp = proj[..., : 3 * hidden], proj[..., 3 * hidden :]
-    q, k, v = _split_heads(qkv, cfg.num_heads)
+    if cfg.tp_layout:
+        # linear1 de-fused at layout time (parallel.layout): two matmuls
+        # over the shared input, each cleanly column-shardable
+        qkv = nn.linear(
+            x_mod, p("linear1_qkv.weight"), p.get("linear1_qkv.bias")
+        )
+        mlp = nn.linear(
+            x_mod, p("linear1_mlp.weight"), p.get("linear1_mlp.bias")
+        )
+    else:
+        proj = nn.linear(x_mod, p("linear1.weight"), p("linear1.bias"))
+        qkv, mlp = proj[..., : 3 * hidden], proj[..., 3 * hidden :]
+    q, k, v = _split_heads(qkv, cfg.num_heads, cfg.tp_layout)
     q, k = _qk_norm(p.scope("norm."), q, k)
     attn = _attention(q, k, v, pe)
     out = nn.linear(
@@ -266,6 +288,19 @@ def apply_flux(
     return unpatchify(
         tokens.astype(jnp.float32), h, w, cfg.patch_size
     )
+
+
+def make_apply_fn(cfg: FluxConfig):
+    """The standard DiffusionModel.apply_fn closure for this config."""
+
+    def apply_fn(p, x, t, context, y=None, guidance=None,
+                 first_block_hook=None, **_):
+        return apply_flux(
+            p, x, t, context, y, guidance=guidance, cfg=cfg,
+            first_block_hook=first_block_hook,
+        )
+
+    return apply_fn
 
 
 # ---------------------------------------------------------------------------

@@ -38,11 +38,28 @@ def inference_mesh(n_model: int = -1, n_data: int = 1, devices=None) -> Mesh:
 def shard_flux_model(model, mesh: Mesh):
     """Re-lay an already-loaded Flux DiffusionModel out tensor-parallel.
 
+    Applies the TP param layout first (head-interleaved qkv, split
+    linear1 — parallel.layout) so "model"-axis shards align with whole
+    attention heads and GSPMD inserts only the two Megatron all-reduces
+    per block, then places every leaf on its mesh shards.
+
     Prefer ``pipelines.loader.load_diffusion_model_gguf(path, mesh=mesh)``
-    for real checkpoints (uploads host->shard directly); this helper is for
-    models already resident (tests, random-init benches)."""
-    shardings = shard_rules.flux_param_shardings(model.params, mesh)
-    return model.with_params(shard_rules.shard_params(model.params, shardings))
+    for real checkpoints (re-lays out + uploads host->shard directly);
+    this helper is for models already resident (tests, random-init
+    benches)."""
+    import dataclasses
+
+    from lightdiffusion_next_tpu.models import flux as flux_mod
+    from lightdiffusion_next_tpu.parallel import layout
+
+    params, cfg = layout.to_tp_layout(model.params, model.config)
+    shardings = shard_rules.flux_param_shardings(params, mesh)
+    return dataclasses.replace(
+        model,
+        params=shard_rules.shard_params(params, shardings),
+        config=cfg,
+        apply_fn=flux_mod.make_apply_fn(cfg),
+    )
 
 
 def shard_batch(x, mesh: Mesh):

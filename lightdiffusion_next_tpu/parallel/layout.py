@@ -1,0 +1,96 @@
+"""TP-friendly Flux param layout.
+
+The BFL checkpoint fuses projections along the output dim: double-block
+``*_attn.qkv.weight`` stacks rows ``[q(H); k(H); v(H)]`` and single-block
+``linear1.weight`` stacks ``[qkv(3H); mlp(mlp_hidden)]`` (Flux.py:268-276,
+:362-369). Column-sharding those fused dims over an n-way "model" axis
+puts projection/sub-layer boundaries in the middle of shards, so GSPMD
+must re-partition the qkv activation at every block (an all-gather of the
+(B, 4352, 9216) tensor per stream per block — ~150 × 76 MB per step).
+
+This module re-lays the params out so shard boundaries align with heads:
+
+- qkv rows are HEAD-INTERLEAVED: ``[q_h0; k_h0; v_h0; q_h1; ...]``. A
+  "model" shard then holds whole heads (v5e-8: 3 heads × q,k,v each), and
+  the ``(B, L, 3H) -> (B, L, heads, 3, d)`` reshape propagates the
+  sharding with zero collectives.
+- single-block ``linear1`` is SPLIT into ``linear1_qkv`` (interleaved) +
+  ``linear1_mlp`` — the fusion is a checkpoint storage artifact, not a
+  compute requirement; XLA still fuses the two matmuls over the shared
+  input.
+
+The transform is value-preserving (pure row permutation/split); the
+forward consumes it via ``FluxConfig.tp_layout``. Applied on the host
+state dict before upload (pipelines.loader) or on device-resident params
+(parallel.inference.shard_flux_model).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Tuple
+
+import numpy as np
+
+from lightdiffusion_next_tpu.ops import ggml
+
+
+def qkv_interleave_perm(num_heads: int, head_dim: int) -> np.ndarray:
+    """Row permutation [q;k;v] (proj-major) -> head-major [h0:(q,k,v), ...]."""
+    idx = np.arange(3 * num_heads * head_dim).reshape(3, num_heads, head_dim)
+    return np.ascontiguousarray(idx.transpose(1, 0, 2)).reshape(-1)
+
+
+def _take_rows(leaf, idx: np.ndarray):
+    """Select/permute logical OUTPUT rows of a weight/bias leaf of any
+    supported representation."""
+    if isinstance(leaf, ggml.QTensorLoRA):
+        return ggml.QTensorLoRA(
+            base=_take_rows(leaf.base, idx),
+            up=leaf.up[idx],
+            down=leaf.down,
+        )
+    if isinstance(leaf, ggml.QTensor8T):  # device fused layout (K, N)
+        return ggml.QTensor8T(
+            qt=leaf.qt[:, idx],
+            scales_t=leaf.scales_t[:, idx],
+            shape=(len(idx), leaf.shape[1]),
+            tp=leaf.tp,
+        )
+    if isinstance(leaf, ggml.QTensor8):  # host/row-major (rows, nb, 32)
+        return ggml.QTensor8(
+            q=leaf.q[idx],
+            scales=leaf.scales[idx],
+            shape=(len(idx),) + tuple(leaf.shape[1:]),
+        )
+    return leaf[idx]  # dense np/jnp weight (out, in) or bias (out,)
+
+
+def to_tp_layout(params: Dict, cfg) -> Tuple[Dict, object]:
+    """Re-lay Flux params head-interleaved + linear1-split. Idempotent via
+    ``cfg.tp_layout``; returns (new_params, new_cfg)."""
+    if getattr(cfg, "tp_layout", False):
+        return params, cfg
+    H = cfg.hidden_size
+    perm = qkv_interleave_perm(cfg.num_heads, cfg.head_dim)
+    mlp_hidden = int(H * cfg.mlp_ratio)
+    mlp_rows = np.arange(3 * H, 3 * H + mlp_hidden)
+
+    out = dict(params)
+    for i in range(cfg.depth):
+        for s in ("img", "txt"):
+            for suf in ("weight", "bias"):
+                k = f"double_blocks.{i}.{s}_attn.qkv.{suf}"
+                if k in out:
+                    out[k] = _take_rows(out[k], perm)
+    for i in range(cfg.depth_single_blocks):
+        for suf in ("weight", "bias"):
+            k = f"single_blocks.{i}.linear1.{suf}"
+            if k not in out:
+                continue
+            leaf = out.pop(k)
+            out[f"single_blocks.{i}.linear1_qkv.{suf}"] = _take_rows(leaf, perm)
+            out[f"single_blocks.{i}.linear1_mlp.{suf}"] = _take_rows(
+                leaf, mlp_rows
+            )
+    return out, dataclasses.replace(cfg, tp_layout=True)

@@ -20,19 +20,28 @@ def _ns(mesh: Mesh, *spec) -> NamedSharding:
 
 def flux_param_spec(key: str) -> "P":
     """PartitionSpec for one Flux param key (tensor parallel over "model")."""
-    # column-parallel (output dim sharded): qkv, mlp.0, linear1
+    # column-parallel (output dim sharded): qkv, mlp.0, linear1 (fused or
+    # layout-split into linear1_qkv/linear1_mlp — parallel.layout)
     if any(
         key.endswith(s)
         for s in (
             "attn.qkv.weight",
             "mlp.0.weight",
             "linear1.weight",
+            "linear1_qkv.weight",
+            "linear1_mlp.weight",
         )
     ):
         return P("model", None)
     if any(
         key.endswith(s)
-        for s in ("attn.qkv.bias", "mlp.0.bias", "linear1.bias")
+        for s in (
+            "attn.qkv.bias",
+            "mlp.0.bias",
+            "linear1.bias",
+            "linear1_qkv.bias",
+            "linear1_mlp.bias",
+        )
     ):
         return P("model")
     # row-parallel (input dim sharded): proj, mlp.2, linear2

@@ -82,7 +82,13 @@ def load_diffusion_model_gguf(path: str, mesh=None) -> base_mod.DiffusionModel:
     )
     sharding_for = None
     if mesh is not None:
+        from lightdiffusion_next_tpu.parallel import layout
         from lightdiffusion_next_tpu.parallel import sharding as shard_rules
+
+        # TP layout on the host state dict (cheap row permutes of the
+        # row-major QTensor8 leaves) so each chip's shard holds whole
+        # attention heads — see parallel.layout
+        sd, fcfg = layout.to_tp_layout(sd, fcfg)
 
         def sharding_for(key):
             leaf = sd[key]
@@ -97,14 +103,8 @@ def load_diffusion_model_gguf(path: str, mesh=None) -> base_mod.DiffusionModel:
         sd, dtype=cfgv.dtypes.param_dtype, sharding_for=sharding_for
     )
 
-    def apply_fn(p, x, t, context, y=None, guidance=None, first_block_hook=None, **_):
-        return flux_mod.apply_flux(
-            p, x, t, context, y, guidance=guidance, cfg=fcfg,
-            first_block_hook=first_block_hook,
-        )
-
     return base_mod.DiffusionModel(
-        apply_fn=apply_fn,
+        apply_fn=flux_mod.make_apply_fn(fcfg),
         params=params,
         model_sampling=ms_mod.ModelSamplingFlux(),
         latent_format=latent_mod.FLUX1,

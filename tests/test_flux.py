@@ -76,6 +76,29 @@ def test_tiny_flux_forward(rng):
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_tp_layout_is_value_preserving(rng):
+    """parallel.layout.to_tp_layout (head-interleaved qkv + split linear1)
+    must not change the forward's value — same output single-device."""
+    from lightdiffusion_next_tpu.parallel import layout
+
+    params = flux_mod.init_params(TINY, seed=3)
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, 4)), dtype=jnp.float32)
+    t = jnp.asarray([0.5])
+    ctx = jnp.asarray(rng.standard_normal((1, 12, 32)), dtype=jnp.float32)
+    y = jnp.asarray(rng.standard_normal((1, 16)), dtype=jnp.float32)
+    base = flux_mod.apply_flux(params, x, t, ctx, y, cfg=TINY)
+
+    params2, cfg2 = layout.to_tp_layout(params, TINY)
+    assert cfg2.tp_layout
+    assert "single_blocks.0.linear1_qkv.weight" in params2
+    assert "single_blocks.0.linear1.weight" not in params2
+    out = flux_mod.apply_flux(params2, x, t, ctx, y, cfg=cfg2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(base), atol=1e-5)
+    # idempotent
+    params3, cfg3 = layout.to_tp_layout(params2, cfg2)
+    assert params3 is params2 and cfg3 is cfg2
+
+
 def test_flux_first_block_hook_identity(rng):
     params = flux_mod.init_params(TINY, seed=1)
     x = jnp.asarray(rng.standard_normal((1, 8, 8, 4)), dtype=jnp.float32)
