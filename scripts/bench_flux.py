@@ -184,6 +184,10 @@ def main():
     if use_fbcache:
         model = model.with_options(fbcache=fb_mod.FBCacheConfig(0.120))
 
+    n_steps = 20
+    if "--steps" in sys.argv:
+        n_steps = int(sys.argv[sys.argv.index("--steps") + 1])
+
     rng = np.random.default_rng(0)
     positive = cfg_mod.CondInput(
         cross_attn=jnp.asarray(
@@ -207,7 +211,7 @@ def main():
         res = ks.ksample(
             model,
             seed=7,
-            steps=20,
+            steps=n_steps,
             cfg_scale=1.0,
             sampler_name="euler_cfgpp",
             scheduler="beta",
@@ -232,11 +236,11 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "flux_dev_q8_txt2img_1024px_20step_s_per_image"
+                "metric": f"flux_dev_q8_txt2img_1024px_{n_steps}step_s_per_image"
                 + ("" if use_fbcache else "_nofbcache"),
                 "value": round(dt, 3),
                 "unit": "s/image",
-                "it_per_s": round(20 / dt, 3),
+                "it_per_s": round(n_steps / dt, 3),
             }
         ),
         flush=True,
