@@ -19,6 +19,7 @@ layer.1.DenseReluDense.{wi_0,wi_1,wo}.weight, encoder.final_layer_norm.weight
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 from typing import Dict, Optional
 
@@ -103,6 +104,15 @@ def _t5_attention(p: nn.ParamView, x, bias, heads: int):
     return nn.linear(out, p("o.weight"))
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "intermediate_output",
+        "final_layer_norm_intermediate",
+        "cfg",
+        "compute_dtype",
+    ),
+)
 def apply_t5(
     params: Dict,
     tokens,  # (B, L) int32
@@ -115,7 +125,11 @@ def apply_t5(
     """T5Stack.forward parity (FluxClip.py:457-500). Returns (x, intermediate,
     pooled=None). ``compute_dtype`` is the activation dtype (the reference
     Embedding casts gathered rows to out_dtype, Quantizer.py:404-431; use
-    bf16 on TPU — norms/softmax stay fp32 inside ops.nn regardless)."""
+    bf16 on TPU — norms/softmax stay fp32 inside ops.nn regardless).
+
+    Jitted at the definition: the 4.7B-param T5-XXL executed EAGERLY here
+    costs tens of seconds of op-by-op dispatch over a relay-attached TPU
+    per prompt (same bug class as the dy sampler, ARCHITECTURE §3)."""
     x = nn.embedding_lookup(
         tokens, params["shared.weight"], dtype=compute_dtype
     )

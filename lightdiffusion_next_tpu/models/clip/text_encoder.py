@@ -17,6 +17,7 @@ optional top-level "text_projection.weight".
 
 from __future__ import annotations
 
+import functools
 from typing import List, Optional, Sequence, Tuple
 
 import jax
@@ -54,6 +55,17 @@ def _clip_layer(p: nn.ParamView, x, mask, heads: int, act):
     return x
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "intermediate_output",
+        "final_layer_norm_intermediate",
+        "num_layers",
+        "heads",
+        "eos_token_id",
+        "act",
+    ),
+)
 def apply_clip_text(
     params: dict,
     tokens,  # (B, 77) int32

@@ -11,8 +11,10 @@ async; no thread reads live tensors.
 
 from __future__ import annotations
 
+import functools
 from typing import Dict
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -69,13 +71,16 @@ def _run_sequential(params: Dict, prefix: str, layout, x):
     return x
 
 
+@functools.partial(jax.jit, static_argnames=("vae_scale", "vae_shift"))
 def decode(params: Dict, latent, vae_scale: float = 1.0, vae_shift: float = 0.0):
     """latent NHWC -> image NHWC in [-1, 1] (TAESD.decode parity). Keys are
-    expected under prefix 'decoder.'."""
+    expected under prefix 'decoder.'. Jitted: ~50 conv layers dispatched
+    eagerly over a relay-attached TPU cost seconds per preview."""
     x = (latent - vae_shift) * vae_scale
     return _run_sequential(params, "decoder.", _DECODER_LAYOUT, x)
 
 
+@functools.partial(jax.jit, static_argnames=("vae_scale", "vae_shift"))
 def encode(params: Dict, image, vae_scale: float = 1.0, vae_shift: float = 0.0):
     """image NHWC [-1,1] -> latent (TAESD.encode parity)."""
     x = image * 0.5 + 0.5
