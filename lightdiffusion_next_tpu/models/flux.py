@@ -290,6 +290,56 @@ def apply_flux(
     )
 
 
+def detect_config(sd: Dict, dtype=None) -> FluxConfig:
+    """Flux config from a state dict (detect_unet_config parity for the
+    flux branch, reference unet.py:912-936 — which hardcodes everything but
+    depth/guidance; here the dims come from the tensor shapes so scaled
+    -down checkpoints load too). Leaves may be arrays or quantized records;
+    only ``.shape`` (logical (out, in)) is read."""
+    def shape(k):
+        return tuple(sd[k].shape)
+
+    hidden = shape("img_in.weight")[0]
+    patch = FLUX_DEV.patch_size
+    head_dim = shape("double_blocks.0.img_attn.norm.key_norm.scale")[0]
+    if hidden % head_dim:
+        raise ValueError(f"hidden {hidden} not divisible by head_dim {head_dim}")
+    depth = 0
+    while f"double_blocks.{depth}.img_attn.qkv.weight" in sd:
+        depth += 1
+    depth_single = 0
+    while (
+        f"single_blocks.{depth_single}.linear2.weight" in sd
+        or f"single_blocks.{depth_single}.linear1.weight" in sd
+    ):
+        depth_single += 1
+    if head_dim == 128:
+        axes = (16, 56, 56)
+    else:
+        # scale the (16,56,56) split; RoPE needs even per-axis dims
+        axes = tuple(a * head_dim // 128 for a in (16, 56, 56))
+        if sum(axes) != head_dim or any(a % 2 for a in axes):
+            raise ValueError(
+                f"cannot derive axes_dim for head_dim {head_dim}; "
+                "load with an explicit FluxConfig"
+            )
+    return dataclasses.replace(
+        FLUX_DEV,
+        in_channels=shape("img_in.weight")[1] // patch**2,
+        hidden_size=hidden,
+        mlp_ratio=shape("double_blocks.0.img_mlp.0.weight")[0] / hidden,
+        num_heads=hidden // head_dim,
+        depth=depth,
+        depth_single_blocks=depth_single,
+        axes_dim=axes,
+        qkv_bias="double_blocks.0.img_attn.qkv.bias" in sd,
+        guidance_embed="guidance_in.in_layer.weight" in sd,
+        vec_in_dim=shape("vector_in.in_layer.weight")[1],
+        context_in_dim=shape("txt_in.weight")[1],
+        dtype=dtype or FLUX_DEV.dtype,
+    )
+
+
 def make_apply_fn(cfg: FluxConfig):
     """The standard DiffusionModel.apply_fn closure for this config."""
 

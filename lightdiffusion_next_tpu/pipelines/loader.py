@@ -74,12 +74,7 @@ def load_diffusion_model_gguf(path: str, mesh=None) -> base_mod.DiffusionModel:
     sd = ggml.gguf_sd_loader(path)
     if "double_blocks.0.img_attn.qkv.weight" not in sd:
         raise RuntimeError(f"{path} is not a Flux GGUF")
-    guidance = "guidance_in.in_layer.weight" in sd
-    fcfg = dataclasses.replace(
-        flux_mod.FLUX_DEV,
-        guidance_embed=guidance,
-        dtype=cfgv.dtypes.compute_dtype,
-    )
+    fcfg = flux_mod.detect_config(sd, dtype=cfgv.dtypes.compute_dtype)
     sharding_for = None
     if mesh is not None:
         from lightdiffusion_next_tpu.parallel import layout

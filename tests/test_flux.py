@@ -275,6 +275,56 @@ def test_flux_tp_inference_ksample_matches_single(rng):
     np.testing.assert_allclose(out, base, atol=2e-3, rtol=1e-4)
 
 
+def test_gguf_loader_tp_path_matches_single_device(tmp_path, rng):
+    """Full GGUF -> TP integration: write a tiny flux GGUF, load once
+    single-device and once with an 8-way mesh (host-side to_tp_layout on
+    QTensor8 leaves + sharded upload), and compare one denoise output."""
+    from lightdiffusion_next_tpu.ops import ggml
+    from lightdiffusion_next_tpu.parallel import inference as par_inf
+    from lightdiffusion_next_tpu.pipelines import loader
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs virtual multi-device CPU")
+
+    # hidden=256/heads=8: every quantized K is a multiple of 256 so the
+    # row-parallel scale tables (K/32 rows) shard 8 ways, like real Flux
+    cfg_gguf = flux_mod.FluxConfig(
+        in_channels=4,
+        hidden_size=256,
+        num_heads=8,
+        depth=1,
+        depth_single_blocks=1,
+        axes_dim=(4, 14, 14),
+        context_in_dim=32,
+        vec_in_dim=16,
+    )
+    params = flux_mod.init_params(cfg_gguf, seed=6)
+    # drop guidance embedder so the loader autodetects guidance_embed=False
+    params = {k: v for k, v in params.items() if not k.startswith("guidance_in")}
+    path = str(tmp_path / "tiny_flux.gguf")
+    ggml.write_gguf(
+        path, params, arch="flux",
+        quantize=("qkv.weight", "linear1.weight", "linear2.weight"),
+    )
+
+    single = loader.load_diffusion_model_gguf(path)
+    mesh = par_inf.inference_mesh(n_model=8)
+    tp = loader.load_diffusion_model_gguf(path, mesh=mesh)
+    assert tp.config.tp_layout and not single.config.tp_layout
+    assert "single_blocks.0.linear1_qkv.weight" in tp.params
+
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, 4)), jnp.float32)
+    t = jnp.asarray([0.5])
+    ctx = jnp.asarray(
+        rng.standard_normal((1, 12, cfg_gguf.context_in_dim)), jnp.float32
+    )
+    y = jnp.asarray(rng.standard_normal((1, cfg_gguf.vec_in_dim)), jnp.float32)
+    base = np.asarray(single.apply_fn(single.params, x, t, ctx, y))
+    with mesh:
+        out = np.asarray(tp.apply_fn(tp.params, x, t, ctx, y))
+    np.testing.assert_allclose(out, base, atol=2e-3, rtol=1e-4)
+
+
 def test_qtensor8t_sharded_without_tp_flag_raises(rng):
     """Backstop for the explicit tp flag: a concretely multi-device QTensor8T
     reaching the single-device kernel path must fail loudly."""
