@@ -33,6 +33,11 @@ DEFAULT_SETTINGS = {
     "realistic_model": False,
     "flux_enabled": False,
     "multiscale_preset": "disabled",
+    "multiscale_enabled": True,
+    "multiscale_intermittent": False,
+    "multiscale_factor": 0.5,
+    "multiscale_fullres_start": 3,
+    "multiscale_fullres_end": 8,
     "keep_models_loaded": True,
 }
 
@@ -63,7 +68,11 @@ def generate_images_with_preview(output_dir: str = "./output", **kwargs):
     from lightdiffusion_next_tpu.app.instance import PreviewHook
     from lightdiffusion_next_tpu.pipelines.pipeline import pipeline
 
-    save_settings({k: v for k, v in kwargs.items() if k in DEFAULT_SETTINGS})
+    # merge-save (the full UI state is saved by the webui handler; direct
+    # callers only update the keys they pass)
+    merged = load_settings()
+    merged.update({k: v for k, v in kwargs.items() if k in DEFAULT_SETTINGS})
+    save_settings(merged)
     kwargs.setdefault("progress_callback", PreviewHook(app_instance))
     app_instance.clear_interrupt()
     app_instance.progress.set(0.0)
@@ -133,6 +142,30 @@ def clear_history(output_dir: str = "./output") -> str:
     return msg
 
 
+def multiscale_kwargs(
+    preset: str,
+    enabled: bool,
+    intermittent: bool,
+    factor: float,
+    fullres_start: int,
+    fullres_end: int,
+) -> dict:
+    """Map the multiscale accordion to pipeline() kwargs (app.py:326-372
+    capability): a named preset wins; "custom" passes the individual
+    fields; "disabled" turns multi-scale off."""
+    if preset == "custom":
+        return {
+            "enable_multiscale": bool(enabled),
+            "multiscale_intermittent_fullres": bool(intermittent),
+            "multiscale_factor": float(factor),
+            "multiscale_fullres_start": int(fullres_start),
+            "multiscale_fullres_end": int(fullres_end),
+        }
+    if preset == "disabled":
+        return {"enable_multiscale": False}
+    return {"multiscale_preset": preset}
+
+
 def memory_info() -> str:
     from lightdiffusion_next_tpu.pipelines.loader import get_model_cache
 
@@ -175,9 +208,29 @@ def build_app():
                     flux = gr.Checkbox(value=s["flux_enabled"], label="Flux")
                 with gr.Accordion("Multi-scale diffusion", open=False):
                     ms_preset = gr.Dropdown(
-                        ["disabled", "quality", "performance", "balanced"],
+                        ["custom", "disabled", "quality", "performance",
+                         "balanced"],
                         value=s["multiscale_preset"],
-                        label="Preset",
+                        label="Preset (custom = use fields below)",
+                    )
+                    ms_enabled = gr.Checkbox(
+                        value=s["multiscale_enabled"], label="Enable multi-scale"
+                    )
+                    ms_intermittent = gr.Checkbox(
+                        value=s["multiscale_intermittent"],
+                        label="Intermittent full-res",
+                    )
+                    ms_factor = gr.Slider(
+                        0.1, 1.0, value=s["multiscale_factor"], step=0.05,
+                        label="Scale factor",
+                    )
+                    ms_start = gr.Slider(
+                        0, 10, value=s["multiscale_fullres_start"], step=1,
+                        label="Full-res start steps",
+                    )
+                    ms_end = gr.Slider(
+                        0, 10, value=s["multiscale_fullres_end"], step=1,
+                        label="Full-res end steps",
                     )
                 with gr.Row():
                     go = gr.Button("Generate", variant="primary")
@@ -201,7 +254,36 @@ def build_app():
         def on_generate(
             prompt, negative, width, height, num_images, batch_size, hires,
             adet, enh, speed, hdr, realistic, flux, ms_preset,
+            ms_enabled, ms_intermittent, ms_factor, ms_start, ms_end,
         ):
+            ms_kwargs = multiscale_kwargs(
+                ms_preset, ms_enabled, ms_intermittent, ms_factor, ms_start,
+                ms_end,
+            )
+            save_settings(
+                {
+                    "prompt": prompt,
+                    "negative_prompt": negative,
+                    "width": int(width),
+                    "height": int(height),
+                    "num_images": int(num_images),
+                    "batch_size": int(batch_size),
+                    "hires_fix": hires,
+                    "adetailer": adet,
+                    "enhance_prompt": enh,
+                    "prio_speed": speed,
+                    "autohdr": hdr,
+                    "realistic_model": realistic,
+                    "flux_enabled": flux,
+                    "multiscale_preset": ms_preset,
+                    "multiscale_enabled": bool(ms_enabled),
+                    "multiscale_intermittent": bool(ms_intermittent),
+                    "multiscale_factor": float(ms_factor),
+                    "multiscale_fullres_start": int(ms_start),
+                    "multiscale_fullres_end": int(ms_end),
+                    "keep_models_loaded": True,
+                }
+            )
             yield from generate_images_with_preview(
                 prompt=prompt,
                 negative_prompt=negative or None,
@@ -216,13 +298,14 @@ def build_app():
                 autohdr=hdr,
                 realistic_model=realistic,
                 flux_enabled=flux,
-                multiscale_preset=None if ms_preset == "disabled" else ms_preset,
+                **ms_kwargs,
             )
 
         go.click(
             on_generate,
             [prompt, negative, width, height, num_images, batch_size, hires,
-             adet, enh, speed, hdr, realistic, flux, ms_preset],
+             adet, enh, speed, hdr, realistic, flux, ms_preset,
+             ms_enabled, ms_intermittent, ms_factor, ms_start, ms_end],
             [gallery, status],
         )
         refresh_mem.click(lambda: memory_info(), None, mem)

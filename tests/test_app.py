@@ -161,6 +161,41 @@ def test_history_delete_and_clear(tmp_path):
     assert webui.list_history(str(out)) == []
 
 
+def test_multiscale_kwargs_mapping():
+    from lightdiffusion_next_tpu.app import webui
+
+    kw = webui.multiscale_kwargs("custom", True, False, 0.25, 2, 5)
+    assert kw == {
+        "enable_multiscale": True,
+        "multiscale_intermittent_fullres": False,
+        "multiscale_factor": 0.25,
+        "multiscale_fullres_start": 2,
+        "multiscale_fullres_end": 5,
+    }
+    assert webui.multiscale_kwargs("disabled", True, True, 0.5, 3, 8) == {
+        "enable_multiscale": False
+    }
+    assert webui.multiscale_kwargs("quality", False, False, 0.5, 3, 8) == {
+        "multiscale_preset": "quality"
+    }
+
+
+def test_settings_merge_save(monkeypatch, tmp_path):
+    """generate_images_with_preview must merge-update settings, not
+    overwrite the full UI save with its partial kwargs."""
+    monkeypatch.chdir(tmp_path)
+    from lightdiffusion_next_tpu.app import webui
+    from lightdiffusion_next_tpu.pipelines import pipeline as pipeline_mod
+
+    webui.save_settings({**webui.DEFAULT_SETTINGS, "multiscale_factor": 0.25})
+    monkeypatch.setattr(
+        pipeline_mod, "pipeline", lambda **kw: ["x.png"]
+    )
+    list(webui.generate_images_with_preview(prompt="p", w=64, h=64))
+    assert webui.load_settings()["multiscale_factor"] == 0.25
+    assert webui.load_settings()["prompt"] == "p"
+
+
 def test_cli_preview_flag_parses():
     from lightdiffusion_next_tpu.app.cli import build_parser
 
