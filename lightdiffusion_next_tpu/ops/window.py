@@ -90,12 +90,23 @@ def make_msw_msa_override(
     return override
 
 
+_MSW_FACTORY_CACHE = {}
+
+
 def make_msw_msa_factory(blocks=SD15_BLOCKS):
     """Timestep-indexed factory for the CFG denoiser: shift rotates 0-3 with
-    the discrete timestep (deterministic stand-in for the reference's RNG)."""
+    the discrete timestep (deterministic stand-in for the reference's RNG).
 
-    def factory(t):
-        idx = jnp.mod(jnp.floor(jnp.max(t)).astype(jnp.int32), 4)
-        return make_msw_msa_override(blocks=blocks, shift_idx=idx)
+    Memoized per ``blocks``: the denoiser cache key includes
+    ``id(attn1_override_factory)``, so a fresh factory object per
+    pipeline() call would miss the compiled-sampler-loop cache and retrace
+    the whole program on EVERY image."""
+    key = tuple(blocks)
+    if key not in _MSW_FACTORY_CACHE:
 
-    return factory
+        def factory(t):
+            idx = jnp.mod(jnp.floor(jnp.max(t)).astype(jnp.int32), 4)
+            return make_msw_msa_override(blocks=blocks, shift_idx=idx)
+
+        _MSW_FACTORY_CACHE[key] = factory
+    return _MSW_FACTORY_CACHE[key]

@@ -77,3 +77,12 @@ def test_traced_shift_index(rng):
     out1 = jax.jit(f)(jnp.asarray(1))
     assert out0.shape == q.shape
     assert not np.allclose(np.asarray(out0), np.asarray(out1))
+
+
+def test_msw_factory_is_memoized():
+    """Identity-stable factory: the sampler's compiled-loop cache keys on
+    id(attn1_override_factory); a fresh object per pipeline() call would
+    retrace the whole 20-step program for every image."""
+    from lightdiffusion_next_tpu.ops import window
+
+    assert window.make_msw_msa_factory() is window.make_msw_msa_factory()
