@@ -130,7 +130,10 @@ def make_preview_callback(
             )
 
             raise SampleInterrupted()
-        if not instance.previewer_enabled or i % every != 0:
+        # chunked-scan mode already fires at `every`-step granularity;
+        # the modulo gate is for the eager per-step path
+        chunked = bool(info.get("chunk"))
+        if not instance.previewer_enabled or (not chunked and i % every != 0):
             return
         # a failed preview must never kill the generation (the reference's
         # preview threads die silently; we log instead)
@@ -152,4 +155,10 @@ def make_preview_callback(
 
             logging.exception("preview decode failed")
 
+    # sampler: run compiled `every`-step segments between callbacks instead
+    # of eager per-step dispatch (samplers.sample chunked mode)
+    callback.chunk = every
+    # orchestrators (pipeline stages, USDU tiles, detailer segments) poll
+    # this between units of work to honor an interrupt promptly
+    callback.should_stop = lambda: instance.interrupt_flag
     return callback

@@ -109,15 +109,29 @@ def list_history(output_dir: str = "./output") -> List[str]:
 
 
 def delete_history_image(path: str, output_dir: str = "./output") -> str:
-    """Remove one generated image (app.py:212-282 capability). Refuses
-    paths outside ``output_dir`` so a stale gallery entry can never delete
-    an arbitrary file."""
+    """Remove one generated image (app.py:212-282 capability).
+
+    Gradio galleries serve SELECTED images from their own temp cache, so
+    the select event's path is usually '/tmp/gradio/…', not the original —
+    map it back to the history entry by basename. Paths outside
+    ``output_dir`` that match nothing are refused (a stale gallery entry
+    can never delete an arbitrary file)."""
     if not path:
         return "no image selected"
     real = os.path.realpath(path)
     base = os.path.realpath(output_dir)
     if not real.startswith(base + os.sep):
-        return f"refusing to delete outside {output_dir}: {path}"
+        name = os.path.basename(real)
+        matches = [
+            p for p in list_history(output_dir) if os.path.basename(p) == name
+        ]
+        if len(matches) != 1:
+            return (
+                f"refusing to delete outside {output_dir}: {path}"
+                if not matches
+                else f"ambiguous selection {name!r} ({len(matches)} matches)"
+            )
+        real = os.path.realpath(matches[0])
     try:
         os.remove(real)
         return f"deleted {os.path.basename(real)}"

@@ -96,6 +96,49 @@ def unscale_latents(x):
     return (x - LATENT_SHIFT) * (2 * LATENT_MAGNITUDE)
 
 
+def normalize_decoder_params(sd: Dict) -> "Dict | None":
+    """Accept the circulating TAESD checkpoint layouts and return a dict in
+    this module's 'decoder.N.*' sequential convention, or None when the
+    layout is unrecognized (callers then fall back to linear-RGB previews
+    instead of failing on every preview step):
+
+    - 'decoder.N.*'          — this module / raw taesd repo with prefix
+    - bare 'N.*'             — taesd_decoder.safetensors (decoder-only dump)
+    - 'decoder.layers.N.*'   — diffusers AutoencoderTiny (taef1); its
+      DecoderTiny has no Clamp layer (tanh applied in forward), so indices
+      shift by one vs our layout's clamp at 0
+    """
+    keys = list(sd)
+    if any(k.startswith("decoder.layers.") for k in keys):
+        out = {}
+        for k, v in sd.items():
+            if not k.startswith("decoder.layers."):
+                continue
+            rest = k[len("decoder.layers."):]
+            idx, _, tail = rest.partition(".")
+            if not idx.isdigit():
+                return None
+            out[f"decoder.{int(idx) + 1}.{tail}"] = v
+        sd = out
+    elif not any(k.startswith("decoder.") for k in keys):
+        if keys and all(k.split(".")[0].isdigit() for k in keys):
+            sd = {f"decoder.{k}": v for k, v in sd.items()}
+        else:
+            return None
+    else:
+        sd = {k: v for k, v in sd.items() if k.startswith("decoder.")}
+    # structural check against _DECODER_LAYOUT's conv positions — a wrong
+    # layout must be rejected here, not KeyError per preview step
+    required = [
+        f"decoder.{i}.weight"
+        for i, spec in enumerate(_DECODER_LAYOUT)
+        if spec[0] in ("conv", "conv_nb")
+    ]
+    if not all(k in sd for k in required):
+        return None
+    return sd
+
+
 def decode_preview(params: Dict, latent) -> np.ndarray:
     """latent -> uint8-ready float [0,1] RGB (taesd_preview semantics,
     taesd.py:257-310)."""

@@ -56,6 +56,23 @@ def _resize_mask(mask: np.ndarray, h: int, w: int) -> np.ndarray:
     return np.asarray(out)[0, :, :, 0]
 
 
+def _polygon_mask(polys, h: int, w: int) -> Optional[np.ndarray]:
+    """Rasterize ultralytics polygon contours (original-image coords)."""
+    from PIL import Image, ImageDraw
+
+    img = Image.new("L", (w, h), 0)
+    draw = ImageDraw.Draw(img)
+    drew = False
+    for poly in polys:
+        pts = np.asarray(poly, dtype=np.float32).reshape(-1, 2)
+        if len(pts) >= 3:
+            draw.polygon([(float(x), float(y)) for x, y in pts], fill=1)
+            drew = True
+    if not drew:
+        return None
+    return np.asarray(img, dtype=np.float32)
+
+
 def segs_from_yolo_result(result, h: int, w: int) -> List[SEG]:
     """Ultralytics result -> SEG list.
 
@@ -64,22 +81,39 @@ def segs_from_yolo_result(result, h: int, w: int) -> List[SEG]:
     fill. NOTE: this is deliberately BETTER than the reference, whose
     inference_bbox rectangle-fills even for seg models (AD_util.py:54-58;
     its UltraSegmDetector is an empty stub, bbox.py:103-115) — rectangle
-    masks inpaint background around people/faces."""
+    masks inpaint background around people/faces.
+
+    Mask source preference: `masks.xy` polygon contours (ultralytics
+    rescales these to ORIGINAL image coordinates) > `masks.data` but only
+    when its aspect matches the image (raw `data` is in the letterboxed
+    network-input space — stretching the padded mask over a non-square
+    image would misalign it with the boxes) > bbox fill."""
     boxes = np.asarray(result.boxes.xyxy.cpu().numpy())
     confs = np.asarray(result.boxes.conf.cpu().numpy())
     seg_masks = None
+    seg_polys = None
     masks = getattr(result, "masks", None)
     if masks is not None:
         try:
+            seg_polys = list(masks.xy)
+        except Exception:
+            seg_polys = None
+        try:
             seg_masks = np.asarray(masks.data.cpu().numpy())
         except Exception:
+            seg_masks = None
+    if seg_masks is not None and len(seg_masks):
+        mh, mw = seg_masks.shape[-2:]
+        if abs(mh / mw - h / w) > 0.02:  # letterboxed/stride-padded space
             seg_masks = None
 
     segs: List[SEG] = []
     for i, (box, conf) in enumerate(zip(boxes, confs)):
         x0, y0, x1, y1 = (int(v) for v in box)
         mask = None
-        if seg_masks is not None and i < len(seg_masks):
+        if seg_polys is not None and i < len(seg_polys):
+            mask = _polygon_mask([seg_polys[i]], h, w)
+        if mask is None and seg_masks is not None and i < len(seg_masks):
             m = _resize_mask(seg_masks[i], h, w)
             m = (m > 0.5).astype(np.float32)
             if m.any():
@@ -214,6 +248,7 @@ class Detailer:
         seg: SEG,
         positive,
         negative,
+        callback=None,
     ) -> np.ndarray:
         import jax.numpy as jnp
 
@@ -251,6 +286,7 @@ class Detailer:
             latent_image=latent,
             denoise=self.cfg.denoise,
             denoise_mask=jnp.asarray(m_lat),
+            callback=callback,
         )
         decoded = np.asarray(self.vae.decode(result.latent))
         back = np.asarray(nn.interpolate_bilinear(jnp.asarray(decoded), (ch, cw)))
@@ -267,7 +303,8 @@ class Detailer:
         return out
 
     def detail(
-        self, image: np.ndarray, detector, positive, negative, sam=None
+        self, image: np.ndarray, detector, positive, negative, sam=None,
+        callback=None,
     ) -> Tuple[np.ndarray, List[SEG]]:
         segs = detector.detect(image, self.cfg.threshold)
         segs = dilate_masks(segs, self.cfg.dilation)
@@ -286,6 +323,10 @@ class Detailer:
             if (s.bbox[2] - s.bbox[0]) >= self.cfg.drop_size
             and (s.bbox[3] - s.bbox[1]) >= self.cfg.drop_size
         ]
+        from lightdiffusion_next_tpu.sampling import samplers as samplers_mod
+
         for seg in segs:
-            image = self.enhance_detail(image, seg, positive, negative)
+            if samplers_mod.callback_requests_stop(callback):
+                break
+            image = self.enhance_detail(image, seg, positive, negative, callback)
         return image, segs

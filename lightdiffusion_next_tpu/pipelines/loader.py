@@ -122,18 +122,24 @@ class ModelCache:
         self._cache: Dict[str, Tuple] = {}
         self.keep_models_loaded = True
 
-    def _key(self, path: str) -> str:
+    def _key(self, path: str, variant: str = "") -> str:
         try:
-            return f"{os.path.abspath(path)}:{os.path.getmtime(path)}"
+            base = f"{os.path.abspath(path)}:{os.path.getmtime(path)}"
         except OSError:
-            return os.path.abspath(path)
+            base = os.path.abspath(path)
+        return f"{base}::{variant}" if variant else base
 
-    def get(self, path: str):
-        return self._cache.get(self._key(path)) if self.keep_models_loaded else None
+    def get(self, path: str, variant: str = ""):
+        """``variant`` distinguishes differently-laid-out residents of the
+        same file (e.g. a TP-sharded model) while keeping the mtime-based
+        staleness check on the real path."""
+        if not self.keep_models_loaded:
+            return None
+        return self._cache.get(self._key(path, variant))
 
-    def put(self, path: str, value) -> None:
+    def put(self, path: str, value, variant: str = "") -> None:
         if self.keep_models_loaded:
-            self._cache[self._key(path)] = value
+            self._cache[self._key(path, variant)] = value
 
     def clear(self) -> None:
         self._cache.clear()

@@ -114,6 +114,8 @@ def pipeline(
     saved: List[str] = []
 
     for _ in range(number):
+        if _stop_requested(progress_callback):
+            break
         if flux_enabled:
             saved += _flux_txt2img(
                 prompt, w, h, batch, autohdr, saver, progress_callback
@@ -131,6 +133,19 @@ def pipeline(
         )
         seed = random.randint(1, 2**63 - 1)
     return saved
+
+
+def _stop_requested(progress_callback) -> bool:
+    """Interrupt poll between images/stages — a PreviewHook carries the app
+    instance whose flag the WebUI Interrupt button sets; the per-step stop
+    inside a sampler run is handled by the callback raising
+    SampleInterrupted (samplers.sample)."""
+    from lightdiffusion_next_tpu.app import instance as instance_mod
+
+    return (
+        isinstance(progress_callback, instance_mod.PreviewHook)
+        and progress_callback.instance.interrupt_flag
+    )
 
 
 def _resolve_callback(progress_callback, latent_format, total_steps, taesd_file):
@@ -151,10 +166,14 @@ def _resolve_callback(progress_callback, latent_format, total_steps, taesd_file)
         path = downloader.asset_path("vae_approx", taesd_file)
         if os.path.exists(path):
             try:
+                from lightdiffusion_next_tpu.models import taesd as taesd_mod
                 from lightdiffusion_next_tpu.utils import state_dict as sd_utils
 
-                taesd_params = sd_utils.convs_to_hwio(
+                raw = taesd_mod.normalize_decoder_params(
                     sd_utils.load_torch_file(path)
+                )
+                taesd_params = (
+                    None if raw is None else sd_utils.convs_to_hwio(raw)
                 )
             except Exception:
                 taesd_params = None
@@ -261,7 +280,7 @@ def _sd15_generate(
         callback=callback,
     )
 
-    if hires_fix:
+    if hires_fix and not _stop_requested(progress_callback):
         up = upscale_mod.bislerp(np.asarray(result.latent), (w * 2) // 8, (h * 2) // 8)
         result = ks.ksample(
             model,
@@ -282,8 +301,11 @@ def _sd15_generate(
 
     images = np.asarray(vae.decode(result.latent))
 
-    if adetailer:
-        images = _run_adetailer(images, model, clip, vae, prompt, negative_prompt)
+    if adetailer and not _stop_requested(progress_callback):
+        images = _run_adetailer(
+            images, model, clip, vae, prompt, negative_prompt,
+            progress_callback,
+        )
         prefix = "Adetailer/LD-head"
     elif hires_fix:
         prefix = "HiresFix/LD"
@@ -295,7 +317,8 @@ def _sd15_generate(
     return saver.save_images(images, prefix, prompt=prompt)
 
 
-def _run_adetailer(images, model, clip, vae, prompt, negative_prompt):
+def _run_adetailer(images, model, clip, vae, prompt, negative_prompt,
+                   progress_callback=None):
     """2-pass person+face detail (pipeline.py:375-511)."""
     from lightdiffusion_next_tpu.pipelines import detailer as det
 
@@ -303,6 +326,10 @@ def _run_adetailer(images, model, clip, vae, prompt, negative_prompt):
     positive = encode.encode(clip, prompt)
     negative = encode.encode(clip, negative_prompt)
     d = det.Detailer(model, clip, vae, det.DetailerConfig(denoise=0.5))
+    cb = _resolve_callback(
+        progress_callback, model.latent_format, d.cfg.steps,
+        "taesd_decoder.safetensors",
+    )
 
     sam = None
     sam_path = downloader.asset_path("yolos", "sam_vit_b_01ec64.pth")
@@ -322,7 +349,9 @@ def _run_adetailer(images, model, clip, vae, prompt, negative_prompt):
             detector = det.UltralyticsDetector(path)
         except RuntimeError:
             continue
-        images, _ = d.detail(images, detector, positive, negative, sam=sam)
+        images, _ = d.detail(
+            images, detector, positive, negative, sam=sam, callback=cb
+        )
     return images
 
 
@@ -396,15 +425,13 @@ def _get_flux_models(unet_path, t5_path, clip_l_path, ae_path, mesh=None):
     cache = loader.get_model_cache()
 
     # a TP-sharded model is a different resident object than the single-chip
-    # one; key it by the mesh layout
-    unet_key = unet_path if mesh is None else (
-        f"{unet_path}::mesh{tuple(mesh.shape.values())}"
-    )
-    model = cache.get(unet_key)
+    # one; the variant keeps mtime-based staleness on the real path
+    variant = "" if mesh is None else f"mesh{tuple(mesh.shape.values())}"
+    model = cache.get(unet_path, variant=variant)
     if model is None:
         model = loader.load_diffusion_model_gguf(unet_path, mesh=mesh)
         model = model.with_options(fbcache=fb_mod.FBCacheConfig(0.120))
-        cache.put(unet_key, model)
+        cache.put(unet_path, model, variant=variant)
 
     vae = cache.get(ae_path)
     if vae is None:

@@ -42,6 +42,7 @@ from typing import Optional, Tuple
 import numpy as np
 
 from lightdiffusion_next_tpu.sampling import ksampler as ks
+from lightdiffusion_next_tpu.sampling import samplers as samplers_mod
 
 
 @dataclasses.dataclass
@@ -82,6 +83,20 @@ def _feather(mask: np.ndarray, blur: int) -> np.ndarray:
     out = _box_blur_1d(mask.astype(np.float32), blur, 0)
     out = _box_blur_1d(out, blur, 1)
     return np.clip(out, 0.0, 1.0)
+
+
+def _feather_rect(mask: np.ndarray, blur: int, rect) -> np.ndarray:
+    """Feather a mask that is zero outside ``rect`` by blurring only the
+    rect±2·blur window (in place) — the full-frame blur is O(H·W·tiles)
+    across a tiled pass for identical results."""
+    if blur <= 0:
+        return mask.astype(np.float32)
+    x1, y1, x2, y2 = rect
+    ry1, ry2 = max(y1 - 2 * blur, 0), min(y2 + 2 * blur, mask.shape[0])
+    rx1, rx2 = max(x1 - 2 * blur, 0), min(x2 + 2 * blur, mask.shape[1])
+    mask = mask.astype(np.float32)
+    mask[ry1:ry2, rx1:rx2] = _feather(mask[ry1:ry2, rx1:rx2], blur)
+    return mask
 
 
 def expand_region(
@@ -125,7 +140,10 @@ def region_for_rect(
         target_w, target_h = cw, round(cw / p_ratio)
     else:
         target_w, target_h = round(ch * p_ratio), ch
-    # never smaller than the model shape (interior tiles land exactly on it)
+    # never smaller than the model shape. NB interior tiles do NOT land on
+    # it exactly: crop = tile+2*pad (576 at defaults) vs model ceil((tile+
+    # pad)/8)*8 (544) — the reference resizes every tile the same way
+    # (UltimateSDUpscale.py:842-843 vs get_crop_region's 2-sided pad)
     target_w = max(target_w, min(model_w, W))
     target_h = max(target_h, min(model_h, H))
     return expand_region((x1, y1, x2, y2), W, H, target_w, target_h)
@@ -248,9 +266,11 @@ class UltimateSDUpscale:
                 )
                 if rect[0] >= rect[2] or rect[1] >= rect[3]:
                     continue
+                if samplers_mod.callback_requests_stop(callback):
+                    return image
                 mask = np.zeros((H, W), dtype=np.float32)
                 mask[rect[1] : rect[3], rect[0] : rect[2]] = 1.0
-                mask = _feather(mask, self.cfg.mask_blur)
+                mask = _feather_rect(mask, self.cfg.mask_blur, rect)
                 image = self._process_region(
                     image, mask, rect, model_hw, self.cfg.padding, positive,
                     negative, seed, steps, cfg_scale, sampler_name, scheduler,
@@ -285,9 +305,11 @@ class UltimateSDUpscale:
             x1, y1, x2, y2 = rect
             if x1 >= x2 or y1 >= y2:
                 return image
+            if samplers_mod.callback_requests_stop(callback):
+                return image
             mask = np.zeros((H, W), dtype=np.float32)
             mask[y1:y2, x1:x2] = band[: y2 - y1, : x2 - x1]
-            mask = _feather(mask, self.cfg.seam_fix_mask_blur)
+            mask = _feather_rect(mask, self.cfg.seam_fix_mask_blur, rect)
             return self._process_region(
                 image, mask, rect, model_hw, self.cfg.seam_fix_padding,
                 positive, negative, seed, steps, cfg_scale, sampler_name,

@@ -63,6 +63,18 @@ class SampleInterrupted(Exception):
     interrupt_flag check intended (samplers.py:120-125)."""
 
 
+def callback_requests_stop(callback) -> bool:
+    """Poll a callback's optional ``should_stop`` hook — orchestrator loops
+    (pipeline stages, USDU tiles, ADetailer segments) call this between
+    units of work so an interrupt doesn't have to wait for every remaining
+    tile to run its denoise."""
+    fn = getattr(callback, "should_stop", None)
+    try:
+        return bool(fn and fn())
+    except Exception:
+        return False
+
+
 def to_d(x, sigma, denoised):
     """Euler derivative (src/Utilities/util.py:26)."""
     return (x - denoised) / sigma
@@ -596,6 +608,8 @@ def sample(
         if is_dy and opts.s_extra_steps and sigmas[i + 1] > 0 and i // 2 == 1
     }
 
+    chunk = int(getattr(callback, "chunk", 0) or 0)
+
     if callback is None and not dy_extra_steps:
         # scan mode: one compiled program per (segment length, resolution)
         for i0, i1, fullres in segment_flags(flags):
@@ -603,6 +617,47 @@ def sample(
             carry = (inner, init_segment_state(fullres))
             carry, _ = runner(jit_args, carry, xs_for(i0, i1))
             inner = carry[0]
+    elif callback is not None and chunk > 1:
+        # chunked scan: compiled segments of up to `chunk` steps with the
+        # callback invoked between them — previews/progress/interrupt at
+        # chunk granularity WITHOUT the per-step eager dispatch the plain
+        # callback path pays (the webui/preview default)
+        marks = {0, n_steps}
+        for i0, i1, _fr in segment_flags(flags):
+            marks.update((i0, i1))
+        for i in dy_extra_steps:
+            marks.update((i, i + 1))
+        marks.update(range(chunk, n_steps, chunk))
+        bounds = sorted(marks)
+        seg_state = None
+        last_fullres = None
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            fullres = bool(flags[a])
+            if seg_state is None or fullres != last_fullres:
+                seg_state = init_segment_state(fullres)
+                last_fullres = fullres
+            if a in dy_extra_steps:
+                step = get_step_runner(True)
+                xs = {k: v[0] for k, v in xs_for(a, a + 1).items()}
+                carry, _ = step(jit_args, (inner, seg_state), xs)
+                inner, seg_state = carry
+                inner = run_dy_extra(inner, a)
+            else:
+                runner = get_runner(fullres)
+                carry, _ = runner(jit_args, (inner, seg_state), xs_for(a, b))
+                inner, seg_state = carry
+            try:
+                callback(
+                    {
+                        "x": inner[0],
+                        "i": b - 1,
+                        "sigma": float(sigmas[b - 1]),
+                        "denoised": inner[1],
+                        "chunk": chunk,
+                    }
+                )
+            except SampleInterrupted:
+                break
     elif callback is None:
         # dy scan mode: everything runs as lax.scan segments except the two
         # checkerboard-extra steps, which need a host-interleaved half-res

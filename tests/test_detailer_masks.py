@@ -88,3 +88,44 @@ def test_dilate_non_rectangular_mask_grows():
     (seg,) = dilate_masks([SEG((15, 15, 17, 17), (15, 15, 17, 17), m, 1.0)], 3)
     assert seg.mask.sum() > 1
     assert seg.mask[16, 19] == 1.0 and seg.mask[16, 20] == 0.0
+
+
+class _MasksXY:
+    """Seg result with polygon contours (ultralytics .xy: original-image
+    coords) plus letterboxed-space raw data."""
+
+    def __init__(self, xy, data):
+        self.xy = xy
+        self.data = _T(data)
+
+
+def test_polygon_masks_preferred_and_in_image_coords():
+    h, w = 48, 96  # non-square
+    tri = np.asarray([[10.0, 10.0], [40.0, 10.0], [10.0, 40.0]])
+    # letterboxed data (square network space) would misalign if used
+    bad = np.ones((1, 64, 64), np.float32)
+    res = _Result(
+        xyxy=[[10.0, 10.0, 40.0, 40.0]],
+        conf=[0.8],
+        masks=_MasksXY([tri], bad),
+    )
+    (seg,) = segs_from_yolo_result(res, h, w)
+    assert seg.mask.shape == (h, w)
+    # triangle interior, not the bbox / full-frame fill
+    assert seg.mask[12, 12] == 1.0
+    assert seg.mask[38, 38] == 0.0  # opposite corner outside the triangle
+    assert seg.mask[5, 80] == 0.0
+    assert 300 < seg.mask.sum() < 600  # ~0.5 * 30 * 30
+
+
+def test_letterboxed_data_rejected_without_polygons():
+    """masks.data in a space whose aspect differs from the image must not
+    be stretched over it; fall back to bbox fill."""
+    h, w = 48, 96
+    res = _Result(
+        xyxy=[[8.0, 8.0, 24.0, 24.0]],
+        conf=[0.6],
+        masks=_Masks(np.ones((1, 64, 64), np.float32)),  # square space
+    )
+    (seg,) = segs_from_yolo_result(res, h, w)
+    assert seg.mask.sum() == (24 - 8) * (24 - 8)  # bbox fill, not full frame

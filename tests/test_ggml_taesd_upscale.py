@@ -114,3 +114,31 @@ def test_bislerp_preserves_norms_on_axis(rng):
     out = upscale.bislerp(x, 8, 8)
     assert np.isfinite(out).all()
     assert out.shape == (1, 8, 8, 8)
+
+
+def test_taesd_normalize_decoder_params():
+    """The three circulating TAESD layouts all normalize to 'decoder.N.*';
+    unrecognized layouts return None (preview falls back to linear RGB
+    instead of KeyError-ing every step)."""
+    from lightdiffusion_next_tpu.models import taesd
+
+    ours = taesd.init_params(seed=0)
+    dec = {k: v for k, v in ours.items() if k.startswith("decoder.")}
+
+    assert taesd.normalize_decoder_params(dict(dec)).keys() == dec.keys()
+
+    bare = {k[len("decoder."):]: v for k, v in dec.items()}
+    assert taesd.normalize_decoder_params(bare).keys() == dec.keys()
+
+    # diffusers AutoencoderTiny: no clamp layer, indices shifted down one
+    diffusers = {}
+    for k, v in dec.items():
+        rest = k[len("decoder."):]
+        idx, _, tail = rest.partition(".")
+        diffusers[f"decoder.layers.{int(idx) - 1}.{tail}"] = v
+    norm = taesd.normalize_decoder_params(diffusers)
+    assert norm.keys() == dec.keys()
+    np.testing.assert_array_equal(norm["decoder.1.weight"], dec["decoder.1.weight"])
+
+    assert taesd.normalize_decoder_params({"foo.weight": dec["decoder.1.weight"]}) is None
+    assert taesd.normalize_decoder_params({"decoder.1.weight": dec["decoder.1.weight"]}) is None

@@ -240,6 +240,44 @@ def test_dy_extra_step_uses_compiled_runner(rng):
     ), "dy extra step did not register a compiled runner"
 
 
+def test_chunked_callback_matches_scan(rng):
+    """A callback with .chunk runs compiled segments between callbacks:
+    same trajectory as pure scan, one callback per chunk, and a raised
+    SampleInterrupted stops at chunk granularity."""
+    denoise, _ = make_denoiser(rng)
+    x0 = rng.standard_normal(SHAPE).astype(np.float32)
+    out_scan = samplers.sample(denoise, jnp.asarray(x0), SIGMAS, sampler="euler")
+
+    calls = []
+
+    def cb(info):
+        calls.append(info["i"])
+        assert info.get("chunk") == 2
+
+    cb.chunk = 2
+    out_chunked = samplers.sample(
+        denoise, jnp.asarray(x0), SIGMAS, sampler="euler", callback=cb
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_scan), np.asarray(out_chunked), atol=1e-5
+    )
+    assert calls == [1, 3, 5]  # 6 steps, chunk 2 -> ends 2,4,6
+
+    def cb_stop(info):
+        calls2.append(info["i"])
+        if info["i"] >= 1:
+            raise samplers.SampleInterrupted()
+
+    calls2 = []
+    cb_stop.chunk = 2
+    out_stopped = samplers.sample(
+        denoise, jnp.asarray(x0), SIGMAS, sampler="euler", callback=cb_stop
+    )
+    assert calls2 == [1]
+    assert np.isfinite(np.asarray(out_stopped)).all()
+    assert not np.allclose(np.asarray(out_stopped), np.asarray(out_scan))
+
+
 def test_true_cfgpp_differs(rng):
     denoise, _ = make_denoiser(rng)
     x0 = rng.standard_normal(SHAPE).astype(np.float32)

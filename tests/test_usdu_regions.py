@@ -145,3 +145,50 @@ def test_padding_overlap_blends_neighbor_context(rng):
     np.testing.assert_allclose(out, 0.75, atol=1e-6)
     # rect-only compositing: a HALF-painted mask would leave zeros
     assert out.min() > 0.7
+
+
+def test_redraw_stops_between_tiles_on_interrupt(rng):
+    """A callback whose should_stop() fires makes redraw return without
+    processing remaining tiles (interrupt propagation across the grid)."""
+
+    class ConstVAE:
+        downscale = 1
+
+        def encode(self, img):
+            return np.asarray(img)
+
+        def decode(self, latent):
+            return np.ones_like(np.asarray(latent)) * 0.75
+
+    u = usdu.UltimateSDUpscale(
+        object(), ConstVAE(), None,
+        usdu.USDUConfig(tile_width=16, tile_height=16, mask_blur=0, padding=8),
+    )
+    import lightdiffusion_next_tpu.pipelines.upscaler as upscaler_mod
+
+    calls = []
+    stop = {"flag": False}
+
+    def cb(info):
+        pass
+
+    cb.should_stop = lambda: stop["flag"]
+
+    orig = upscaler_mod.ks.ksample
+    try:
+        def fake_ksample(*a, **k):
+            calls.append(1)
+            stop["flag"] = True  # request stop after the first tile
+            return type("R", (), {"latent": k["latent_image"]})()
+
+        upscaler_mod.ks.ksample = fake_ksample
+        img = np.zeros((1, 32, 32, 3), dtype=np.float32)  # 2x2 tile grid
+        out = u.redraw(
+            img, None, None, seed=0, steps=1, cfg_scale=1.0,
+            sampler_name="euler", scheduler="normal", denoise=0.3,
+            callback=cb,
+        )
+    finally:
+        upscaler_mod.ks.ksample = orig
+    assert len(calls) == 1  # remaining 3 tiles skipped
+    assert out.shape == img.shape
