@@ -167,6 +167,32 @@ def apply_t5(
     return x, intermediate, None
 
 
+def detect_config(params: Dict) -> T5Config:
+    """T5Config from state-dict shapes (leaves may be quantized records —
+    only ``.shape`` is read). The reference hardcodes T5-XXL
+    (FluxClip.py:501-592); detection lets scaled-down checkpoints / test
+    assets load through the same path."""
+    def shape(k):
+        return tuple(params[k].shape)
+
+    vocab, d_model = shape("shared.weight")
+    n_layers = 0
+    while f"encoder.block.{n_layers}.layer.0.layer_norm.weight" in params:
+        n_layers += 1
+    buckets, heads = shape(
+        "encoder.block.0.layer.0.SelfAttention.relative_attention_bias.weight"
+    )
+    d_ff = shape("encoder.block.0.layer.1.DenseReluDense.wi_0.weight")[0]
+    return T5Config(
+        d_model=d_model,
+        d_ff=d_ff,
+        num_heads=heads,
+        num_layers=n_layers or T5_XXL.num_layers,
+        vocab_size=vocab,
+        relative_num_buckets=buckets,
+    )
+
+
 class T5XXLModel:
     """SDClipModel-like facade for T5 (T5XXLModel, FluxClip.py:565-592)."""
 
@@ -180,7 +206,11 @@ class T5XXLModel:
         from lightdiffusion_next_tpu.utils import state_dict as sd_utils
 
         self.cfg = cfg
-        self.params = sd_utils.device_put_params(params, dtype)
+        # quantized (QTensor8/QTensor8T) and already-device leaves pass
+        # through; only host numpy arrays need the packed upload
+        plain = {k: v for k, v in params.items() if isinstance(v, np.ndarray)}
+        rest = {k: v for k, v in params.items() if k not in plain}
+        self.params = {**sd_utils.device_put_params(plain, dtype), **rest}
         self.compute_dtype = compute_dtype or dtype
         self.special_tokens = {"end": 1, "pad": 0}
 

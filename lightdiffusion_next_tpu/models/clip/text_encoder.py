@@ -136,6 +136,17 @@ class SDClipModel:
             params["text_model.embeddings.token_embedding.weight"],
             dtype=np.float32,
         )
+        # layer count from the state dict (scaled-down checkpoints / test
+        # assets); an explicit non-default num_layers still wins
+        if num_layers == CLIP_L_LAYERS:
+            n = 0
+            while (
+                f"text_model.encoder.layers.{n}.self_attn.q_proj.weight"
+                in params
+            ):
+                n += 1
+            if n:
+                num_layers = n
         self.params = sd_utils.device_put_params(params, dtype)
         self.layer = layer
         self.layer_idx = layer_idx

@@ -435,10 +435,8 @@ def _get_flux_models(unet_path, t5_path, clip_l_path, ae_path, mesh=None):
 
     vae = cache.get(ae_path)
     if vae is None:
-        vae = vae_mod.VAE(
-            sd_utils.convs_to_hwio(sd_utils.load_torch_file(ae_path)),
-            cfg=vae_mod.FLUX_AE,
-        )
+        ae_sd = sd_utils.convs_to_hwio(sd_utils.load_torch_file(ae_path))
+        vae = vae_mod.VAE(ae_sd, cfg=vae_mod.detect_vae_config(ae_sd))
         cache.put(ae_path, vae)
 
     t5_model = cache.get(t5_path)
@@ -446,7 +444,11 @@ def _get_flux_models(unet_path, t5_path, clip_l_path, ae_path, mesh=None):
         import jax.numpy as jnp
 
         t5_params = ggml.to_device_quantized(ggml.gguf_clip_loader(t5_path))
-        t5_model = t5_mod.T5XXLModel(t5_params, compute_dtype=jnp.bfloat16)
+        t5_model = t5_mod.T5XXLModel(
+            t5_params,
+            cfg=t5_mod.detect_config(t5_params),
+            compute_dtype=jnp.bfloat16,
+        )
         cache.put(t5_path, t5_model)
 
     clip_model = cache.get(clip_l_path)
@@ -544,7 +546,11 @@ def encode_flux_conditioning(
         clip_model = te.SDClipModel(sd_utils.load_torch_file(clip_l_path))
     if t5_model is None:
         t5_params = ggml.to_device_quantized(ggml.gguf_clip_loader(t5_path))
-        t5_model = t5_mod.T5XXLModel(t5_params, compute_dtype=jnp.bfloat16)
+        t5_model = t5_mod.T5XXLModel(
+            t5_params,
+            cfg=t5_mod.detect_config(t5_params),
+            compute_dtype=jnp.bfloat16,
+        )
 
     # CLIP-L pooled
     bpe = tok.SDTokenizer()

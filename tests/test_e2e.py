@@ -203,3 +203,43 @@ def test_usdu_tiny(stack):
     )
     assert out.shape == (1, 128, 128, 3)
     assert np.isfinite(out).all()
+
+
+@pytest.mark.slow
+def test_flux_pipeline_end_to_end_with_gguf_assets(tmp_path, monkeypatch):
+    """The FULL flux workflow through the real loaders: tiny GGUF DiT
+    (Q8_0) + llama.cpp-named T5 GGUF + CLIP-L + flux AE, built by
+    scripts/make_tiny_assets.make_flux_assets, then pipeline(flux=True).
+    This is the drive that caught T5XXLModel choking on quantized leaves."""
+    import importlib.util
+    import sys as _sys
+
+    spec = importlib.util.spec_from_file_location(
+        "make_tiny_assets",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "scripts",
+            "make_tiny_assets.py",
+        ),
+    )
+    mta = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mta)
+    root = str(tmp_path / "assets")
+    mta.make_flux_assets(root)
+
+    monkeypatch.setenv("LDT_ASSET_ROOT", root)
+    monkeypatch.setenv("LDT_OFFLINE", "1")
+    from lightdiffusion_next_tpu.pipelines import loader as loader_mod
+    from lightdiffusion_next_tpu.pipelines.pipeline import pipeline
+
+    loader_mod.get_model_cache().clear()  # other tests' residents
+    try:
+        paths = pipeline(
+            "a tiny castle", 128, 128, number=1, batch=1,
+            flux_enabled=True, output_dir=str(tmp_path / "out"),
+        )
+        assert len(paths) == 1 and paths[0].endswith(".png")
+        assert os.path.exists(paths[0])
+        assert "Flux" in paths[0]
+    finally:
+        loader_mod.get_model_cache().clear()

@@ -75,13 +75,17 @@ def test_flux_models_cached_across_calls(monkeypatch, tmp_path):
         lambda sd, cfg=None: calls.__setitem__("vae", calls["vae"] + 1) or "VAE",
     )
     monkeypatch.setattr(
+        vae_mod, "detect_vae_config", lambda sd: vae_mod.FLUX_AE
+    )
+    monkeypatch.setattr(t5_mod, "detect_config", lambda p: t5_mod.T5_XXL)
+    monkeypatch.setattr(
         ggml, "gguf_clip_loader",
         lambda p: calls.__setitem__("disk", calls["disk"] + 1) or {},
     )
     monkeypatch.setattr(ggml, "to_device_quantized", lambda sd: sd)
     monkeypatch.setattr(
         t5_mod, "T5XXLModel",
-        lambda params, compute_dtype=None: calls.__setitem__(
+        lambda params, cfg=None, compute_dtype=None: calls.__setitem__(
             "t5", calls["t5"] + 1
         ) or "T5",
     )
