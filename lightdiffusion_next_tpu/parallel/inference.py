@@ -65,3 +65,12 @@ def shard_flux_model(model, mesh: Mesh):
 def shard_batch(x, mesh: Mesh):
     """Batch-shard an activation over "data" (replicated over "model")."""
     return jax.device_put(x, shard_rules.batch_sharding(mesh))
+
+
+def shard_sd15_model(model, mesh: Mesh):
+    """Data-parallel SD1.5 (SURVEY §7: per-chip batch, fully replicated
+    weights). Replicate every param on the mesh; callers batch-shard the
+    latent/noise with ``shard_batch`` and XLA runs each chip's slice
+    independently — no collectives in the forward at all."""
+    shardings = shard_rules.replicated_shardings(model.params, mesh)
+    return model.with_params(shard_rules.shard_params(model.params, shardings))

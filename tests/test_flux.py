@@ -405,3 +405,47 @@ def test_flux_tp_sharded_quantized_matches_unsharded(rng):
         )
         out = np.asarray(fn(sharded, xs, t, ctx, y))
     np.testing.assert_allclose(out, base, atol=2e-4)
+
+
+def test_sd15_data_parallel_batch_matches_single(rng):
+    """SURVEY §7's SD1.5 story: replicated weights + batch-sharded latents
+    over the "data" axis produce the same denoise as single-device."""
+    from lightdiffusion_next_tpu.models import base as base_mod
+    from lightdiffusion_next_tpu.models import unet as unet_mod
+    from lightdiffusion_next_tpu.parallel import inference as par_inf
+    from lightdiffusion_next_tpu.parallel.mesh import make_mesh
+    from lightdiffusion_next_tpu.sampling import cfg as cfg_mod
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs virtual multi-device CPU")
+
+    ucfg = unet_mod.UNetConfig(
+        model_channels=32, channel_mult=(1, 2), num_res_blocks=(1, 1),
+        transformer_depth=(1, 1), context_dim=768, num_heads=4,
+        dtype=jnp.float32,
+    )
+    model = base_mod.sd15_model(
+        unet_mod.init_params(ucfg, seed=0), cfg=ucfg, dtype=jnp.float32
+    )
+    b = 4
+    ctx = jnp.asarray(rng.standard_normal((b, 77, 768)), jnp.float32)
+    cond = cfg_mod.CondInput(cross_attn=ctx)
+    x = jnp.asarray(rng.standard_normal((b, 16, 16, 4)), jnp.float32)
+    sigma = jnp.asarray([5.0] * b, jnp.float32)
+
+    den = cfg_mod.make_cfg_denoiser(
+        model.apply_fn, model.params, model.model_sampling, cond, None, 1.0
+    )
+    base = np.asarray(den(x, sigma)[0])
+
+    mesh = make_mesh(4, 1)
+    dp_model = par_inf.shard_sd15_model(model, mesh)
+    with mesh:
+        xs = par_inf.shard_batch(x, mesh)
+        den_dp = cfg_mod.make_cfg_denoiser(
+            dp_model.apply_fn, dp_model.params, dp_model.model_sampling,
+            cfg_mod.CondInput(cross_attn=par_inf.shard_batch(ctx, mesh)),
+            None, 1.0,
+        )
+        out = np.asarray(den_dp(xs, sigma)[0])
+    np.testing.assert_allclose(out, base, atol=2e-4, rtol=1e-4)
