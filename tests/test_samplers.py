@@ -278,6 +278,40 @@ def test_chunked_callback_matches_scan(rng):
     assert not np.allclose(np.asarray(out_stopped), np.asarray(out_scan))
 
 
+def test_chunked_callback_matches_scan_with_multiscale(rng):
+    """Chunk marks must compose with multiscale segment boundaries (state
+    re-init at resolution changes, same trajectory as pure scan)."""
+    denoise, _ = make_denoiser(rng)
+
+    def denoise_any(x, sigma):
+        return 0.3 * x, 0.2 * x
+
+    x0 = rng.standard_normal((1, 64, 64, 4)).astype(np.float32)
+    ms = samplers.MultiScale(True, 0.5, 1, 2, False)
+    flags = samplers.fullres_flags(len(SIGMAS) - 1, ms, 64, 64)
+    assert not flags.all(), "multiscale must engage for this test"
+    out_scan = samplers.sample(
+        denoise_any, jnp.asarray(x0), SIGMAS, sampler="euler", ms=ms
+    )
+
+    calls = []
+
+    def cb(info):
+        calls.append(info["i"])
+
+    cb.chunk = 2
+    out_chunked = samplers.sample(
+        denoise_any, jnp.asarray(x0), SIGMAS, sampler="euler", ms=ms,
+        callback=cb,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_scan), np.asarray(out_chunked), atol=1e-5
+    )
+    # 6 steps, ms segments [0,1),[1,4),[4,6), chunk marks {2,4} ->
+    # sub-segment ends at 1,2,4,6 (callback i = end-1)
+    assert calls == [0, 1, 3, 5]
+
+
 def test_true_cfgpp_differs(rng):
     denoise, _ = make_denoiser(rng)
     x0 = rng.standard_normal(SHAPE).astype(np.float32)
