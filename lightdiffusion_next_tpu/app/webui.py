@@ -108,30 +108,31 @@ def list_history(output_dir: str = "./output") -> List[str]:
     return sorted(out, key=os.path.getmtime, reverse=True)
 
 
-def delete_history_image(path: str, output_dir: str = "./output") -> str:
-    """Remove one generated image (app.py:212-282 capability).
+def select_from_history(paths: List[str], index) -> str:
+    """Map a gallery select event's index to the real history path. Gradio
+    serves gallery images from its own temp cache, so the event's *value*
+    path is useless (and basenames collide across workflow subfolders —
+    every folder counts LD_NNNNN_.png); the index into the listing the
+    gallery was last rendered from is the only reliable handle."""
+    try:
+        i = int(index)
+    except (TypeError, ValueError):
+        return ""
+    if 0 <= i < len(paths):
+        return paths[i]
+    return ""
 
-    Gradio galleries serve SELECTED images from their own temp cache, so
-    the select event's path is usually '/tmp/gradio/…', not the original —
-    map it back to the history entry by basename. Paths outside
-    ``output_dir`` that match nothing are refused (a stale gallery entry
-    can never delete an arbitrary file)."""
+
+def delete_history_image(path: str, output_dir: str = "./output") -> str:
+    """Remove one generated image (app.py:212-282 capability). Refuses
+    paths outside ``output_dir`` so a stale gallery entry can never delete
+    an arbitrary file."""
     if not path:
         return "no image selected"
     real = os.path.realpath(path)
     base = os.path.realpath(output_dir)
     if not real.startswith(base + os.sep):
-        name = os.path.basename(real)
-        matches = [
-            p for p in list_history(output_dir) if os.path.basename(p) == name
-        ]
-        if len(matches) != 1:
-            return (
-                f"refusing to delete outside {output_dir}: {path}"
-                if not matches
-                else f"ambiguous selection {name!r} ({len(matches)} matches)"
-            )
-        real = os.path.realpath(matches[0])
+        return f"refusing to delete outside {output_dir}: {path}"
     try:
         os.remove(real)
         return f"deleted {os.path.basename(real)}"
@@ -256,7 +257,8 @@ def build_app():
                 with gr.Row():
                     refresh_mem = gr.Button("Refresh memory")
                     clear_cache = gr.Button("Clear model cache")
-                history = gr.Gallery(label="History", value=list_history())
+                initial_history = list_history()
+                history = gr.Gallery(label="History", value=initial_history)
                 with gr.Row():
                     delete_img = gr.Button("Delete selected image")
                     clear_all = gr.Button("Clear all images", variant="stop")
@@ -264,6 +266,7 @@ def build_app():
                     label="History actions", interactive=False
                 )
                 selected_path = gr.State("")
+                history_paths = gr.State(initial_history)
 
         def on_generate(
             prompt, negative, width, height, num_images, batch_size, hires,
@@ -333,29 +336,31 @@ def build_app():
 
         clear_cache.click(on_clear, None, mem)
 
-        def on_select(evt: gr.SelectData):
-            v = evt.value
-            # Gradio galleries report either the path string or an
-            # {"image": {"path": ...}} dict depending on version.
-            if isinstance(v, dict):
-                v = (v.get("image") or {}).get("path", "")
-            return v or ""
+        def on_select(paths, evt: gr.SelectData):
+            return select_from_history(paths, evt.index)
 
-        history.select(on_select, None, selected_path)
+        history.select(on_select, history_paths, selected_path)
 
         def on_delete(path):
             msg = delete_history_image(path)
-            return msg, list_history(), ""
+            listing = list_history()
+            return msg, listing, listing, ""
 
         delete_img.click(
-            on_delete, selected_path, [action_status, history, selected_path]
+            on_delete,
+            selected_path,
+            [action_status, history, history_paths, selected_path],
         )
 
         def on_clear_all():
-            return clear_history(), list_history(), ""
+            listing_msg = clear_history()
+            listing = list_history()
+            return listing_msg, listing, listing, ""
 
         clear_all.click(
-            on_clear_all, None, [action_status, history, selected_path]
+            on_clear_all,
+            None,
+            [action_status, history, history_paths, selected_path],
         )
     return demo
 

@@ -148,6 +148,39 @@ def _stop_requested(progress_callback) -> bool:
     )
 
 
+_TAESD_CACHE: dict = {}
+
+
+def _load_taesd_params(taesd_file):
+    """Load + normalize a TAESD decoder once per (path, mtime) — previews
+    resolve a callback per stage and per image; re-parsing the checkpoint
+    every time is pure waste. None (missing/unrecognized asset) is cached
+    too: previews then use the linear-RGB fallback."""
+    if not taesd_file:
+        return None
+    path = downloader.asset_path("vae_approx", taesd_file)
+    if not os.path.exists(path):
+        return None
+    try:
+        key = (path, os.path.getmtime(path))
+    except OSError:
+        return None
+    if key not in _TAESD_CACHE:
+        try:
+            from lightdiffusion_next_tpu.models import taesd as taesd_mod
+            from lightdiffusion_next_tpu.utils import state_dict as sd_utils
+
+            raw = taesd_mod.normalize_decoder_params(
+                sd_utils.load_torch_file(path)
+            )
+            _TAESD_CACHE[key] = (
+                None if raw is None else sd_utils.convs_to_hwio(raw)
+            )
+        except Exception:
+            _TAESD_CACHE[key] = None
+    return _TAESD_CACHE[key]
+
+
 def _resolve_callback(progress_callback, latent_format, total_steps, taesd_file):
     """Turn an app.instance.PreviewHook into a real per-stage sampler
     callback (previews + 0..1 progress); raw callables pass through.
@@ -161,22 +194,7 @@ def _resolve_callback(progress_callback, latent_format, total_steps, taesd_file)
     ):
         return progress_callback
 
-    taesd_params = None
-    if taesd_file:
-        path = downloader.asset_path("vae_approx", taesd_file)
-        if os.path.exists(path):
-            try:
-                from lightdiffusion_next_tpu.models import taesd as taesd_mod
-                from lightdiffusion_next_tpu.utils import state_dict as sd_utils
-
-                raw = taesd_mod.normalize_decoder_params(
-                    sd_utils.load_torch_file(path)
-                )
-                taesd_params = (
-                    None if raw is None else sd_utils.convs_to_hwio(raw)
-                )
-            except Exception:
-                taesd_params = None
+    taesd_params = _load_taesd_params(taesd_file)
     return instance_mod.make_preview_callback(
         progress_callback.instance,
         latent_format,

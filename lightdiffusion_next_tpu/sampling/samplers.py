@@ -631,27 +631,31 @@ def sample(
         bounds = sorted(marks)
         seg_state = None
         last_fullres = None
-        for a, b in zip(bounds[:-1], bounds[1:]):
-            fullres = bool(flags[a])
+        # NB: loop bounds must NOT be named a/b — `b` is the batch size the
+        # init_segment_state/run_dy_extra closures read at call time
+        for seg_a, seg_b in zip(bounds[:-1], bounds[1:]):
+            fullres = bool(flags[seg_a])
             if seg_state is None or fullres != last_fullres:
                 seg_state = init_segment_state(fullres)
                 last_fullres = fullres
-            if a in dy_extra_steps:
+            if seg_a in dy_extra_steps:
                 step = get_step_runner(True)
-                xs = {k: v[0] for k, v in xs_for(a, a + 1).items()}
+                xs = {k: v[0] for k, v in xs_for(seg_a, seg_a + 1).items()}
                 carry, _ = step(jit_args, (inner, seg_state), xs)
                 inner, seg_state = carry
-                inner = run_dy_extra(inner, a)
+                inner = run_dy_extra(inner, seg_a)
             else:
                 runner = get_runner(fullres)
-                carry, _ = runner(jit_args, (inner, seg_state), xs_for(a, b))
+                carry, _ = runner(
+                    jit_args, (inner, seg_state), xs_for(seg_a, seg_b)
+                )
                 inner, seg_state = carry
             try:
                 callback(
                     {
                         "x": inner[0],
-                        "i": b - 1,
-                        "sigma": float(sigmas[b - 1]),
+                        "i": seg_b - 1,
+                        "sigma": float(sigmas[seg_b - 1]),
                         "denoised": inner[1],
                         "chunk": chunk,
                     }

@@ -156,14 +156,13 @@ def test_history_delete_and_clear(tmp_path):
     assert "refusing" in msg and outside.exists()
     assert "no image" in webui.delete_history_image("", output_dir=str(out))
 
-    # gradio serves gallery selections from its temp cache — a cache-copy
-    # path must map back to the real history entry by basename
-    gradio_copy = tmp_path / "gradio_cache" / b.name
-    gradio_copy.parent.mkdir()
-    gradio_copy.write_bytes(b"png")
-    msg = webui.delete_history_image(str(gradio_copy), output_dir=str(out))
-    assert "deleted" in msg and not b.exists() and gradio_copy.exists()
-    b.write_bytes(b"png")  # restore for the clear_history assertion below
+    # gallery selections resolve by INDEX into the rendered listing —
+    # gradio's event value is a temp-cache copy path, and basenames
+    # collide across workflow subfolders (every folder counts LD_NNNNN_)
+    listing = webui.list_history(str(out))
+    assert webui.select_from_history(listing, 0) == listing[0]
+    assert webui.select_from_history(listing, len(listing)) == ""
+    assert webui.select_from_history(listing, None) == ""
 
     msg = webui.clear_history(str(out))
     assert "deleted 1" in msg

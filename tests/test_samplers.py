@@ -312,6 +312,39 @@ def test_chunked_callback_matches_scan_with_multiscale(rng):
     assert calls == [0, 1, 3, 5]
 
 
+def test_chunked_with_stateful_denoiser(rng):
+    """Regression: the chunked loop's bound variables shadowed the batch
+    size `b` read by init_segment_state, so stateful (FBCache) denoisers
+    got a state with batch == chunk bound and lax.scan crashed on the
+    carry shape. Exercises init_state through the chunked branch."""
+
+    class StatefulDen:
+        cache_key = ("stateful-chunk-test",)
+        jit_args = {"w": jnp.asarray(0.3)}
+
+        def init_state(self, x):
+            return jnp.zeros(x.shape, jnp.float32)
+
+        def call_with(self, ja, x, sigma, state):
+            return ja["w"] * x + 0.0 * state, 0.2 * x, state + 1.0
+
+        def __call__(self, x, sigma, state):
+            return self.call_with(self.jit_args, x, sigma, state)
+
+    den = StatefulDen()
+    x0 = rng.standard_normal(SHAPE).astype(np.float32)  # batch 1
+
+    def cb(info):
+        pass
+
+    cb.chunk = 2
+    out = samplers.sample(
+        den, jnp.asarray(x0), SIGMAS, sampler="euler", callback=cb
+    )
+    assert out.shape == SHAPE
+    assert np.isfinite(np.asarray(out)).all()
+
+
 def test_true_cfgpp_differs(rng):
     denoise, _ = make_denoiser(rng)
     x0 = rng.standard_normal(SHAPE).astype(np.float32)
