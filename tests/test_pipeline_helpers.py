@@ -102,3 +102,14 @@ def test_preview_callback_writes(tmp_path):
     cb({"i": 0, "x": x, "sigma": 1.0, "denoised": x})
     assert len(inst.get_latest_previews()) == 1
     assert inst.progress.get() == 0.25
+
+
+def test_params_file_roundtrip(monkeypatch, tmp_path):
+    """write/load parameter file (util.py:324-369 parity; the reference's
+    writer drops newlines so its own loader chokes — ours round-trips)."""
+    monkeypatch.setenv("LDT_ASSET_ROOT", str(tmp_path))
+    from lightdiffusion_next_tpu.utils import params_io
+
+    params_io.write_parameters_to_file("a (cute:1.2) cat", "blurry", 512, 768, 7)
+    prompt, neg, w, h, cfg = params_io.load_parameters_from_file()
+    assert (prompt, neg, w, h, cfg) == ("a (cute:1.2) cat", "blurry", 512, 768, 7)
