@@ -366,11 +366,25 @@ def build_app():
 
 
 def main():
+    """Launch modes (app.py:944-979 parity): HF Spaces (SPACE_ID ->
+    0.0.0.0:7860), Docker (GRADIO_SERVER_* env), local default. The
+    reference's local mode enables share=True; we default it OFF — an
+    unasked-for public tunnel is a footgun — opt in with LDT_SHARE=1."""
     demo = build_app()
-    demo.launch(
-        server_name=os.environ.get("GRADIO_SERVER_NAME", "127.0.0.1"),
-        server_port=int(os.environ.get("GRADIO_SERVER_PORT", "7860")),
-    )
+    os.makedirs("./output/preview", exist_ok=True)
+    if "SPACE_ID" in os.environ:  # Hugging Face Space
+        demo.launch(server_name="0.0.0.0", server_port=7860)
+    elif "GRADIO_SERVER_NAME" in os.environ or "GRADIO_SERVER_PORT" in os.environ:
+        demo.launch(
+            server_name=os.environ.get("GRADIO_SERVER_NAME", "0.0.0.0"),
+            server_port=int(os.environ.get("GRADIO_SERVER_PORT", "7860")),
+        )
+    else:
+        demo.launch(
+            server_name="127.0.0.1",
+            server_port=int(os.environ.get("LDT_PORT", "7860")),
+            share=os.environ.get("LDT_SHARE") == "1",
+        )
 
 
 if __name__ == "__main__":
