@@ -301,7 +301,8 @@ def build_app():
                     "keep_models_loaded": True,
                 }
             )
-            yield from generate_images_with_preview(
+            paths, state = [], "starting"
+            for paths, state in generate_images_with_preview(
                 prompt=prompt,
                 negative_prompt=negative or None,
                 w=int(width),
@@ -316,14 +317,19 @@ def build_app():
                 realistic_model=realistic,
                 flux_enabled=flux,
                 **ms_kwargs,
-            )
+            ):
+                yield paths, state, gr.update(), gr.update()
+            # refresh the history tab with the finished images (the
+            # reference reloads its gallery from disk, app.py:438-450)
+            listing = list_history()
+            yield paths, state, listing, listing
 
         go.click(
             on_generate,
             [prompt, negative, width, height, num_images, batch_size, hires,
              adet, enh, speed, hdr, realistic, flux, ms_preset,
              ms_enabled, ms_intermittent, ms_factor, ms_start, ms_end],
-            [gallery, status],
+            [gallery, status, history, history_paths],
         )
         refresh_mem.click(lambda: memory_info(), None, mem)
         stop.click(lambda: app_instance.request_interrupt(), None, None)
