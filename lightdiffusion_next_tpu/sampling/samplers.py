@@ -82,8 +82,22 @@ def to_d(x, sigma, denoised):
 
 # compiled sampler-loop cache (see sample(): keyed by denoiser cache_key +
 # sampler statics; entries are jax.jit wrappers whose arrays all arrive via
-# the jit_args argument, so reuse across calls is sound)
-_RUNNER_CACHE: dict = {}
+# the jit_args argument, so reuse across calls is sound). Bounded: in a
+# long serving session every distinct (model, sampler, options) combo adds
+# a wrapper holding compiled executables; evict oldest past the cap.
+
+
+class _BoundedCache(dict):
+    MAX = 64
+
+    def __setitem__(self, key, value):
+        if key not in self and len(self) >= self.MAX:
+            oldest = next(iter(self))
+            del self[oldest]
+        super().__setitem__(key, value)
+
+
+_RUNNER_CACHE: dict = _BoundedCache()
 
 
 # ---------------------------------------------------------------------------
