@@ -207,6 +207,16 @@ def main():
     )
     latent = latent_mod.empty_latent(1024, 1024, 1, channels=16)
 
+    # --preview-sim: attach a chunk=5 callback with a small host readback,
+    # the webui/preview production path (chunked scan segments) — validates
+    # that previews don't regress the denoise to per-step eager dispatch
+    callback = None
+    if "--preview-sim" in sys.argv:
+        def callback(info):
+            np.asarray(info["x"][:1, :8, :8, :1])  # preview-sized readback
+
+        callback.chunk = 5
+
     def run():
         res = ks.ksample(
             model,
@@ -218,6 +228,7 @@ def main():
             positive=positive,
             negative=negative,
             latent_image=latent,
+            callback=callback,
         )
         return float(np.abs(np.asarray(res.latent)).mean())
 
@@ -237,7 +248,8 @@ def main():
         json.dumps(
             {
                 "metric": f"flux_dev_q8_txt2img_1024px_{n_steps}step_s_per_image"
-                + ("" if use_fbcache else "_nofbcache"),
+                + ("" if use_fbcache else "_nofbcache")
+                + ("_preview" if callback is not None else ""),
                 "value": round(dt, 3),
                 "unit": "s/image",
                 "it_per_s": round(n_steps / dt, 3),
