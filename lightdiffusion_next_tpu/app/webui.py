@@ -380,15 +380,20 @@ def main():
     os.makedirs("./output/preview", exist_ok=True)
     if "SPACE_ID" in os.environ:  # Hugging Face Space
         demo.launch(server_name="0.0.0.0", server_port=7860)
-    elif "GRADIO_SERVER_NAME" in os.environ or "GRADIO_SERVER_PORT" in os.environ:
+    elif "GRADIO_SERVER_NAME" in os.environ and "GRADIO_SERVER_PORT" in os.environ:
+        # Docker: the reference requires BOTH vars for this mode; a bare
+        # GRADIO_SERVER_PORT must NOT silently rebind from localhost to
+        # 0.0.0.0 (the UI has delete/clear handlers)
         demo.launch(
-            server_name=os.environ.get("GRADIO_SERVER_NAME", "0.0.0.0"),
-            server_port=int(os.environ.get("GRADIO_SERVER_PORT", "7860")),
+            server_name=os.environ["GRADIO_SERVER_NAME"],
+            server_port=int(os.environ["GRADIO_SERVER_PORT"]),
         )
     else:
         demo.launch(
             server_name="127.0.0.1",
-            server_port=int(os.environ.get("LDT_PORT", "7860")),
+            server_port=int(
+                os.environ.get("GRADIO_SERVER_PORT", os.environ.get("LDT_PORT", "7860"))
+            ),
             share=os.environ.get("LDT_SHARE") == "1",
         )
 

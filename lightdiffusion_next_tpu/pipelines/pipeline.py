@@ -103,6 +103,16 @@ def pipeline(
         seed = random.randint(1, 2**63 - 1)
     save_last_seed(seed)
 
+    # parameter-file record (util.py:324-369; the reference's Enhancer reads
+    # the prompt back from this file but nothing ever wrote it — here the
+    # flow is closed)
+    try:
+        from lightdiffusion_next_tpu.utils import params_io
+
+        params_io.write_parameters_to_file(prompt, negative_prompt, w, h, 7)
+    except OSError:
+        pass
+
     if enhance_prompt:
         from lightdiffusion_next_tpu.pipelines.enhancer import (
             enhance_prompt as do_enhance,

@@ -88,12 +88,24 @@ def to_d(x, sigma, denoised):
 
 
 class _BoundedCache(dict):
+    """LRU-bounded: a hit refreshes recency, so the hot runner for the
+    resident model is never the one evicted."""
+
     MAX = 64
 
+    def __getitem__(self, key):
+        value = super().__getitem__(key)
+        # re-insert to mark most-recently-used (dict preserves order)
+        super().__delitem__(key)
+        super().__setitem__(key, value)
+        return value
+
     def __setitem__(self, key, value):
-        if key not in self and len(self) >= self.MAX:
+        if key in self:
+            super().__delitem__(key)
+        elif len(self) >= self.MAX:
             oldest = next(iter(self))
-            del self[oldest]
+            super().__delitem__(oldest)
         super().__setitem__(key, value)
 
 

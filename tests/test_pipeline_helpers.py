@@ -113,3 +113,21 @@ def test_params_file_roundtrip(monkeypatch, tmp_path):
     params_io.write_parameters_to_file("a (cute:1.2) cat", "blurry", 512, 768, 7)
     prompt, neg, w, h, cfg = params_io.load_parameters_from_file()
     assert (prompt, neg, w, h, cfg) == ("a (cute:1.2) cat", "blurry", 512, 768, 7)
+
+
+def test_params_file_legacy_and_newlines(monkeypatch, tmp_path):
+    """Loader tolerates the reference writer's mashed single-line files;
+    writer flattens embedded newlines so round-trips stay parseable."""
+    monkeypatch.setenv("LDT_ASSET_ROOT", str(tmp_path))
+    from lightdiffusion_next_tpu.utils import params_io
+
+    # legacy single-line file (reference writer drops newlines)
+    with open(params_io._params_file(), "w") as f:
+        f.write("prompt: a catneg: blurryw: 512\nh: 640\ncfg: 7\n")
+    prompt, neg, w, h, cfg = params_io.load_parameters_from_file()
+    assert (prompt, neg, w, h, cfg) == ("a cat", "blurry", 512, 640, 7)
+
+    # multi-line prompt flattens rather than corrupting other keys
+    params_io.write_parameters_to_file("line one\nw: 4", "n", 256, 256, 3)
+    prompt, neg, w, h, cfg = params_io.load_parameters_from_file()
+    assert prompt == "line one w: 4" and (w, h, cfg) == (256, 256, 3)
