@@ -542,9 +542,12 @@ def _flux_txt2img(prompt, w, h, batch, autohdr, saver, progress_callback):
             "diffusion_pytorch_model.safetensors",  # taef1
         ),
     )
-    images = np.asarray(vae.decode(result.latent))
+    decoded = vae.decode(result.latent)
     if autohdr:
-        images = hdr_mod.apply_hdr_batch(images)
+        # device->device HDR; only the final result crosses to host
+        images = hdr_mod.apply_hdr_batch(decoded)
+    else:
+        images = np.asarray(decoded)
     return saver.save_images(images, "Flux/LD", prompt=prompt)
 
 
