@@ -11,6 +11,7 @@ reduces to dict arithmetic over params).
 from __future__ import annotations
 
 import dataclasses
+import itertools
 from typing import Any, Callable, Dict, Optional
 
 import jax.numpy as jnp
@@ -18,6 +19,13 @@ import jax.numpy as jnp
 from lightdiffusion_next_tpu.models import unet as unet_mod
 from lightdiffusion_next_tpu.sampling import model_sampling as ms_mod
 from lightdiffusion_next_tpu.utils import latent as latent_mod
+
+
+# Monotonic model identity for compiled-runner cache keys. id()-based keys
+# can alias when an object dies and a new one lands on the recycled address;
+# a counter never repeats within a process, so a runner traced for a dead
+# model can never be keyed the same as a new model's.
+_UID_COUNTER = itertools.count(1)
 
 
 @dataclasses.dataclass
@@ -29,6 +37,14 @@ class DiffusionModel:
     config: Any = None
     model_type: str = "unet"  # "unet" | "flux"
     model_options: Dict[str, Any] = dataclasses.field(default_factory=dict)
+    # Trace identity: changes whenever the traced program would (new load,
+    # new apply_fn/config variant); stays fixed across with_params/with_options
+    # because params/conds travel as jit ARGUMENTS, not trace constants.
+    uid: Optional[int] = None
+
+    def __post_init__(self):
+        if self.uid is None:
+            self.uid = next(_UID_COUNTER)
 
     def with_params(self, params) -> "DiffusionModel":
         return dataclasses.replace(self, params=params)

@@ -311,8 +311,15 @@ def load_embed(
         return None
     if isinstance(embedding_directories, str):
         embedding_directories = [embedding_directories]
+    # search subdirectories too (expand_directory_list parity,
+    # SDToken.py:108-123) — dedupe while keeping a stable walk order
+    expanded: List[str] = []
+    for d in embedding_directories:
+        for root in [d] + [r for r, _, _ in os.walk(d, followlinks=True)]:
+            if root not in expanded:
+                expanded.append(root)
     valid_file = None
-    for embed_dir in embedding_directories:
+    for embed_dir in expanded:
         embed_path = os.path.abspath(os.path.join(embed_dir, embedding_name))
         embed_dir_abs = os.path.abspath(embed_dir)
         try:

@@ -59,6 +59,7 @@ def shard_flux_model(model, mesh: Mesh):
         params=shard_rules.shard_params(params, shardings),
         config=cfg,
         apply_fn=flux_mod.make_apply_fn(cfg),
+        uid=None,  # new traced program (TP layout) -> mint a fresh identity
     )
 
 

@@ -286,6 +286,10 @@ class Detailer:
             latent_image=latent,
             denoise=self.cfg.denoise,
             denoise_mask=jnp.asarray(m_lat),
+            # The reference applies DifferentialDiffusion (threshold mask
+            # hardening over the trajectory) whenever noise_mask_feather > 0
+            # (ADetailer.py:729-733; feather defaults to 5).
+            differential_diffusion=self.cfg.feather > 0,
             callback=callback,
         )
         decoded = np.asarray(self.vae.decode(result.latent))

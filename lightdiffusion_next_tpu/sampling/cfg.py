@@ -207,8 +207,16 @@ def make_cfg_denoiser(
     disable_cfg1_optimization: bool = False,
     first_block_hook: Optional[Callable] = None,
     attn1_override_factory: Optional[Callable] = None,
+    model_uid: Optional[int] = None,
 ) -> CFGDenoiser:
-    """CFGGuider-product denoiser (CFG.py:164-357 analog)."""
+    """CFGGuider-product denoiser (CFG.py:164-357 analog).
+
+    ``model_uid`` (DiffusionModel.uid) is the model's monotonic trace
+    identity; pass it whenever available so runner-cache keys survive model
+    GC + id() reuse. The remaining id() components (wrapper/hook/factory)
+    are safe as-is: every cached runner's closure holds those callables
+    alive, so an id cannot be recycled while a cache entry keyed by it
+    exists."""
     use_uncond = uncond is not None and (
         abs(cond_scale - 1.0) > 1e-9 or disable_cfg1_optimization
     )
@@ -229,8 +237,9 @@ def make_cfg_denoiser(
     bundle = make_bundle(params, cond, uncond, use_uncond, has_pooled)
     cache_key = (
         "cfg",
-        id(apply_model),
-        id(model_sampling),
+        model_uid
+        if model_uid is not None
+        else (id(apply_model), id(model_sampling)),
         round(float(cond_scale), 6),
         use_uncond,
         has_pooled,

@@ -200,7 +200,7 @@ def for_model(
     )
     cache_key = (
         "fbcache",
-        id(model.apply_fn),
+        model.uid,  # monotonic trace identity; survives GC + id() reuse
         round(float(cfg_scale), 6),
         batched_uncond,
         has_pooled,

@@ -238,6 +238,7 @@ def ksample(
             attn1_override_factory=model.model_options.get(
                 "attn1_override_factory"
             ),
+            model_uid=model.uid,
         )
 
     if denoise_mask is not None:

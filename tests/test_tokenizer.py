@@ -173,6 +173,24 @@ def test_textual_inversion_embedding(tmp_path, bpe):
     np.testing.assert_allclose(np.asarray(vecs[0][0]), emb[0])
 
 
+def test_textual_inversion_embedding_in_subdirectory(tmp_path, bpe):
+    """load_embed walks subdirectories (expand_directory_list parity,
+    SDToken.py:108-123)."""
+    import safetensors.numpy
+
+    nested = tmp_path / "packs" / "anime"
+    nested.mkdir(parents=True)
+    emb = np.random.default_rng(1).normal(size=(1, 768)).astype(np.float32)
+    safetensors.numpy.save_file({"emb_params": emb}, str(nested / "deepti.safetensors"))
+    t = tok.SDTokenizer(bpe=bpe, embedding_directory=str(tmp_path))
+    rows = t.tokenize_with_weights("a embedding:deepti cat")
+    vecs = [x for x in rows[0] if not isinstance(x[0], (int, np.integer))]
+    assert len(vecs) == 1
+    np.testing.assert_allclose(np.asarray(vecs[0][0]), emb[0])
+    # path traversal out of the root is still rejected
+    assert tok.load_embed("../../etc/passwd", [str(nested)], 768) is None
+
+
 def test_sd1_tokenizer_keying(bpe):
     t = tok.SD1Tokenizer()
     out = t.tokenize_with_weights("hello world")
