@@ -28,6 +28,8 @@ DEFAULT_SETTINGS = {
     "hires_fix": False,
     "adetailer": False,
     "enhance_prompt": False,
+    "img2img_enabled": False,
+    "reuse_seed": False,
     "prio_speed": False,
     "autohdr": True,
     "realistic_model": False,
@@ -39,6 +41,7 @@ DEFAULT_SETTINGS = {
     "multiscale_fullres_start": 3,
     "multiscale_fullres_end": 8,
     "keep_models_loaded": True,
+    "enable_preview": True,
 }
 
 
@@ -62,39 +65,89 @@ def save_settings(settings: dict) -> None:
         pass
 
 
-def generate_images_with_preview(output_dir: str = "./output", **kwargs):
+# Concurrent-generation guard: one pipeline run at a time. A second
+# Generate click while a run is active must not start a second thread
+# sharing the global interrupt/progress state (the reference serializes
+# through its generation_in_progress flow, app.py:312-464).
+_GENERATION_LOCK = threading.Lock()
+
+
+def generate_images_with_preview(
+    output_dir: str = "./output",
+    img2img_image=None,
+    **kwargs,
+):
     """Threaded generation with 0.5s preview polling (app.py:312-464
-    parity). Yields (gallery_paths, status) tuples."""
+    parity). Yields (gallery_paths, status) tuples.
+
+    Non-pipeline controls handled here: ``img2img_enabled`` +
+    ``img2img_image`` (numpy array or path; routed through a temp file like
+    app.py:382-387), ``enable_preview`` (app.py:624), and
+    ``keep_models_loaded`` (app.py:619 / set_keep_models_loaded)."""
     from lightdiffusion_next_tpu.app.instance import PreviewHook
     from lightdiffusion_next_tpu.pipelines.pipeline import pipeline
 
-    # merge-save (the full UI state is saved by the webui handler; direct
-    # callers only update the keys they pass)
-    merged = load_settings()
-    merged.update({k: v for k, v in kwargs.items() if k in DEFAULT_SETTINGS})
-    save_settings(merged)
-    kwargs.setdefault("progress_callback", PreviewHook(app_instance))
-    app_instance.clear_interrupt()
-    app_instance.progress.set(0.0)
-    result: dict = {}
+    if not _GENERATION_LOCK.acquire(blocking=False):
+        yield [], "busy: a generation is already in progress"
+        return
 
-    def run():
-        try:
-            result["paths"] = pipeline(output_dir=output_dir, **kwargs)
-        except Exception as e:  # surface errors like the reference (app.py:452)
-            result["error"] = str(e)
+    temp_img = None
+    try:
+        # merge-save (the full UI state is saved by the webui handler;
+        # direct callers only update the keys they pass)
+        merged = load_settings()
+        merged.update({k: v for k, v in kwargs.items() if k in DEFAULT_SETTINGS})
+        save_settings(merged)
 
-    t = threading.Thread(target=run, daemon=True)
-    t.start()
-    while t.is_alive():
-        previews = app_instance.get_latest_previews()
-        yield previews, f"generating... {app_instance.progress.get():.0%}"
-        time.sleep(0.5)
-    t.join()
-    if "error" in result:
-        yield [], f"error: {result['error']}"
-    else:
-        yield result.get("paths", []), "done"
+        app_instance.previewer_enabled = bool(kwargs.pop("enable_preview", True))
+        keep_loaded = bool(kwargs.pop("keep_models_loaded", True))
+        from lightdiffusion_next_tpu.pipelines.loader import get_model_cache
+
+        get_model_cache().set_keep_models_loaded(keep_loaded)
+
+        img2img_enabled = bool(kwargs.pop("img2img_enabled", False))
+        if img2img_enabled and img2img_image is not None:
+            if isinstance(img2img_image, str):
+                kwargs["prompt"] = img2img_image
+            else:  # numpy array from gr.Image -> temp file (app.py:382-387)
+                import numpy as np
+                from PIL import Image
+
+                os.makedirs(output_dir, exist_ok=True)
+                temp_img = os.path.join(output_dir, "temp_img2img.png")
+                Image.fromarray(np.asarray(img2img_image)).save(temp_img)
+                kwargs["prompt"] = temp_img
+            kwargs["img2img"] = True
+
+        kwargs.setdefault("progress_callback", PreviewHook(app_instance))
+        app_instance.clear_interrupt()
+        app_instance.progress.set(0.0)
+        result: dict = {}
+
+        def run():
+            try:
+                result["paths"] = pipeline(output_dir=output_dir, **kwargs)
+            except Exception as e:  # surface errors like the reference (app.py:452)
+                result["error"] = str(e)
+
+        t = threading.Thread(target=run, daemon=True)
+        t.start()
+        while t.is_alive():
+            previews = app_instance.get_latest_previews()
+            yield previews, f"generating... {app_instance.progress.get():.0%}"
+            time.sleep(0.5)
+        t.join()
+        if "error" in result:
+            yield [], f"error: {result['error']}"
+        else:
+            yield result.get("paths", []), "done"
+    finally:
+        if temp_img is not None and os.path.exists(temp_img):
+            try:
+                os.remove(temp_img)
+            except OSError:
+                pass
+        _GENERATION_LOCK.release()
 
 
 def list_history(output_dir: str = "./output") -> List[str]:
@@ -221,6 +274,34 @@ def build_app():
                     hdr = gr.Checkbox(value=s["autohdr"], label="AutoHDR")
                     realistic = gr.Checkbox(value=s["realistic_model"], label="Realistic model")
                     flux = gr.Checkbox(value=s["flux_enabled"], label="Flux")
+                with gr.Row():
+                    reuse_seed = gr.Checkbox(
+                        value=s["reuse_seed"], label="Reuse seed"
+                    )
+                    keep_loaded = gr.Checkbox(
+                        value=s["keep_models_loaded"],
+                        label="Keep models loaded",
+                        info="Keep models resident for instant reuse",
+                    )
+                    preview_on = gr.Checkbox(
+                        value=s["enable_preview"],
+                        label="Real-time preview",
+                        info="TAESD previews during generation",
+                    )
+                with gr.Row():
+                    img2img = gr.Checkbox(
+                        value=s["img2img_enabled"], label="Image to image"
+                    )
+                img2img_image = gr.Image(
+                    label="Input image for img2img",
+                    visible=bool(s["img2img_enabled"]),
+                )
+                # input visible only when img2img is on (app.py:684-686)
+                img2img.change(
+                    fn=lambda x: gr.update(visible=x),
+                    inputs=[img2img],
+                    outputs=[img2img_image],
+                )
                 with gr.Accordion("Multi-scale diffusion", open=False):
                     ms_preset = gr.Dropdown(
                         ["custom", "disabled", "quality", "performance",
@@ -260,6 +341,7 @@ def build_app():
                 initial_history = list_history()
                 history = gr.Gallery(label="History", value=initial_history)
                 with gr.Row():
+                    refresh_hist = gr.Button("Refresh history")
                     delete_img = gr.Button("Delete selected image")
                     clear_all = gr.Button("Clear all images", variant="stop")
                 action_status = gr.Textbox(
@@ -270,7 +352,8 @@ def build_app():
 
         def on_generate(
             prompt, negative, width, height, num_images, batch_size, hires,
-            adet, enh, speed, hdr, realistic, flux, ms_preset,
+            adet, enh, speed, hdr, realistic, flux, reuse, keep, prev,
+            i2i_enabled, i2i_image, ms_preset,
             ms_enabled, ms_intermittent, ms_factor, ms_start, ms_end,
         ):
             ms_kwargs = multiscale_kwargs(
@@ -288,6 +371,8 @@ def build_app():
                     "hires_fix": hires,
                     "adetailer": adet,
                     "enhance_prompt": enh,
+                    "img2img_enabled": bool(i2i_enabled),
+                    "reuse_seed": bool(reuse),
                     "prio_speed": speed,
                     "autohdr": hdr,
                     "realistic_model": realistic,
@@ -298,7 +383,8 @@ def build_app():
                     "multiscale_factor": float(ms_factor),
                     "multiscale_fullres_start": int(ms_start),
                     "multiscale_fullres_end": int(ms_end),
-                    "keep_models_loaded": True,
+                    "keep_models_loaded": bool(keep),
+                    "enable_preview": bool(prev),
                 }
             )
             paths, state = [], "starting"
@@ -312,6 +398,11 @@ def build_app():
                 hires_fix=hires,
                 adetailer=adet,
                 enhance_prompt=enh,
+                reuse_seed=bool(reuse),
+                keep_models_loaded=bool(keep),
+                enable_preview=bool(prev),
+                img2img_enabled=bool(i2i_enabled),
+                img2img_image=i2i_image,
                 prio_speed=speed,
                 autohdr=hdr,
                 realistic_model=realistic,
@@ -327,10 +418,18 @@ def build_app():
         go.click(
             on_generate,
             [prompt, negative, width, height, num_images, batch_size, hires,
-             adet, enh, speed, hdr, realistic, flux, ms_preset,
+             adet, enh, speed, hdr, realistic, flux, reuse_seed, keep_loaded,
+             preview_on, img2img, img2img_image, ms_preset,
              ms_enabled, ms_intermittent, ms_factor, ms_start, ms_end],
             [gallery, status, history, history_paths],
         )
+
+        def on_refresh_history():
+            # manual refresh (app.py:749 Refresh History)
+            listing = list_history()
+            return listing, listing
+
+        refresh_hist.click(on_refresh_history, None, [history, history_paths])
         refresh_mem.click(lambda: memory_info(), None, mem)
         stop.click(lambda: app_instance.request_interrupt(), None, None)
 

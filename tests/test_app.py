@@ -204,6 +204,139 @@ def test_settings_merge_save(monkeypatch, tmp_path):
     assert webui.load_settings()["prompt"] == "p"
 
 
+def test_img2img_temp_file_routing(monkeypatch, tmp_path):
+    """img2img checkbox + uploaded array route through a temp file that is
+    passed as the pipeline prompt (app.py:382-387, 615-631) and removed
+    after the run."""
+    monkeypatch.chdir(tmp_path)
+    from lightdiffusion_next_tpu.app import webui
+    from lightdiffusion_next_tpu.pipelines import pipeline as pipeline_mod
+
+    captured = {}
+
+    def fake_pipeline(**kw):
+        captured.update(kw)
+        captured["prompt_existed"] = os.path.exists(kw["prompt"])
+        return ["x.png"]
+
+    monkeypatch.setattr(pipeline_mod, "pipeline", fake_pipeline)
+    img = np.zeros((16, 16, 3), np.uint8)
+    outputs = list(
+        webui.generate_images_with_preview(
+            output_dir=str(tmp_path / "out"), prompt="ignored", w=64, h=64,
+            img2img_enabled=True, img2img_image=img,
+        )
+    )
+    assert outputs[-1][1] == "done"
+    assert captured["img2img"] is True
+    assert captured["prompt"].endswith("temp_img2img.png")
+    assert captured["prompt_existed"]
+    assert not os.path.exists(captured["prompt"])  # cleaned up
+
+    # a path upload is passed through without a temp copy
+    src = tmp_path / "src.png"
+    from PIL import Image
+
+    Image.fromarray(img).save(str(src))
+    list(
+        webui.generate_images_with_preview(
+            output_dir=str(tmp_path / "out"), prompt="ignored", w=64, h=64,
+            img2img_enabled=True, img2img_image=str(src),
+        )
+    )
+    assert captured["prompt"] == str(src) and src.exists()
+
+
+def test_preview_and_keep_models_toggles(monkeypatch, tmp_path):
+    """enable_preview / keep_models_loaded / reuse_seed controls
+    (app.py:600, 619, 624)."""
+    monkeypatch.chdir(tmp_path)
+    from lightdiffusion_next_tpu.app import webui
+    from lightdiffusion_next_tpu.pipelines import loader as loader_mod
+    from lightdiffusion_next_tpu.pipelines import pipeline as pipeline_mod
+
+    captured = {}
+    monkeypatch.setattr(
+        pipeline_mod, "pipeline",
+        lambda **kw: captured.update(kw) or ["x.png"],
+    )
+    cache = loader_mod.get_model_cache()
+    old_keep = cache.keep_models_loaded
+    try:
+        list(
+            webui.generate_images_with_preview(
+                output_dir=str(tmp_path), prompt="p", w=64, h=64,
+                enable_preview=False, keep_models_loaded=False,
+                reuse_seed=True,
+            )
+        )
+        assert instance_mod.app.previewer_enabled is False
+        assert cache.keep_models_loaded is False
+        assert captured["reuse_seed"] is True
+        # settings persisted (app.py autosave parity)
+        saved = webui.load_settings()
+        assert saved["enable_preview"] is False
+        assert saved["keep_models_loaded"] is False
+        assert saved["reuse_seed"] is True
+    finally:
+        instance_mod.app.previewer_enabled = True
+        cache.set_keep_models_loaded(old_keep)
+
+
+def test_concurrent_generation_guard(monkeypatch, tmp_path):
+    """A second Generate while one runs must not start a second pipeline
+    thread (reference serializes via generation_in_progress,
+    app.py:312-464)."""
+    import threading
+
+    monkeypatch.chdir(tmp_path)
+    from lightdiffusion_next_tpu.app import webui
+    from lightdiffusion_next_tpu.pipelines import pipeline as pipeline_mod
+
+    release = threading.Event()
+    started = threading.Event()
+    calls = []
+
+    def slow_pipeline(**kw):
+        calls.append(1)
+        started.set()
+        release.wait(timeout=10)
+        return ["x.png"]
+
+    monkeypatch.setattr(pipeline_mod, "pipeline", slow_pipeline)
+
+    first_result = []
+
+    def run_first():
+        first_result.extend(
+            webui.generate_images_with_preview(
+                output_dir=str(tmp_path), prompt="p", w=64, h=64
+            )
+        )
+
+    t = threading.Thread(target=run_first)
+    t.start()
+    assert started.wait(timeout=10)
+    # second click while the first is running: busy, no second pipeline call
+    second = list(
+        webui.generate_images_with_preview(
+            output_dir=str(tmp_path), prompt="q", w=64, h=64
+        )
+    )
+    assert second == [([], "busy: a generation is already in progress")]
+    release.set()
+    t.join(timeout=10)
+    assert len(calls) == 1
+    assert first_result[-1][1] == "done"
+    # and the lock is released: a new run goes through
+    third = list(
+        webui.generate_images_with_preview(
+            output_dir=str(tmp_path), prompt="r", w=64, h=64
+        )
+    )
+    assert third[-1][1] == "done" and len(calls) == 2
+
+
 def test_cli_preview_flag_parses():
     from lightdiffusion_next_tpu.app.cli import build_parser
 
