@@ -171,11 +171,25 @@ def _single_block(p: nn.ParamView, x, vec, pe, cfg: FluxConfig):
     q, k, v = _split_heads(qkv, cfg.num_heads, cfg.tp_layout)
     q, k = _qk_norm(p.scope("norm."), q, k)
     attn = _attention(q, k, v, pe)
-    out = nn.linear(
-        jnp.concatenate([attn, nn.gelu(mlp, approximate=True)], axis=-1),
-        p("linear2.weight"),
-        p("linear2.bias"),
-    )
+    if cfg.tp_layout:
+        # linear2 input-split at layout time (parallel.layout): concat
+        # [attn; gelu(mlp)] shards unevenly across the attn/mlp boundary
+        # and GSPMD would all-gather both halves; as two row-parallel
+        # matmuls the partial sums fold into one all-reduce
+        # biasless partial dots adjacent so XLA's AllReduceReassociate can
+        # fold add(psum(a), psum(b)) -> psum(a+b); bias applied after
+        out = nn.linear(attn, p("linear2_attn.weight"), None) + nn.linear(
+            nn.gelu(mlp, approximate=True), p("linear2_mlp.weight"), None
+        )
+        b2 = p.get("linear2_attn.bias")
+        if b2 is not None:
+            out = out + b2
+    else:
+        out = nn.linear(
+            jnp.concatenate([attn, nn.gelu(mlp, approximate=True)], axis=-1),
+            p("linear2.weight"),
+            p("linear2.bias"),
+        )
     return x + gate * out
 
 

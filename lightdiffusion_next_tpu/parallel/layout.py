@@ -18,6 +18,13 @@ This module re-lays the params out so shard boundaries align with heads:
   ``linear1_mlp`` — the fusion is a checkpoint storage artifact, not a
   compute requirement; XLA still fuses the two matmuls over the shared
   input.
+- single-block ``linear2`` (input-fused ``[attn(H); mlp(4H)]``) is SPLIT
+  along its INPUT dim into ``linear2_attn`` + ``linear2_mlp``. The fused
+  input's even n-way sharding crosses the attn/mlp boundary, so GSPMD
+  must all-gather BOTH activation halves before the concatenate (for real
+  Flux: (B,4352,3072)+(B,4352,12288) per single block per step). Split,
+  each matmul is cleanly row-parallel over its own aligned shards and the
+  two partial sums fold into the block's single all-reduce.
 
 The transform is value-preserving (pure row permutation/split); the
 forward consumes it via ``FluxConfig.tp_layout``. Applied on the host
@@ -66,6 +73,34 @@ def _take_rows(leaf, idx: np.ndarray):
     return leaf[idx]  # dense np/jnp weight (out, in) or bias (out,)
 
 
+def _take_input_cols(leaf, lo: int, hi: int):
+    """Slice the logical INPUT dim [lo:hi) of a weight leaf (any supported
+    representation). lo/hi must land on 32-block boundaries for quantized
+    leaves (hidden sizes are multiples of 32)."""
+    if isinstance(leaf, ggml.QTensorLoRA):
+        return ggml.QTensorLoRA(
+            base=_take_input_cols(leaf.base, lo, hi),
+            up=leaf.up,
+            down=leaf.down[:, lo:hi],
+        )
+    if isinstance(leaf, ggml.QTensor8T):  # device fused layout (K, N)
+        assert lo % 32 == 0 and hi % 32 == 0
+        return ggml.QTensor8T(
+            qt=leaf.qt[lo:hi, :],
+            scales_t=leaf.scales_t[lo // 32 : hi // 32, :],
+            shape=(leaf.shape[0], hi - lo),
+            tp=leaf.tp,
+        )
+    if isinstance(leaf, ggml.QTensor8):  # host/row-major (rows, nb, 32)
+        assert lo % 32 == 0 and hi % 32 == 0
+        return ggml.QTensor8(
+            q=leaf.q[:, lo // 32 : hi // 32, :],
+            scales=leaf.scales[:, lo // 32 : hi // 32],
+            shape=(leaf.shape[0], hi - lo),
+        )
+    return leaf[:, lo:hi]  # dense torch-layout (out, in)
+
+
 def to_tp_layout(params: Dict, cfg) -> Tuple[Dict, object]:
     """Re-lay Flux params head-interleaved + linear1-split. Idempotent via
     ``cfg.tp_layout``; returns (new_params, new_cfg)."""
@@ -93,4 +128,16 @@ def to_tp_layout(params: Dict, cfg) -> Tuple[Dict, object]:
             out[f"single_blocks.{i}.linear1_mlp.{suf}"] = _take_rows(
                 leaf, mlp_rows
             )
+        k = f"single_blocks.{i}.linear2.weight"
+        if k in out:
+            leaf = out.pop(k)
+            out[f"single_blocks.{i}.linear2_attn.weight"] = _take_input_cols(
+                leaf, 0, H
+            )
+            out[f"single_blocks.{i}.linear2_mlp.weight"] = _take_input_cols(
+                leaf, H, H + mlp_hidden
+            )
+        kb = f"single_blocks.{i}.linear2.bias"
+        if kb in out:  # output bias: attach to one part, once
+            out[f"single_blocks.{i}.linear2_attn.bias"] = out.pop(kb)
     return out, dataclasses.replace(cfg, tp_layout=True)

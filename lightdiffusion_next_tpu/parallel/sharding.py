@@ -44,10 +44,17 @@ def flux_param_spec(key: str) -> "P":
         )
     ):
         return P("model")
-    # row-parallel (input dim sharded): proj, mlp.2, linear2
+    # row-parallel (input dim sharded): proj, mlp.2, linear2 (fused or
+    # layout-split into linear2_attn/linear2_mlp — parallel.layout)
     if any(
         key.endswith(s)
-        for s in ("attn.proj.weight", "mlp.2.weight", "linear2.weight")
+        for s in (
+            "attn.proj.weight",
+            "mlp.2.weight",
+            "linear2.weight",
+            "linear2_attn.weight",
+            "linear2_mlp.weight",
+        )
     ):
         return P(None, "model")
     return P()  # replicate (mods, embedders, norms, in/out projections)
