@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from typing import Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from lightdiffusion_next_tpu.ops import attention as attn_ops
@@ -59,13 +60,36 @@ def shift_for_index(hw: Tuple[int, int], idx):
     return ((wh // 4) * idx, (ww // 4) * idx)
 
 
+def _rescale_tokens(x, src_hw: Tuple[int, int], dst_hw: Tuple[int, int]):
+    """Resample a (B, H*W, C) token grid to new spatial dims — the
+    reference's odd-dim workaround (scale_samples via window_partition,
+    msw_msa_attention.py:455-467; default scale_mode "nearest-exact",
+    Preset :73 — jax.image "nearest" has the same center-aligned
+    semantics)."""
+    b, _, c = x.shape
+    g = x.reshape(b, src_hw[0], src_hw[1], c)
+    g = jax.image.resize(g, (b, dst_hw[0], dst_hw[1], c), method="nearest")
+    return g.reshape(b, dst_hw[0] * dst_hw[1], c)
+
+
 def make_msw_msa_override(
     blocks=SD15_BLOCKS,
     shift_idx=0,
     attention_core=None,
+    active=None,
 ):
-    """Build an attn1 override. ``shift_idx``: python int or traced scalar
-    (derived from the timestep by the denoiser)."""
+    """Build an attn1 override.
+
+    ``shift_idx``: python int or traced scalar (derived from the timestep
+    by the denoiser). ``active``: optional traced bool — the sigma-window
+    gate (check_time, hidiffusion/utils.py:129-143); when given, the
+    windowed and plain paths are selected per step via lax.cond so gated
+    steps pay only plain attention.
+
+    Odd latent dims take the reference's rescale workaround
+    (hidiffusion/utils.py:167 rescale_size + scale_mode): the token grid is
+    resampled to the even-dim (2*ceil(h/2), 2*ceil(w/2)) grid, windowed,
+    and resampled back — instead of skipping the optimization entirely."""
     core = attention_core or attn_ops.attention
     block_set = set(blocks)
 
@@ -73,19 +97,36 @@ def make_msw_msa_override(
         applies = (
             block in block_set
             and hw is not None
-            and hw[0] % 2 == 0
-            and hw[1] % 2 == 0
             and q.shape == k.shape  # self-attention only
         )
         if not applies:
-            # incompatible latent (odd dims): skip, like scale_mode="skip"
             return core(q, k, v, heads)
-        shift = shift_for_index(hw, shift_idx)
-        qw = window_partition(q, hw, shift)
-        kw = window_partition(k, hw, shift)
-        vw = window_partition(v, hw, shift)
-        out = core(qw, kw, vw, heads)
-        return window_reverse(out, hw, shift)
+        h, w = hw
+        eh, ew = ((h + 1) // 2) * 2, ((w + 1) // 2) * 2
+
+        def windowed(args):
+            qq, kk, vv = args
+            if (eh, ew) != (h, w):
+                qq, kk, vv = (
+                    _rescale_tokens(x, (h, w), (eh, ew)) for x in (qq, kk, vv)
+                )
+            shift = shift_for_index((eh, ew), shift_idx)
+            out = core(
+                window_partition(qq, (eh, ew), shift),
+                window_partition(kk, (eh, ew), shift),
+                window_partition(vv, (eh, ew), shift),
+                heads,
+            )
+            out = window_reverse(out, (eh, ew), shift)
+            if (eh, ew) != (h, w):
+                out = _rescale_tokens(out, (eh, ew), (h, w))
+            return out
+
+        if active is None:
+            return windowed((q, k, v))
+        return jax.lax.cond(
+            active, windowed, lambda args: core(*args, heads), (q, k, v)
+        )
 
     return override
 
@@ -93,20 +134,50 @@ def make_msw_msa_override(
 _MSW_FACTORY_CACHE = {}
 
 
-def make_msw_msa_factory(blocks=SD15_BLOCKS):
+def make_msw_msa_factory(
+    blocks=SD15_BLOCKS,
+    model_sampling=None,
+    start_percent: float = 0.2,
+    end_percent: float = 1.0,
+):
     """Timestep-indexed factory for the CFG denoiser: shift rotates 0-3 with
     the discrete timestep (deterministic stand-in for the reference's RNG).
 
-    Memoized per ``blocks``: the denoiser cache key includes
+    ``model_sampling`` + percents add the reference's sigma-window gate
+    (SIMPLE_PRESETS start_time 0.2 / end_time 1.0, msw_msa_attention.py:71-72;
+    check_time: active iff end_sigma <= sigma <= start_sigma) — windowing
+    is OFF for the first ~20% of the trajectory, where structure forms.
+    Without model_sampling the override is always active (legacy behavior).
+
+    Memoized per (blocks, gate bounds): the denoiser cache key includes
     ``id(attn1_override_factory)``, so a fresh factory object per
     pipeline() call would miss the compiled-sampler-loop cache and retrace
     the whole program on EVERY image."""
-    key = tuple(blocks)
+    if model_sampling is not None:
+        # sigma bounds -> timestep bounds on the host (timestep() is
+        # monotone in sigma, so gating on the traced t is equivalent;
+        # model_sampling.sigma() is host-numpy and can't see tracers)
+        start_sigma = float(model_sampling.percent_to_sigma(start_percent))
+        end_sigma = float(model_sampling.percent_to_sigma(end_percent))
+        t_hi = float(model_sampling.timestep(jnp.float32(start_sigma)))
+        t_lo = float(
+            model_sampling.timestep(jnp.float32(max(end_sigma, 1e-20)))
+        )
+        bounds = (t_lo, t_hi)
+    else:
+        bounds = None
+    key = (tuple(blocks), bounds)
     if key not in _MSW_FACTORY_CACHE:
 
         def factory(t):
             idx = jnp.mod(jnp.floor(jnp.max(t)).astype(jnp.int32), 4)
-            return make_msw_msa_override(blocks=blocks, shift_idx=idx)
+            active = None
+            if bounds is not None:
+                tm = jnp.max(jnp.asarray(t, jnp.float32))
+                active = jnp.logical_and(tm <= bounds[1], tm >= bounds[0])
+            return make_msw_msa_override(
+                blocks=blocks, shift_idx=idx, active=active
+            )
 
         _MSW_FACTORY_CACHE[key] = factory
     return _MSW_FACTORY_CACHE[key]

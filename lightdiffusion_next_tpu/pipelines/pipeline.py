@@ -285,7 +285,9 @@ def _sd15_generate(
         from lightdiffusion_next_tpu.ops import window
 
         model = model.with_options(
-            attn1_override_factory=window.make_msw_msa_factory()
+            attn1_override_factory=window.make_msw_msa_factory(
+                model_sampling=model.model_sampling
+            )
         )
 
     latent = latent_mod.empty_latent(w, h, batch)

@@ -55,12 +55,79 @@ def test_windowed_equals_manual_blockwise(rng):
     np.testing.assert_allclose(out.reshape(1, h, w, 8), expected, atol=1e-5)
 
 
-def test_odd_dims_skip_windowing(rng):
+def test_odd_dims_use_rescale_workaround(rng):
+    """Odd latent dims are rescaled to the even grid, windowed, and
+    rescaled back (reference scale_mode workaround, hidiffusion/utils.py:167
+    rescale_size) — NOT skipped. Output keeps the original token count and
+    is a genuine windowed result (differs from plain attention)."""
     q = jnp.asarray(rng.standard_normal((1, 15, 8)), dtype=jnp.float32)
     override = window.make_msw_msa_override(shift_idx=1)
     out = override(q, q, q, 2, block=("input", 1), hw=(3, 5))
     plain = attn.attention(q, q, q, heads=2)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(plain), atol=1e-6)
+    assert out.shape == q.shape
+    assert np.isfinite(np.asarray(out)).all()
+    assert not np.allclose(np.asarray(out), np.asarray(plain), atol=1e-5)
+
+
+def test_odd_dims_127x127_finite(rng):
+    """The 1016x1016 case: 127x127 latent tokens through the rescale +
+    window path, jitted."""
+    import jax
+
+    h = w = 127
+    q = jnp.asarray(rng.standard_normal((1, h * w, 8)), dtype=jnp.float32)
+    override = window.make_msw_msa_override(shift_idx=2)
+    out = jax.jit(
+        lambda a: override(a, a, a, 2, block=("output", 9), hw=(h, w))
+    )(q)
+    assert out.shape == q.shape
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_sigma_gate_selects_windowed_or_plain(rng):
+    """active=False -> plain attention; active=True -> windowed (check_time
+    parity, hidiffusion/utils.py:129-143) — under jit, via lax.cond."""
+    import jax
+
+    q = jnp.asarray(rng.standard_normal((1, 16, 8)), dtype=jnp.float32)
+    plain = np.asarray(attn.attention(q, q, q, heads=2))
+    windowed = np.asarray(
+        window.make_msw_msa_override(shift_idx=0)(
+            q, q, q, 2, block=("input", 1), hw=(4, 4)
+        )
+    )
+
+    def f(flag):
+        ov = window.make_msw_msa_override(shift_idx=0, active=flag)
+        return ov(q, q, q, 2, block=("input", 1), hw=(4, 4))
+
+    np.testing.assert_allclose(np.asarray(jax.jit(f)(False)), plain, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(jax.jit(f)(True)), windowed, atol=1e-6
+    )
+
+
+def test_factory_sigma_window_gating(rng):
+    """With model_sampling, the factory is gated by the SIMPLE_PRESETS
+    window (start 20% -> windowing OFF early / ON late,
+    msw_msa_attention.py:71-72)."""
+    from lightdiffusion_next_tpu.sampling.model_sampling import (
+        ModelSamplingDiscrete,
+    )
+
+    msamp = ModelSamplingDiscrete()
+    fac = window.make_msw_msa_factory(model_sampling=msamp)
+    q = jnp.asarray(rng.standard_normal((1, 16, 8)), dtype=jnp.float32)
+    plain = np.asarray(attn.attention(q, q, q, heads=2))
+
+    def run(t):
+        ov = fac(jnp.asarray([t], jnp.float32))
+        return np.asarray(ov(q, q, q, 2, block=("input", 1), hw=(4, 4)))
+
+    # early trajectory (high sigma, t=999): gate off -> plain
+    np.testing.assert_allclose(run(999.0), plain, atol=1e-6)
+    # late trajectory (low sigma): gate on -> windowed
+    assert not np.allclose(run(100.0), plain, atol=1e-5)
 
 
 def test_traced_shift_index(rng):
