@@ -11,10 +11,12 @@ Behavioral notes vs the reference:
   (ceil((tile+padding)/8)*8 per the reference's init_draw override,
   UltimateSDUpscale.py:842-843), so neighboring tiles overlap in context;
   only the blurred tile rectangle is composited back.
-- The seam pass runs at the plain tile size with its own ``seam_fix_denoise``
-  and ``seam_fix_padding`` (half_tile_process :612-650); its gradient band
-  crop is downscaled from the padded region to the tile size like the
-  reference's LANCZOS resize (bilinear here; declared delta).
+- The seam pass uses its own ``seam_fix_denoise`` and ``seam_fix_padding``
+  (half_tile_process :612-650). Both redraw and seam model shapes are sized
+  to the PADDED crop (tile + 2*pad snapped to 8) so tiles denoise exactly
+  — no per-tile resize round-trip (the reference LANCZOS-resizes every
+  tile because its model shape uses a 1-sided pad; deliberate improvement,
+  see _model_tile).
 - ``seam_fix_width`` and ``force_uniform_tiles`` are accepted for API
   parity but are DEAD IN THE REFERENCE TOO: Script.start always runs
   half-tile (seam_fix_width only matters to the unimplemented Band Pass
@@ -140,10 +142,9 @@ def region_for_rect(
         target_w, target_h = cw, round(cw / p_ratio)
     else:
         target_w, target_h = round(ch * p_ratio), ch
-    # never smaller than the model shape. NB interior tiles do NOT land on
-    # it exactly: crop = tile+2*pad (576 at defaults) vs model ceil((tile+
-    # pad)/8)*8 (544) — the reference resizes every tile the same way
-    # (UltimateSDUpscale.py:842-843 vs get_crop_region's 2-sided pad)
+    # never smaller than the model shape. With _model_tile sized to the
+    # 2-sided pad, interior crops equal the model shape exactly and edge
+    # crops are grown to it by expand_region — the no-resize branch
     target_w = max(target_w, min(model_w, W))
     target_h = max(target_h, min(model_h, H))
     return expand_region((x1, y1, x2, y2), W, H, target_w, target_h)
@@ -180,11 +181,20 @@ class UltimateSDUpscale:
         return np.asarray(nn.interpolate_bilinear(jnp.asarray(img), (h, w)))
 
     def _model_tile(self, image: np.ndarray, pad: int) -> Tuple[int, int]:
-        """Static denoise shape: ceil((tile+padding)/8)*8, clamped to the
-        image (UltimateSDUpscale.py:842-843)."""
+        """Static denoise shape: ceil((tile + 2*padding)/8)*8, clamped to
+        the image.
+
+        Deliberately better than the reference's ceil((tile+padding)/8)*8
+        (UltimateSDUpscale.py:842-843): get_crop_region pads BOTH sides, so
+        every interior crop is tile+2*pad wide and the reference LANCZOS
+        round-trips each one (576 -> 544 -> 576 at defaults), burning a
+        resize pair per tile and blurring the redraw. Sized to the actual
+        crop, interior tiles (and edge tiles on any image >= the model
+        shape, which expand_region grows to exactly) hit the no-resize
+        branch; only images smaller than the model shape still resize."""
         H, W = image.shape[1:3]
-        mh = math.ceil((self.cfg.tile_height + pad) / 8) * 8
-        mw = math.ceil((self.cfg.tile_width + pad) / 8) * 8
+        mh = math.ceil((self.cfg.tile_height + 2 * pad) / 8) * 8
+        mw = math.ceil((self.cfg.tile_width + 2 * pad) / 8) * 8
         return min(mh, H // 8 * 8 or H), min(mw, W // 8 * 8 or W)
 
     def _grid(self, image: np.ndarray) -> Tuple[int, int]:
@@ -290,7 +300,9 @@ class UltimateSDUpscale:
         rows, cols = self._grid(image)
         tw = min(self.cfg.tile_width, W)
         th = min(self.cfg.tile_height, H)
-        model_hw = (th // 8 * 8 or th, tw // 8 * 8 or tw)
+        # sized to the padded crop like redraw tiles (_model_tile): seam
+        # bands then denoise without the reference's LANCZOS round-trip
+        model_hw = self._model_tile(image, self.cfg.seam_fix_padding)
         denoise = self.cfg.seam_fix_denoise
 
         def tri(n: int) -> np.ndarray:

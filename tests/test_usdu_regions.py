@@ -192,3 +192,68 @@ def test_redraw_stops_between_tiles_on_interrupt(rng):
         upscaler_mod.ks.ksample = orig
     assert len(calls) == 1  # remaining 3 tiles skipped
     assert out.shape == img.shape
+
+
+def test_interior_tiles_hit_no_resize_branch():
+    """_model_tile is sized to the 2-sided padded crop (tile + 2*pad, /8),
+    so interior crops equal the model shape exactly and edge crops are
+    grown to it — no per-tile resize round-trip (round-2 verdict #9)."""
+    u = usdu.UltimateSDUpscale(
+        None, None, None,
+        usdu.USDUConfig(tile_width=512, tile_height=512, padding=32),
+    )
+    image = np.zeros((1, 2048, 2048, 3), np.float32)
+    mh, mw = u._model_tile(image, 32)
+    assert (mh, mw) == (576, 576)  # 512 + 2*32
+    # interior tile: crop == model exactly
+    x1, y1, x2, y2 = usdu.region_for_rect(
+        (512, 512, 1024, 1024), 2048, 2048, 32, mw, mh
+    )
+    assert (x2 - x1, y2 - y1) == (mw, mh)
+    # corner tile: expand_region grows it to exactly the model shape
+    x1, y1, x2, y2 = usdu.region_for_rect((0, 0, 512, 512), 2048, 2048, 32, mw, mh)
+    assert (x2 - x1, y2 - y1) == (mw, mh)
+
+
+def test_redraw_never_resizes_on_large_images(monkeypatch):
+    """Behavioral: a full redraw + seam pass over an image larger than the
+    model tile performs ZERO crop resizes."""
+    import jax.numpy as jnp
+
+    from lightdiffusion_next_tpu.sampling import ksampler as ks_mod
+
+    calls = []
+    orig = usdu.UltimateSDUpscale._resize
+
+    def counting_resize(img, h, w):
+        calls.append((img.shape, h, w))
+        return orig(img, h, w)
+
+    monkeypatch.setattr(
+        usdu.UltimateSDUpscale, "_resize", staticmethod(counting_resize)
+    )
+
+    class _VAE:
+        def encode(self, x):
+            return jnp.zeros((x.shape[0], x.shape[1] // 8, x.shape[2] // 8, 4))
+
+        def decode(self, z):
+            return jnp.zeros((z.shape[0], z.shape[1] * 8, z.shape[2] * 8, 3))
+
+    def fake_ksample(model, **kw):
+        return ks_mod.KSampleResult(
+            latent=kw["latent_image"], raw=kw["latent_image"]
+        )
+
+    monkeypatch.setattr(usdu.ks, "ksample", fake_ksample)
+    u = usdu.UltimateSDUpscale(
+        None, _VAE(), None,
+        usdu.USDUConfig(
+            upscale_by=1.0, tile_width=64, tile_height=64, padding=16,
+            seam_fix_padding=16, mask_blur=4,
+        ),
+    )
+    image = np.zeros((1, 256, 256, 3), np.float32)
+    out = u.upscale(image, None, None, steps=1)
+    assert out.shape == image.shape
+    assert calls == [], f"unexpected resizes: {calls}"
