@@ -17,6 +17,7 @@ Two RNG modes (config.RuntimeConfig.rng_mode):
 
 from __future__ import annotations
 
+import math
 from typing import Optional, Sequence, Tuple
 
 import numpy as np
@@ -92,6 +93,114 @@ def step_noise_batch(
         return out.numpy().astype(dtype)
     rng = np.random.Generator(np.random.Philox(key=seed, counter=1))
     return rng.standard_normal((n,) + tuple(shape)).astype(dtype)
+
+
+class TorchSDEBrownianTree:
+    """Reimplementation of torchsde's ``BrownianTree`` value stream (the
+    reference's SDE noise source, sampling_util.py:168-293 wrapping
+    ``torchsde.BrownianTree(t0, w0, t1, entropy=seed)``), used for
+    rng_mode="torch" so dpmpp_sde trajectories are seed-deterministic with
+    the same tree machinery the reference uses. torchsde itself is not
+    installable in this environment (zero egress); the algorithm below
+    follows torchsde 0.2.6's halfway-tree BrownianInterval:
+
+    - seeds: ``np.random.SeedSequence(entropy, pool_size=24)`` yields
+      (initial_W_seed, initial_H_seed, top_seed); gaussians come from
+      ``torch.Generator().manual_seed(node_seed)`` + ``torch.randn``
+    - the global increment is ``randn(initial_W_seed) * sqrt(t1-t0)``
+    - the interval bisects at midpoints; a child's increment comes from the
+      Brownian bridge  W_left ~ N(W * lf, (m-lo)(hi-m)/(hi-lo)), with the
+      bridge gaussian drawn from the node's SeedSequence-spawned seed and
+      W_right = W - W_left, recursing until the interval width <= tol
+      (BrownianTree default tol=1e-6), then snapping to the nearer endpoint
+    - ``__call__(ta, tb)`` returns W(tb) - W(ta) with torchsde's sign
+      conventions (BatchedBrownianTree.sort at init and call)
+
+    Exact-match status vs torchsde is verifiable only where torchsde is
+    importable — tests/test_noise.py has the bitwise comparison behind
+    ``pytest.importorskip("torchsde")``; see PARITY.md. In-law correctness
+    (bridge consistency, increment variance, overlap coupling) is asserted
+    unconditionally.
+    """
+
+    def __init__(
+        self,
+        shape: Sequence[int],
+        t0: float,
+        t1: float,
+        entropy: int,
+        tol: float = 1e-6,
+        dtype=np.float32,
+    ):
+        self.shape = tuple(shape)
+        self._t0, self._t1 = float(t0), float(t1)
+        self._sign_init = 1.0
+        if self._t0 > self._t1:
+            self._t0, self._t1 = self._t1, self._t0
+            self._sign_init = -1.0
+        self._tol = float(tol)
+        self.dtype = dtype
+        ss = np.random.SeedSequence(entropy=int(entropy), pool_size=24)
+        w_seed, _h_seed, top_seed = (int(s) for s in ss.generate_state(3))
+        self._top_seed = top_seed
+        self._W_global = self._randn(w_seed) * math.sqrt(self._t1 - self._t0)
+        # bridge-noise cache keyed by the dyadic node (spawn_key, depth):
+        # queries share path segments, so descents reuse upper levels
+        self._bridge_cache: dict = {}
+
+    def _randn(self, seed: int) -> np.ndarray:
+        import torch
+
+        g = torch.Generator().manual_seed(int(seed))
+        return (
+            torch.randn(self.shape, generator=g, dtype=torch.float64)
+            .numpy()
+        )
+
+    def _node_noise(self, spawn_key: int, depth: int) -> np.ndarray:
+        key = (spawn_key, depth)
+        if key not in self._bridge_cache:
+            seed = int(
+                np.random.SeedSequence(
+                    entropy=self._top_seed, spawn_key=key
+                ).generate_state(1)[0]
+            )
+            self._bridge_cache[key] = self._randn(seed)
+        return self._bridge_cache[key]
+
+    def _w_at(self, t: float) -> np.ndarray:
+        """W(t) - W(t0) by dyadic bisection to within tol."""
+        t = min(max(float(t), self._t0), self._t1)
+        lo, hi = self._t0, self._t1
+        w_lo = np.zeros(self.shape, dtype=np.float64)
+        w_int = self._W_global
+        spawn_key, depth = 0, 0
+        while (hi - lo) > self._tol and lo < t < hi:
+            mid = (lo + hi) / 2
+            lf = (mid - lo) / (hi - lo)
+            std = math.sqrt((mid - lo) * (hi - mid) / (hi - lo))
+            w_left = w_int * lf + std * self._node_noise(2 * spawn_key, depth + 1)
+            if t <= mid:
+                hi, w_int = mid, w_left
+                spawn_key, depth = 2 * spawn_key, depth + 1
+            else:
+                lo = mid
+                w_lo = w_lo + w_left
+                w_int = w_int - w_left
+                spawn_key, depth = 2 * spawn_key + 1, depth + 1
+        # snap to the nearer endpoint of the tol-sized interval
+        if t >= (lo + hi) / 2:
+            w_lo = w_lo + w_int
+        return w_lo
+
+    def __call__(self, t_a: float, t_b: float) -> np.ndarray:
+        ta, tb, sign = (
+            (float(t_a), float(t_b), 1.0)
+            if float(t_a) < float(t_b)
+            else (float(t_b), float(t_a), -1.0)
+        )
+        w = (self._w_at(tb) - self._w_at(ta)) * (self._sign_init * sign)
+        return w.astype(self.dtype)
 
 
 class BrownianIntervalSampler:
@@ -171,10 +280,24 @@ def sde_noise_for_steps(
     n = len(sigmas) - 1
     t = -np.log(np.maximum(sigmas, 1e-20))
     mids = np.exp(-(t[:-1] + (t[1:] - t[:-1]) * r))
-    levels = list(sigmas[sigmas > 0]) + [
-        m for i, m in enumerate(mids) if sigmas[i + 1] > 0
-    ]
-    sampler = BrownianIntervalSampler(shape, levels, seed=seed, mode=mode)
+    if mode == "torch":
+        # the reference's exact tree: BrownianTreeNoiseSampler(x,
+        # sigmas[sigmas>0].min(), sigmas.max(), seed=seed, cpu=True)
+        # (samplers.py:1091-1094), queries normalized by sqrt(|t1-t0|)
+        # (sampling_util.py:273-287)
+        pos = sigmas[sigmas > 0]
+        tree = TorchSDEBrownianTree(
+            shape, float(pos.min()), float(sigmas.max()), entropy=seed or 0
+        )
+
+        def sampler(s_from, s_to):
+            return tree(s_from, s_to) / np.sqrt(abs(s_to - s_from))
+
+    else:
+        levels = list(sigmas[sigmas > 0]) + [
+            m for i, m in enumerate(mids) if sigmas[i + 1] > 0
+        ]
+        sampler = BrownianIntervalSampler(shape, levels, seed=seed, mode=mode)
     noise1 = np.zeros((n,) + tuple(shape), dtype=np.float32)
     noise2 = np.zeros((n,) + tuple(shape), dtype=np.float32)
     for i in range(n):
