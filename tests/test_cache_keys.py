@@ -18,7 +18,7 @@ from lightdiffusion_next_tpu.sampling.cfg import CondInput
 def _tiny(channels, seed=0):
     cfg = unet_mod.UNetConfig(
         model_channels=channels, channel_mult=(1, 2), num_res_blocks=(1, 1),
-        transformer_depth=(1, 1), context_dim=32, num_heads=4,
+        transformer_depth=(1, 1), context_dim=64, num_heads=4,
         dtype=jnp.float32,
     )
     return base_mod.sd15_model(
@@ -29,7 +29,7 @@ def _tiny(channels, seed=0):
 def test_uid_monotonic_across_gc():
     seen = set()
     for i in range(5):
-        m = _tiny(8, seed=i)
+        m = _tiny(32, seed=i)
         assert m.uid not in seen
         seen.add(m.uid)
         del m
@@ -37,7 +37,7 @@ def test_uid_monotonic_across_gc():
 
 
 def test_uid_survives_params_and_options_but_not_tp_relayout():
-    m = _tiny(8)
+    m = _tiny(32)
     assert m.with_params(m.params).uid == m.uid
     assert m.with_options(foo=1).uid == m.uid
     import dataclasses
@@ -48,10 +48,10 @@ def test_uid_survives_params_and_options_but_not_tp_relayout():
 
 
 def test_cfg_cache_keys_distinct_for_fresh_models():
-    cond = CondInput(jnp.zeros((1, 4, 32)))
+    cond = CondInput(jnp.zeros((1, 4, 64)))
     keys = set()
     for i in range(4):
-        m = _tiny(8, seed=i)
+        m = _tiny(32, seed=i)
         den = cfg_mod.make_cfg_denoiser(
             m.apply_fn, m.params, m.model_sampling, cond, None, 1.0,
             model_uid=m.uid,
@@ -68,10 +68,10 @@ def test_model_churn_no_stale_runner_reuse():
     hit would apply the dead model's traced net (wrong channel count) and
     crash or produce the wrong shape."""
     cond = CondInput(jnp.asarray(
-        np.random.default_rng(0).standard_normal((1, 4, 32)), jnp.float32
+        np.random.default_rng(0).standard_normal((1, 4, 64)), jnp.float32
     ))
     latent = jnp.zeros((1, 8, 8, 4), jnp.float32)
-    for i, ch in enumerate([8, 16, 8, 16]):
+    for i, ch in enumerate([32, 64, 32, 64]):
         m = _tiny(ch, seed=i)
         r = ks.ksample(
             m, seed=1, steps=2, cfg_scale=7.0, sampler_name="euler",
