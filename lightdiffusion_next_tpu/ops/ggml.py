@@ -291,11 +291,15 @@ def transpose_for_matmul(t: QTensor8, sharding=None) -> QTensor8T:
     record (parallel.sharding._quantized_sharding): the transposed codes are
     uploaded straight to their shards (host -> sharded, never materializing
     the full weight on one device) and the tp flag is stamped from it."""
+    from lightdiffusion_next_tpu.utils import native as _native
+
     assert len(t.shape) == 2, t.shape
     n, k = t.shape
-    q = np.ascontiguousarray(np.asarray(t.q).reshape(n, k).T)  # (K, N) int8
-    scales = np.ascontiguousarray(
-        np.asarray(t.scales).T.astype(np.float32)
+    # threaded blocked transpose (native/ldt_native.cpp): ~12 GB of int8
+    # codes per Flux checkpoint go through here at load
+    q = _native.transpose2d(np.asarray(t.q).reshape(n, k))  # (K, N) int8
+    scales = _native.transpose2d(
+        np.asarray(t.scales, dtype=np.float32)
     )  # (K/32, N) f32
     if sharding is not None:
         return QTensor8T(

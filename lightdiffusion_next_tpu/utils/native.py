@@ -63,6 +63,9 @@ def load_library() -> Optional[ctypes.CDLL]:
         lib.ldt_box_blur_2d.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, c_i64, c_i64, c_i64,
         ]
+        lib.ldt_transpose_2d.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, c_i64, c_i64, c_i64, c_i64,
+        ]
         _lib = lib
         return _lib
 
@@ -115,6 +118,25 @@ def dequant_q8_0(blocks_u8: np.ndarray) -> np.ndarray:
         return (q.astype(np.float32) * scales[:, None]).reshape(-1)
     out = np.empty((n * 32,), dtype=np.float32)
     lib.ldt_dequant_q8_0(_ptr(blocks_u8), _ptr(out), n)
+    return out
+
+
+def transpose2d(a: np.ndarray, n_threads: int = 0) -> np.ndarray:
+    """Contiguous transposed copy of a 2-D array (blocked + threaded in
+    C++; numpy fallback). The loader's GGUF->fused-layout path transposes
+    ~12 GB of int8 codes per Flux checkpoint — numpy's strided `.T` copy
+    does that single-threaded at byte granularity."""
+    assert a.ndim == 2
+    lib = load_library()
+    if lib is None or a.dtype.itemsize not in (1, 2, 4, 8):
+        return np.ascontiguousarray(a.T)
+    a = np.ascontiguousarray(a)
+    if n_threads <= 0:
+        n_threads = min(os.cpu_count() or 1, 16)
+    out = np.empty((a.shape[1], a.shape[0]), dtype=a.dtype)
+    lib.ldt_transpose_2d(
+        _ptr(a), _ptr(out), a.shape[0], a.shape[1], a.dtype.itemsize, n_threads
+    )
     return out
 
 

@@ -62,3 +62,29 @@ def test_box_blur(lib):
     assert out.sum() == pytest.approx(1.0, rel=1e-4)
     assert out[8, 8] < 1.0
     assert out[8, 6] > 0
+
+
+def test_transpose2d_matches_numpy():
+    from lightdiffusion_next_tpu.utils import native
+
+    rng = np.random.default_rng(0)
+    for dtype, shape in [
+        (np.int8, (513, 1027)),
+        (np.float32, (130, 96)),
+        (np.float16, (7, 3)),
+        (np.int64, (64, 640)),
+    ]:
+        a = rng.integers(-100, 100, shape).astype(dtype)
+        np.testing.assert_array_equal(native.transpose2d(a), a.T)
+        assert native.transpose2d(a).flags["C_CONTIGUOUS"]
+    # large-ish threaded path (cols >= 512 triggers the thread split)
+    big = rng.integers(-128, 127, (2048, 1536)).astype(np.int8)
+    np.testing.assert_array_equal(native.transpose2d(big, n_threads=8), big.T)
+
+
+def test_transpose2d_fallback_matches(monkeypatch):
+    from lightdiffusion_next_tpu.utils import native
+
+    a = np.arange(12, dtype=np.float32).reshape(3, 4)
+    monkeypatch.setattr(native, "load_library", lambda: None)
+    np.testing.assert_array_equal(native.transpose2d(a), a.T)
