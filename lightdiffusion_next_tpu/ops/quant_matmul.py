@@ -92,12 +92,17 @@ def quant_matmul_2d(
     assert k == k2, (x.shape, qt.shape)
     assert scales_t.shape == (k // QBLOCK, n), scales_t.shape
 
-    # pad M up to the sublane granule, then tile
+    # pad M up to the sublane granule, then tile. The weight block is
+    # re-dequantized once per M-tile, so prefer the largest M-tile that
+    # fits VMEM alongside the (tk, tn) weight + scales + acc blocks:
+    # Flux image-token matmuls (M=4096/4352) drop from 16-17 dequant
+    # passes at tm=256 to 4-8 at tm<=1024 — the VPU dequant is a
+    # significant serial fraction next to the MXU dot.
     pad = (-m) % 8
     if pad:
         x = jnp.pad(x, ((0, pad), (0, 0)))
     mp = m + pad
-    tm = _pick_tile(mp, tile_m or 256, 8)
+    tm = _pick_tile(mp, tile_m or 1024, 8)
     tk = _pick_tile(k, tile_k or 512, 256)
     tn = _pick_tile(n, tile_n or 512, 128)
     n_k = k // tk
