@@ -75,28 +75,18 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale, kv_len)
         o_ref[0] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
 
 
-def _pick_block(l: int, candidates) -> int:
-    """Choose the block size minimizing padded length (least wasted FLOPs);
-    larger block wins ties (fewer grid steps / bigger MXU dots).
-
-    Lengths that are multiples of 512 keep the large blocks (SD1.5 / MSW
-    window shapes — swept as optimal in round 1); ragged lengths like
-    Flux's 4352-token joint sequence (txt 256 + img 4096) drop to the
-    largest exactly-dividing block instead of computing up to 18% padding.
-    """
-    best = None
-    for b in candidates:
-        pad = _round_up(l, b)
-        if best is None or pad < best[0] or (pad == best[0] and b > best[1]):
-            best = (pad, b)
-    return best[1]
-
-
 @functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
-def flash_attention(q, k, v, block_q: int = 0, block_k: int = 0):
+def flash_attention(q, k, v, block_q: int = 512, block_k: int = 1024):
     """q: (B, H, Lq, D), k/v: (B, H, Lk, D) -> (B, H, Lq, D).
 
-    ``block_q``/``block_k``: 0 = auto (padding-minimizing, _pick_block).
+    Block sizes: (512, 1024) swept as optimal in round 1 and re-confirmed
+    in round 3 — a padding-minimizing variant that dropped Flux's ragged
+    4352-token joint sequence to exact (256, 256) blocks saved 25% of the
+    attention FLOPs but measured 2.4x SLOWER per step on device traces
+    (small blocks starve the MXU at d=128 and multiply per-program
+    overhead). The up-to-18% padded-FLOP waste at ragged lengths is the
+    cheaper side of that trade; padded kv columns are masked, padded q
+    rows are dropped on unpad.
 
     No mask support (the diffusion hot paths are unmasked); use ops.attention
     for masked/causal cases.
@@ -106,10 +96,6 @@ def flash_attention(q, k, v, block_q: int = 0, block_k: int = 0):
     scale = 1.0 / math.sqrt(d)
 
     dp = _round_up(d, 128)
-    if block_q == 0:
-        block_q = _pick_block(lq, (512, 384, 256))
-    if block_k == 0:
-        block_k = _pick_block(lk, (1024, 768, 512, 384, 256))
     block_q = min(block_q, _round_up(lq, 128))
     block_k = min(block_k, _round_up(lk, 128))
     lqp = _round_up(lq, block_q)
