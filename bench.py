@@ -48,9 +48,13 @@ def main():
     cfg = dataclasses.replace(unet_mod.SD15_CONFIG, dtype=dtypes.compute_dtype)
     params = unet_mod.init_params(cfg, seed=0, dtype=dtypes.param_dtype)
     model = base_mod.sd15_model(params, cfg=cfg, dtype=dtypes.param_dtype)
-    # MSW-MSA windowed attention: the reference pipeline default
+    # MSW-MSA windowed attention with the pipeline's sigma-window gate
+    # (windowing OFF for the first ~20% of steps) — exactly what
+    # pipelines/pipeline.py ships, so the headline measures the product
     model = model.with_options(
-        attn1_override_factory=window.make_msw_msa_factory()
+        attn1_override_factory=window.make_msw_msa_factory(
+            model_sampling=model.model_sampling
+        )
     )
 
     rng = np.random.default_rng(0)

@@ -106,7 +106,11 @@ def generate_images_with_preview(
         get_model_cache().set_keep_models_loaded(keep_loaded)
 
         img2img_enabled = bool(kwargs.pop("img2img_enabled", False))
-        if img2img_enabled and img2img_image is not None:
+        if img2img_enabled:
+            if img2img_image is None:
+                # don't silently fall back to txt2img on an empty upload
+                yield [], "error: img2img is enabled but no input image was provided"
+                return
             if isinstance(img2img_image, str):
                 kwargs["prompt"] = img2img_image
             else:  # numpy array from gr.Image -> temp file (app.py:382-387)
@@ -142,12 +146,28 @@ def generate_images_with_preview(
         else:
             yield result.get("paths", []), "done"
     finally:
-        if temp_img is not None and os.path.exists(temp_img):
-            try:
-                os.remove(temp_img)
-            except OSError:
-                pass
-        _GENERATION_LOCK.release()
+        # If the client disconnected mid-run (generator closed at a yield),
+        # the daemon pipeline thread is still sampling: releasing the lock
+        # or deleting its input file now would let a second Generate run
+        # concurrently against the shared interrupt/progress state. Hand
+        # cleanup+release to a waiter that joins the worker first.
+        def _cleanup_and_release():
+            if temp_img is not None and os.path.exists(temp_img):
+                try:
+                    os.remove(temp_img)
+                except OSError:
+                    pass
+            _GENERATION_LOCK.release()
+
+        worker = locals().get("t")
+        if worker is not None and worker.is_alive():
+            def _wait_then_release():
+                worker.join()
+                _cleanup_and_release()
+
+            threading.Thread(target=_wait_then_release, daemon=True).start()
+        else:
+            _cleanup_and_release()
 
 
 def list_history(output_dir: str = "./output") -> List[str]:

@@ -312,11 +312,13 @@ def load_embed(
     if isinstance(embedding_directories, str):
         embedding_directories = [embedding_directories]
     # search subdirectories too (expand_directory_list parity,
-    # SDToken.py:108-123) — dedupe while keeping a stable walk order
+    # SDToken.py:108-123) — set-dedupe, stable walk order
     expanded: List[str] = []
+    seen = set()
     for d in embedding_directories:
         for root in [d] + [r for r, _, _ in os.walk(d, followlinks=True)]:
-            if root not in expanded:
+            if root not in seen:
+                seen.add(root)
                 expanded.append(root)
     valid_file = None
     for embed_dir in expanded:

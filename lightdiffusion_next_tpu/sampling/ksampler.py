@@ -101,10 +101,19 @@ class _MaskedDenoiser:
         inner_args = getattr(inner, "jit_args", None)
         self.jit_args = {"inner": inner_args, "mask": mask, "base": base}
         inner_key = getattr(inner, "cache_key", None)
+        # _ts_from/_ts_to are trace CONSTANTS baked into the compiled
+        # runner; they derive from sigma_start (denoise slicing), so two
+        # runs differing only in denoise must not share a runner
         self.cache_key = (
             None
             if inner_key is None
-            else ("masked", inner_key, differential)
+            else (
+                "masked",
+                inner_key,
+                differential,
+                round(self._ts_from, 6) if differential else None,
+                round(self._ts_to, 6) if differential else None,
+            )
         )
 
     def _mask_at(self, ja, sig):

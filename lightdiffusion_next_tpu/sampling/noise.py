@@ -143,42 +143,56 @@ class TorchSDEBrownianTree:
         ss = np.random.SeedSequence(entropy=int(entropy), pool_size=24)
         w_seed, _h_seed, top_seed = (int(s) for s in ss.generate_state(3))
         self._top_seed = top_seed
-        self._W_global = self._randn(w_seed) * math.sqrt(self._t1 - self._t0)
+        self._W_global = self._randn(w_seed) * np.float32(
+            math.sqrt(self._t1 - self._t0)
+        )
         # bridge-noise cache keyed by the dyadic node (spawn_key, depth):
-        # queries share path segments, so descents reuse upper levels
+        # queries share path segments, so descents reuse upper levels.
+        # Bounded (insertion-order eviction): a 20-step SDE precompute makes
+        # ~40 queries x ~24 levels of full-latent-shaped arrays — unbounded
+        # that holds GBs of host RAM at large latents; the shared upper
+        # levels stay resident under the cap, deep diverged nodes recompute.
         self._bridge_cache: dict = {}
+        self._cache_max = 64
 
     def _randn(self, seed: int) -> np.ndarray:
+        # float32, matching torchsde's _randn in the w0 dtype
+        # (brownian_interval._randn via torch.Generator.manual_seed)
         import torch
 
         g = torch.Generator().manual_seed(int(seed))
         return (
-            torch.randn(self.shape, generator=g, dtype=torch.float64)
+            torch.randn(self.shape, generator=g, dtype=torch.float32)
             .numpy()
         )
 
     def _node_noise(self, spawn_key: int, depth: int) -> np.ndarray:
         key = (spawn_key, depth)
-        if key not in self._bridge_cache:
-            seed = int(
-                np.random.SeedSequence(
-                    entropy=self._top_seed, spawn_key=key
-                ).generate_state(1)[0]
-            )
-            self._bridge_cache[key] = self._randn(seed)
-        return self._bridge_cache[key]
+        cached = self._bridge_cache.get(key)
+        if cached is not None:
+            return cached
+        seed = int(
+            np.random.SeedSequence(
+                entropy=self._top_seed, spawn_key=key
+            ).generate_state(1)[0]
+        )
+        noise = self._randn(seed)
+        if len(self._bridge_cache) >= self._cache_max:
+            self._bridge_cache.pop(next(iter(self._bridge_cache)))
+        self._bridge_cache[key] = noise
+        return noise
 
     def _w_at(self, t: float) -> np.ndarray:
         """W(t) - W(t0) by dyadic bisection to within tol."""
         t = min(max(float(t), self._t0), self._t1)
         lo, hi = self._t0, self._t1
-        w_lo = np.zeros(self.shape, dtype=np.float64)
+        w_lo = np.zeros(self.shape, dtype=np.float32)
         w_int = self._W_global
         spawn_key, depth = 0, 0
         while (hi - lo) > self._tol and lo < t < hi:
             mid = (lo + hi) / 2
-            lf = (mid - lo) / (hi - lo)
-            std = math.sqrt((mid - lo) * (hi - mid) / (hi - lo))
+            lf = np.float32((mid - lo) / (hi - lo))
+            std = np.float32(math.sqrt((mid - lo) * (hi - mid) / (hi - lo)))
             w_left = w_int * lf + std * self._node_noise(2 * spawn_key, depth + 1)
             if t <= mid:
                 hi, w_int = mid, w_left

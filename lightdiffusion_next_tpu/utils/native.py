@@ -51,21 +51,24 @@ def load_library() -> Optional[ctypes.CDLL]:
                     capture_output=True,
                 )
             lib = ctypes.CDLL(so)
+            # inside the try: a stale cached .so missing a newer symbol
+            # must fall back to numpy, not raise AttributeError
+            c_i64 = ctypes.c_int64
+            lib.ldt_bf16_to_f32.argtypes = [ctypes.c_void_p, ctypes.c_void_p, c_i64]
+            lib.ldt_f16_to_f32.argtypes = [ctypes.c_void_p, ctypes.c_void_p, c_i64]
+            lib.ldt_dequant_q8_0.argtypes = [ctypes.c_void_p, ctypes.c_void_p, c_i64]
+            lib.ldt_split_q8_0.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, c_i64,
+            ]
+            lib.ldt_box_blur_2d.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                c_i64, c_i64, c_i64,
+            ]
+            lib.ldt_transpose_2d.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, c_i64, c_i64, c_i64, c_i64,
+            ]
         except Exception:
             return None
-        c_i64 = ctypes.c_int64
-        lib.ldt_bf16_to_f32.argtypes = [ctypes.c_void_p, ctypes.c_void_p, c_i64]
-        lib.ldt_f16_to_f32.argtypes = [ctypes.c_void_p, ctypes.c_void_p, c_i64]
-        lib.ldt_dequant_q8_0.argtypes = [ctypes.c_void_p, ctypes.c_void_p, c_i64]
-        lib.ldt_split_q8_0.argtypes = [
-            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, c_i64,
-        ]
-        lib.ldt_box_blur_2d.argtypes = [
-            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, c_i64, c_i64, c_i64,
-        ]
-        lib.ldt_transpose_2d.argtypes = [
-            ctypes.c_void_p, ctypes.c_void_p, c_i64, c_i64, c_i64, c_i64,
-        ]
         _lib = lib
         return _lib
 

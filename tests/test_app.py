@@ -337,6 +337,79 @@ def test_concurrent_generation_guard(monkeypatch, tmp_path):
     assert third[-1][1] == "done" and len(calls) == 2
 
 
+def test_disconnect_mid_run_keeps_guard_until_worker_done(monkeypatch, tmp_path):
+    """Closing the generator (client disconnect) while the pipeline thread
+    runs must NOT release the generation guard or start a second run; the
+    lock is handed to a waiter that joins the worker first."""
+    import threading
+    import time as time_mod
+
+    monkeypatch.chdir(tmp_path)
+    from lightdiffusion_next_tpu.app import webui
+    from lightdiffusion_next_tpu.pipelines import pipeline as pipeline_mod
+
+    release = threading.Event()
+    started = threading.Event()
+    calls = []
+
+    def slow_pipeline(**kw):
+        calls.append(1)
+        started.set()
+        release.wait(timeout=10)
+        return ["x.png"]
+
+    monkeypatch.setattr(pipeline_mod, "pipeline", slow_pipeline)
+    gen = webui.generate_images_with_preview(
+        output_dir=str(tmp_path), prompt="p", w=64, h=64
+    )
+    next(gen)  # enter the polling loop
+    assert started.wait(timeout=10)
+    gen.close()  # simulate the client disconnecting
+    # worker still sampling: a second Generate must be refused
+    second = list(
+        webui.generate_images_with_preview(
+            output_dir=str(tmp_path), prompt="q", w=64, h=64
+        )
+    )
+    assert second == [([], "busy: a generation is already in progress")]
+    assert len(calls) == 1
+    release.set()
+    # once the worker drains, the waiter releases the lock
+    deadline = time_mod.time() + 10
+    while time_mod.time() < deadline:
+        if webui._GENERATION_LOCK.acquire(blocking=False):
+            webui._GENERATION_LOCK.release()
+            break
+        time_mod.sleep(0.05)
+    else:
+        raise AssertionError("guard never released after worker completion")
+    third = list(
+        webui.generate_images_with_preview(
+            output_dir=str(tmp_path), prompt="r", w=64, h=64
+        )
+    )
+    assert third[-1][1] == "done" and len(calls) == 2
+
+
+def test_img2img_without_image_errors(monkeypatch, tmp_path):
+    monkeypatch.chdir(tmp_path)
+    from lightdiffusion_next_tpu.app import webui
+    from lightdiffusion_next_tpu.pipelines import pipeline as pipeline_mod
+
+    calls = []
+    monkeypatch.setattr(
+        pipeline_mod, "pipeline", lambda **kw: calls.append(1) or ["x.png"]
+    )
+    outs = list(
+        webui.generate_images_with_preview(
+            output_dir=str(tmp_path), prompt="p", w=64, h=64,
+            img2img_enabled=True, img2img_image=None,
+        )
+    )
+    assert outs == [([], "error: img2img is enabled but no input image was provided")]
+    assert calls == []  # no silent txt2img fallback
+
+
 def test_cli_preview_flag_parses():
     from lightdiffusion_next_tpu.app.cli import build_parser
 
