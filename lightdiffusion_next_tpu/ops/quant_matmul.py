@@ -27,6 +27,15 @@ from jax.experimental.pallas import tpu as pltpu
 QBLOCK = 32  # Q8_0 quantization block (elements per scale)
 
 
+def _dequant(q, s, dtype):
+    """(TK, TN) int8 + (TK//QBLOCK, TN) f32 -> (TK, TN) in compute dtype.
+    Split the sublane axis into (blocks, QBLOCK) and broadcast the scale
+    over each block; lane axis (TN) stays intact."""
+    tk, tn = q.shape
+    w = q.astype(jnp.float32).reshape(tk // QBLOCK, QBLOCK, tn) * s[:, None, :]
+    return w.reshape(tk, tn).astype(dtype)
+
+
 def _kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *, n_k: int, out_dtype):
     kk = pl.program_id(2)
 
@@ -34,13 +43,7 @@ def _kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *, n_k: int, out_dtype):
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    q = q_ref[...]  # (TK, TN) int8
-    s = s_ref[...]  # (TK//QBLOCK, TN) f32
-    tk, tn = q.shape
-    # dequant: split the sublane axis into (blocks, QBLOCK) and broadcast
-    # the scale over each block; lane axis (TN) stays intact.
-    w = q.astype(jnp.float32).reshape(tk // QBLOCK, QBLOCK, tn) * s[:, None, :]
-    w = w.reshape(tk, tn).astype(x_ref.dtype)
+    w = _dequant(q_ref[...], s_ref[...], x_ref.dtype)
     acc_ref[...] += jnp.dot(
         x_ref[...], w, preferred_element_type=jnp.float32
     )
@@ -48,6 +51,38 @@ def _kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *, n_k: int, out_dtype):
     @pl.when(kk == n_k - 1)
     def _():
         o_ref[...] = acc_ref[...].astype(out_dtype)
+
+
+def _kernel_wstation(
+    x_ref, q_ref, s_ref, o_ref, acc_ref, w_ref, *, n_k: int, tm: int, out_dtype
+):
+    """Weight-stationary variant: grid (j, kk, i) with the M-tile index i
+    INNERMOST, so each (tk, tn) weight block is fetched from HBM and
+    dequantized exactly ONCE per matmul instead of once per M-tile — the
+    dominant HBM term for tall activations (Flux image streams fetch the
+    full 13.4 GB quantized checkpoint 4-17x per step under the
+    M-outer grid). The accumulator spans ALL M-tiles of the current
+    N-tile ((mp, tn) f32 scratch, VMEM-bounded by the tn picker); each
+    row-tile's output is flushed on the last kk."""
+    kk = pl.program_id(1)
+    i = pl.program_id(2)
+    rows = pl.ds(i * tm, tm)
+
+    @pl.when(kk == 0)
+    def _():
+        acc_ref[rows, :] = jnp.zeros((tm, acc_ref.shape[1]), jnp.float32)
+
+    @pl.when(i == 0)
+    def _():
+        w_ref[...] = _dequant(q_ref[...], s_ref[...], w_ref.dtype)
+
+    acc_ref[rows, :] += jnp.dot(
+        x_ref[...], w_ref[...], preferred_element_type=jnp.float32
+    )
+
+    @pl.when(kk == n_k - 1)
+    def _():
+        o_ref[...] = acc_ref[rows, :].astype(out_dtype)
 
 
 def _pick_tile(dim: int, preferred: int, granule: int) -> int:
@@ -104,8 +139,61 @@ def quant_matmul_2d(
     mp = m + pad
     tm = _pick_tile(mp, tile_m or 1024, 8)
     tk = _pick_tile(k, tile_k or 512, 256)
-    tn = _pick_tile(n, tile_n or 512, 128)
     n_k = k // tk
+
+    # Weight-stationary grid when there are multiple M-tiles: weights are
+    # the dominant HBM term (1.125 B/param vs KB-scale activations), so
+    # put the M-tile index innermost and keep the dequantized block in
+    # VMEM scratch — each weight block is fetched+dequantized once per
+    # matmul. The (mp, tn) f32 accumulator bounds tn so acc stays <= ~8 MB.
+    wstation = mp // tm > 1 and tile_n is None
+    if wstation:
+        tn_cap = max(128, ((8 << 20) // (4 * mp)) // 128 * 128)
+        tn = _pick_tile(n, min(512, tn_cap), 128)
+    else:
+        tn = _pick_tile(n, tile_n or 512, 128)
+
+    if wstation:
+        out = pl.pallas_call(
+            functools.partial(
+                _kernel_wstation, n_k=n_k, tm=tm, out_dtype=out_dtype
+            ),
+            grid=(n // tn, n_k, mp // tm),  # (j, kk, i) — i innermost
+            in_specs=[
+                pl.BlockSpec(
+                    (tm, tk), lambda j, kk, i: (i, kk), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (tk, tn), lambda j, kk, i: (kk, j), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (tk // QBLOCK, tn),
+                    lambda j, kk, i: (kk, j),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (tm, tn), lambda j, kk, i: (i, j), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((mp, n), out_dtype),
+            scratch_shapes=[
+                pltpu.VMEM((mp, tn), jnp.float32),
+                pltpu.VMEM((tk, tn), x.dtype),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * mp * k * n,
+                bytes_accessed=(n // tn) * mp * k * 2
+                + k * n
+                + (k // QBLOCK) * n * 4
+                + mp * n * 2,
+                transcendentals=0,
+            ),
+            interpret=interpret,
+        )(x, qt, scales_t)
+        return out[:m] if mp != m else out
 
     out = pl.pallas_call(
         functools.partial(_kernel, n_k=n_k, out_dtype=out_dtype),

@@ -165,3 +165,37 @@ def test_t5_forward_with_fused_quantized_weights(rng):
     np.testing.assert_allclose(
         np.asarray(out_q), np.asarray(out_d), rtol=2e-3, atol=2e-3
     )
+
+
+def test_weight_stationary_grid_tall_m(rng):
+    """M spanning multiple M-tiles takes the weight-stationary (j, kk, i)
+    grid (weights fetched+dequantized once); numerics must match both the
+    dense reference and the M-outer kernel."""
+    t8, deq = _make_qweight(rng, 128, 256)
+    t8t = ggml.transpose_for_matmul(t8)
+    x = rng.standard_normal((2176, 256)).astype(np.float32)  # tm=544 -> 4 tiles
+    out_ws = np.asarray(
+        qm.quant_matmul_2d(jnp.asarray(x), t8t.qt, t8t.scales_t,
+                           out_dtype=jnp.float32, interpret=True)
+    )
+    np.testing.assert_allclose(out_ws, x @ deq.T, rtol=2e-4, atol=2e-2)
+    # forced single-tile path (tile_n set -> standard grid) agrees
+    out_std = np.asarray(
+        qm.quant_matmul_2d(jnp.asarray(x), t8t.qt, t8t.scales_t,
+                           out_dtype=jnp.float32, interpret=True, tile_n=128)
+    )
+    np.testing.assert_allclose(out_ws, out_std, rtol=1e-5, atol=1e-4)
+
+
+def test_weight_stationary_ragged_m_padding(rng):
+    """Non-multiple-of-8 M rows pad then unpad correctly through the
+    weight-stationary grid."""
+    t8, deq = _make_qweight(rng, 128, 256)
+    t8t = ggml.transpose_for_matmul(t8)
+    x = rng.standard_normal((50, 256)).astype(np.float32)
+    out = np.asarray(
+        qm.quant_matmul_2d(jnp.asarray(x), t8t.qt, t8t.scales_t,
+                           out_dtype=jnp.float32, interpret=True, tile_m=16)
+    )
+    assert out.shape == (50, 128)
+    np.testing.assert_allclose(out, x @ deq.T, rtol=2e-4, atol=2e-2)
