@@ -104,7 +104,10 @@ def supported(m: int, k: int, n: int) -> bool:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("out_dtype", "interpret", "tile_m", "tile_k", "tile_n"),
+    static_argnames=(
+        "out_dtype", "interpret", "tile_m", "tile_k", "tile_n",
+        "weight_stationary",
+    ),
 )
 def quant_matmul_2d(
     x,
@@ -115,6 +118,7 @@ def quant_matmul_2d(
     tile_m=None,
     tile_k=None,
     tile_n=None,
+    weight_stationary=False,
 ):
     """x (M, K) x quantized weight qt int8 (K, N) / scales_t (K/32, N)
     -> (M, N) in ``out_dtype``.
@@ -141,12 +145,16 @@ def quant_matmul_2d(
     tk = _pick_tile(k, tile_k or 512, 256)
     n_k = k // tk
 
-    # Weight-stationary grid when there are multiple M-tiles: weights are
-    # the dominant HBM term (1.125 B/param vs KB-scale activations), so
-    # put the M-tile index innermost and keep the dequantized block in
-    # VMEM scratch — each weight block is fetched+dequantized once per
-    # matmul. The (mp, tn) f32 accumulator bounds tn so acc stays <= ~8 MB.
-    wstation = mp // tm > 1 and tile_n is None
+    # Weight-stationary grid (OPT-IN, weight_stationary=True): M-tile index
+    # innermost with the dequantized block stationed in VMEM scratch, so
+    # each weight block is fetched+dequantized once per matmul instead of
+    # once per M-tile. Measured END-TO-END on Flux 1024² it is ~3.5% SLOWER
+    # than the M-outer grid at tm=544 (14.29 vs 13.78 s/image): the
+    # (mp, tn) accumulator's dynamic-slice read-modify-write per iteration
+    # and the per-visit out-block flushes cost more than the saved weight
+    # refetches once the M-outer pass count is already low. Kept for
+    # shapes/tunings where the trade flips (very tall M, tiny tm).
+    wstation = weight_stationary and mp // tm > 1 and tile_n is None
     if wstation:
         tn_cap = max(128, ((8 << 20) // (4 * mp)) // 128 * 128)
         tn = _pick_tile(n, min(512, tn_cap), 128)

@@ -176,7 +176,7 @@ def test_weight_stationary_grid_tall_m(rng):
     x = rng.standard_normal((2176, 256)).astype(np.float32)  # tm=544 -> 4 tiles
     out_ws = np.asarray(
         qm.quant_matmul_2d(jnp.asarray(x), t8t.qt, t8t.scales_t,
-                           out_dtype=jnp.float32, interpret=True)
+                           out_dtype=jnp.float32, interpret=True, weight_stationary=True)
     )
     np.testing.assert_allclose(out_ws, x @ deq.T, rtol=2e-4, atol=2e-2)
     # forced single-tile path (tile_n set -> standard grid) agrees
@@ -195,7 +195,7 @@ def test_weight_stationary_ragged_m_padding(rng):
     x = rng.standard_normal((50, 256)).astype(np.float32)
     out = np.asarray(
         qm.quant_matmul_2d(jnp.asarray(x), t8t.qt, t8t.scales_t,
-                           out_dtype=jnp.float32, interpret=True, tile_m=16)
+                           out_dtype=jnp.float32, interpret=True, tile_m=16, weight_stationary=True)
     )
     assert out.shape == (50, 128)
     np.testing.assert_allclose(out, x @ deq.T, rtol=2e-4, atol=2e-2)
