@@ -141,7 +141,7 @@ def quant_matmul_2d(
     if pad:
         x = jnp.pad(x, ((0, pad), (0, 0)))
     mp = m + pad
-    tm = _pick_tile(mp, tile_m or 1024, 8)
+    tm = _pick_tile(mp, tile_m or 2048, 8)
     tk = _pick_tile(k, tile_k or 512, 256)
     n_k = k // tk
 
