@@ -35,6 +35,19 @@ def unet_key_map(unet_params: Dict) -> Dict[str, str]:
             key_lora = k[: -len(".weight")].replace(".", "_")
             key_map[f"lora_unet_{key_lora}"] = k
             key_map[f"lora_prior_unet_{key_lora}"] = k
+            # TP-laid-out Flux params (parallel.layout) split the fused
+            # single-block linear1/linear2; keep accepting LoRAs named for
+            # the CHECKPOINT keys — the patch lands on the fused pseudo-key
+            # and apply_lora(model_cfg=...) re-splits it
+            for split, fused in (
+                ("linear1_qkv", "linear1"),
+                ("linear2_attn", "linear2"),
+            ):
+                if k.endswith(f".{split}.weight"):
+                    fused_key = k.replace(f".{split}.weight", f".{fused}.weight")
+                    fused_lora = fused_key[: -len(".weight")].replace(".", "_")
+                    key_map[f"lora_unet_{fused_lora}"] = fused_key
+                    key_map[f"lora_prior_unet_{fused_lora}"] = fused_key
     return key_map
 
 
@@ -90,14 +103,26 @@ def apply_lora(
     params: Dict,
     patches: Dict[str, Tuple],
     strength: float = 1.0,
+    model_cfg=None,
 ) -> Dict:
     """Return a new param dict with LoRA merged at ``strength``.
 
     Our convs are stored HWIO; LoRA decompositions are OIHW — the delta is
-    built in OIHW and transposed before adding."""
+    built in OIHW and transposed before adding.
+
+    ``model_cfg``: pass the model's FluxConfig when patching a Flux param
+    dict — if it carries the TP layout, patches are translated to the
+    layout keyspace first (parallel.layout.to_tp_layout_patches); merging
+    checkpoint-keyed patches onto a TP-laid-out dict without translation
+    would skip split keys and mis-apply onto permuted qkv rows."""
     import jax.numpy as jnp
 
     from lightdiffusion_next_tpu.ops import ggml
+
+    if getattr(model_cfg, "tp_layout", False):
+        from lightdiffusion_next_tpu.parallel import layout as tp_layout
+
+        patches = tp_layout.to_tp_layout_patches(patches, model_cfg)
 
     out = dict(params)
     for key, (up, down, alpha) in patches.items():
@@ -150,13 +175,15 @@ def load_and_apply_lora(
     clip_params: Optional[Dict],
     strength_model: float,
     strength_clip: float,
+    model_cfg=None,
 ):
     """LoraLoader.load_lora parity (LoRas.py:164-193): returns new
-    (unet_params, clip_params)."""
+    (unet_params, clip_params). Pass ``model_cfg`` (FluxConfig) when the
+    diffusion params are TP-laid-out (see apply_lora)."""
     new_unet, new_clip = unet_params, clip_params
     if strength_model != 0:
         patches, _ = load_lora(lora_sd, unet_key_map(unet_params))
-        new_unet = apply_lora(unet_params, patches, strength_model)
+        new_unet = apply_lora(unet_params, patches, strength_model, model_cfg)
     if clip_params is not None and strength_clip != 0:
         patches, _ = load_lora(lora_sd, clip_key_map(clip_params))
         new_clip = apply_lora(clip_params, patches, strength_clip)

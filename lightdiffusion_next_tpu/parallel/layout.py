@@ -101,6 +101,46 @@ def _take_input_cols(leaf, lo: int, hi: int):
     return leaf[:, lo:hi]  # dense torch-layout (out, in)
 
 
+def to_tp_layout_patches(patches: Dict, cfg) -> Dict:
+    """Translate LoRA patches (key -> (up (out,rank), down (rank,in),
+    alpha)) from checkpoint keyspace to the TP layout keyspace, so a LoRA
+    merges correctly onto tp_layout params:
+
+    - double/single qkv rows are head-interleaved -> permute ``up`` rows
+    - single-block linear1 is split -> split+permute ``up`` rows
+    - single-block linear2 is input-split -> split ``down`` cols
+
+    Without this, a flux LoRA applied to a TP model would silently skip
+    the split keys and MIS-apply onto the permuted qkv base. No-op when
+    ``cfg.tp_layout`` is False."""
+    if not getattr(cfg, "tp_layout", False):
+        return patches
+    H = cfg.hidden_size
+    perm = qkv_interleave_perm(cfg.num_heads, cfg.head_dim)
+    mlp_hidden = int(H * cfg.mlp_ratio)
+    out = {}
+    for key, (up, down, alpha) in patches.items():
+        if key.endswith("attn.qkv.weight"):
+            out[key] = (np.asarray(up)[perm], down, alpha)
+        elif "single_blocks" in key and key.endswith(".linear1.weight"):
+            base = key[: -len("linear1.weight")]
+            up = np.asarray(up)
+            out[base + "linear1_qkv.weight"] = (up[: 3 * H][perm], down, alpha)
+            out[base + "linear1_mlp.weight"] = (
+                up[3 * H : 3 * H + mlp_hidden], down, alpha,
+            )
+        elif "single_blocks" in key and key.endswith(".linear2.weight"):
+            base = key[: -len("linear2.weight")]
+            down = np.asarray(down)
+            out[base + "linear2_attn.weight"] = (up, down[:, :H], alpha)
+            out[base + "linear2_mlp.weight"] = (
+                up, down[:, H : H + mlp_hidden], alpha,
+            )
+        else:
+            out[key] = (up, down, alpha)
+    return out
+
+
 def to_tp_layout(params: Dict, cfg) -> Tuple[Dict, object]:
     """Re-lay Flux params head-interleaved + linear1-split. Idempotent via
     ``cfg.tp_layout``; returns (new_params, new_cfg)."""

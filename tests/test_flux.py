@@ -449,3 +449,69 @@ def test_sd15_data_parallel_batch_matches_single(rng):
         )
         out = np.asarray(den_dp(xs, sigma)[0])
     np.testing.assert_allclose(out, base, atol=2e-4, rtol=1e-4)
+
+
+def test_lora_on_tp_layout_matches_dense(rng):
+    """A flux LoRA written for CHECKPOINT keys (fused linear1/linear2,
+    proj-major qkv) must merge correctly onto TP-laid-out params: qkv up
+    rows re-permuted, linear1 up split, linear2 down split
+    (parallel.layout.to_tp_layout_patches via apply_lora(model_cfg=...)).
+    Oracle: apply to the dense checkpoint layout, then re-lay out."""
+    from lightdiffusion_next_tpu.models import lora as lora_mod
+    from lightdiffusion_next_tpu.parallel import layout
+
+    params = flux_mod.init_params(TINY, seed=5)
+    H = TINY.hidden_size
+    mlp_hidden = int(H * TINY.mlp_ratio)
+    rank = 4
+
+    def mk(out_d, in_d):
+        return (
+            rng.standard_normal((out_d, rank)).astype(np.float32) * 0.2,
+            rng.standard_normal((rank, in_d)).astype(np.float32) * 0.2,
+            float(rank),
+        )
+
+    lora_sd = {}
+    for name, (out_d, in_d) in {
+        "double_blocks_0_img_attn_qkv": (3 * H, H),
+        "single_blocks_0_linear1": (3 * H + mlp_hidden, H),
+        "single_blocks_1_linear2": (H, H + mlp_hidden),
+        "double_blocks_1_txt_mlp_0": (mlp_hidden, H),
+    }.items():
+        up, down, alpha = mk(out_d, in_d)
+        lora_sd[f"lora_unet_{name}.lora_up.weight"] = up
+        lora_sd[f"lora_unet_{name}.lora_down.weight"] = down
+        lora_sd[f"lora_unet_{name}.alpha"] = np.float32(alpha)
+
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, 4)), jnp.float32)
+    t = jnp.asarray([0.5])
+    ctx = jnp.asarray(rng.standard_normal((1, 6, 32)), jnp.float32)
+    y = jnp.asarray(rng.standard_normal((1, 16)), jnp.float32)
+
+    # oracle: merge on dense checkpoint layout, then forward (no TP layout)
+    patches, leftover = lora_mod.load_lora(
+        lora_sd, lora_mod.unet_key_map(params)
+    )
+    assert not leftover and len(patches) == 4
+    dense_merged = lora_mod.apply_lora(params, patches, strength=0.8)
+    oracle = np.asarray(
+        flux_mod.apply_flux(dense_merged, x, t, ctx, y, cfg=TINY)
+    )
+
+    # TP layout first, then merge the SAME lora through the translation
+    tp_params, tp_cfg = layout.to_tp_layout(dict(params), TINY)
+    tp_patches, tp_leftover = lora_mod.load_lora(
+        lora_sd, lora_mod.unet_key_map(tp_params)
+    )
+    assert not tp_leftover and len(tp_patches) == 4
+    tp_merged = lora_mod.apply_lora(
+        tp_params, tp_patches, strength=0.8, model_cfg=tp_cfg
+    )
+    got = np.asarray(flux_mod.apply_flux(tp_merged, x, t, ctx, y, cfg=tp_cfg))
+    np.testing.assert_allclose(got, oracle, atol=2e-4, rtol=1e-4)
+
+    # without the translation the merge would be silently wrong
+    bad = lora_mod.apply_lora(tp_params, tp_patches, strength=0.8)
+    bad_out = np.asarray(flux_mod.apply_flux(bad, x, t, ctx, y, cfg=tp_cfg))
+    assert not np.allclose(bad_out, oracle, atol=2e-4)
