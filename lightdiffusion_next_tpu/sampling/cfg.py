@@ -71,10 +71,13 @@ class CFGDenoiser:
 
     ``den(x, sigma)`` binds ``den.jit_args``; jitted loops call
     ``den.call_with(jit_args, x, sigma)`` passing the bundle as a jit arg.
-    """
+    ``pure_fn`` is the underlying ``(bundle, x, sigma)`` function for the
+    sampler's runner cache to close over — it holds model CODE only, so a
+    cached runner never pins the params bundle (samplers.sample)."""
 
     def __init__(self, fn, jit_args, cache_key):
         self._fn = fn
+        self.pure_fn = fn
         self.jit_args = jit_args
         self.cache_key = cache_key
 

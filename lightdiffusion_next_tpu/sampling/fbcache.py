@@ -137,20 +137,31 @@ class FBCachedDenoiser:
         self.jit_args = jit_args
         self.cache_key = cache_key
 
+        # pure function for the sampler runner cache: closes over the
+        # factory + statics only, never over self (whose .jit_args holds
+        # the param pytree) — see cfg.CFGDenoiser.pure_fn
+        make = make_denoise_fn_with_hook
+        sigma_start, sigma_end = self.sigma_start, self.sigma_end
+
+        def pure_fn(ja, x, sigma, state: FBCacheState):
+            sig = jnp.max(jnp.asarray(sigma))
+            gate = jnp.logical_and(sig <= sigma_start, sig >= sigma_end)
+            box = [state]
+            fn = make(lambda: make_hook(box, cfg, gate))
+            den, unc = fn(ja, x, sigma)
+            return den, unc, box[0]
+
+        self.pure_fn = pure_fn
+
     def init_state(self, x) -> FBCacheState:
         first_shape, residual_shape = self._shapes_fn(x)
         return init_state(first_shape, residual_shape)
 
     def call_with(self, jit_args, x, sigma, state: FBCacheState):
-        sig = jnp.max(jnp.asarray(sigma))
-        gate = jnp.logical_and(sig <= self.sigma_start, sig >= self.sigma_end)
-        box = [state]
-        fn = self._make(lambda: make_hook(box, self.cfg, gate))
-        den, unc = fn(jit_args, x, sigma)
-        return den, unc, box[0]
+        return self.pure_fn(jit_args, x, sigma, state)
 
     def __call__(self, x, sigma, state: FBCacheState):
-        return self.call_with(self.jit_args, x, sigma, state)
+        return self.pure_fn(self.jit_args, x, sigma, state)
 
 
 def for_model(
@@ -173,26 +184,36 @@ def for_model(
         not batched_uncond or (uncond is not None and uncond.pooled is not None)
     )
     attn1_factory = model.model_options.get("attn1_override_factory")
+    model_wrapper = model.model_options.get("model_function_wrapper")
+
+    # bind locals — the make/shapes_fn closures end up referenced by the
+    # denoiser's pure_fn, which cached sampler runners hold; capturing
+    # `model` would pin its full param pytree
+    apply_fn = model.apply_fn
+    model_sampling = model.model_sampling
+    model_type = model.model_type
+    model_config = model.config
 
     def make(hook_factory):
         return cfg_mod.make_cfg_denoiser_fn(
-            model.apply_fn,
-            model.model_sampling,
+            apply_fn,
+            model_sampling,
             has_uncond=batched_uncond,
             has_pooled=has_pooled,
             guidance=cond.guidance,
             cond_scale=cfg_scale,
+            model_wrapper=model_wrapper,
             first_block_hook=hook_factory(),
             attn1_override_factory=attn1_factory,
         )
 
     def shapes_fn(x):
         b = x.shape[0] * (2 if batched_uncond else 1)
-        if model.model_type == "flux":
+        if model_type == "flux":
             hh, ww = x.shape[1] // 2, x.shape[2] // 2
-            shape = (b, hh * ww, model.config.hidden_size)
+            shape = (b, hh * ww, model_config.hidden_size)
         else:
-            shape = (b, x.shape[1], x.shape[2], model.config.model_channels)
+            shape = (b, x.shape[1], x.shape[2], model_config.model_channels)
         return shape, shape
 
     bundle = cfg_mod.make_bundle(
@@ -207,6 +228,7 @@ def for_model(
         None if cond.guidance is None else round(float(cond.guidance), 6),
         fb_cfg,
         id(attn1_factory) if attn1_factory is not None else None,
+        id(model_wrapper) if model_wrapper is not None else None,
     )
     return FBCachedDenoiser(
         make, fb_cfg, model.model_sampling, shapes_fn, bundle, cache_key

@@ -84,20 +84,23 @@ class KSampleResult:
 class _MaskedDenoiser:
     """Masked latent blending (+ optional DifferentialDiffusion threshold,
     src/AutoDetailer/ADetailer.py:15-58). Mask and base latent travel in
-    jit_args so the compiled sampler loop is reusable across calls."""
+    jit_args so the compiled sampler loop is reusable across calls.
+
+    ``pure_fn`` (when the inner denoiser exposes one) closes over code and
+    scalar statics only — cached sampler runners must not pin the param
+    bundle (see cfg.CFGDenoiser). Reduced-resolution model calls
+    (multiscale low-res segments, dy half-res extra steps) blend against
+    the mask/base resized to the call shape."""
 
     def __init__(self, inner, mask, base, msampling, sigma_start, differential):
         self._inner = inner
-        self._msampling = msampling
-        self._differential = differential
-        if differential:
-            self._ts_from = float(msampling.timestep(jnp.asarray(sigma_start)))
-            self._ts_to = float(
-                msampling.timestep(jnp.asarray(msampling.sigma_min))
-            )
         self._stateful = hasattr(inner, "init_state")
         if self._stateful:
             self.init_state = inner.init_state
+        ts_from = ts_to = None
+        if differential:
+            ts_from = float(msampling.timestep(jnp.asarray(sigma_start)))
+            ts_to = float(msampling.timestep(jnp.asarray(msampling.sigma_min)))
         inner_args = getattr(inner, "jit_args", None)
         self.jit_args = {"inner": inner_args, "mask": mask, "base": base}
         inner_key = getattr(inner, "cache_key", None)
@@ -111,32 +114,66 @@ class _MaskedDenoiser:
                 "masked",
                 inner_key,
                 differential,
-                round(self._ts_from, 6) if differential else None,
-                round(self._ts_to, 6) if differential else None,
+                round(ts_from, 6) if differential else None,
+                round(ts_to, 6) if differential else None,
             )
         )
 
-    def _mask_at(self, ja, sig):
-        if not self._differential:
-            return ja["mask"]
-        ts_cur = self._msampling.timestep(jnp.max(jnp.asarray(sig)))
-        thr = (ts_cur - self._ts_to) / max(self._ts_from - self._ts_to, 1e-9)
-        return (ja["mask"] >= thr).astype(jnp.float32)
+        timestep_fn = msampling.timestep
+        stateful = self._stateful
+        inner_pure = getattr(inner, "pure_fn", None)
+
+        def mask_at(ja, sig, hw):
+            m = ja["mask"]
+            base_l = ja["base"]
+            if tuple(m.shape[1:3]) != tuple(hw):
+                from lightdiffusion_next_tpu.ops import nn
+
+                m = nn.interpolate_bilinear(m, hw)
+                base_l = nn.interpolate_bilinear(base_l, hw)
+            if differential:
+                ts_cur = timestep_fn(jnp.max(jnp.asarray(sig)))
+                thr = (ts_cur - ts_to) / max(ts_from - ts_to, 1e-9)
+                m = (m >= thr).astype(jnp.float32)
+            return m, base_l
+
+        if inner_pure is not None and stateful:
+
+            def pure_fn(ja, x, sig, state):
+                den, unc, state = inner_pure(ja["inner"], x, sig, state)
+                m, base_l = mask_at(ja, sig, den.shape[1:3])
+                return den * m + base_l * (1.0 - m), unc, state
+
+        elif inner_pure is not None:
+
+            def pure_fn(ja, x, sig):
+                den, unc = inner_pure(ja["inner"], x, sig)
+                m, base_l = mask_at(ja, sig, den.shape[1:3])
+                return den * m + base_l * (1.0 - m), unc
+
+        else:
+            pure_fn = None
+        self.pure_fn = pure_fn
+        self._mask_at = mask_at
 
     def call_with(self, ja, x, sig, state=None):
+        if self.pure_fn is not None:
+            if self._stateful:
+                return self.pure_fn(ja, x, sig, state)
+            return self.pure_fn(ja, x, sig)
         if self._stateful:
             if hasattr(self._inner, "call_with"):
                 den, unc, state = self._inner.call_with(ja["inner"], x, sig, state)
             else:
                 den, unc, state = self._inner(x, sig, state)
-            m = self._mask_at(ja, sig)
-            return den * m + ja["base"] * (1.0 - m), unc, state
+            m, base_l = self._mask_at(ja, sig, den.shape[1:3])
+            return den * m + base_l * (1.0 - m), unc, state
         if hasattr(self._inner, "call_with"):
             den, unc = self._inner.call_with(ja["inner"], x, sig)
         else:
             den, unc = self._inner(x, sig)
-        m = self._mask_at(ja, sig)
-        return den * m + ja["base"] * (1.0 - m), unc
+        m, base_l = self._mask_at(ja, sig, den.shape[1:3])
+        return den * m + base_l * (1.0 - m), unc
 
     def __call__(self, x, sig, state=None):
         if self._stateful:
@@ -200,7 +237,14 @@ def ksample(
     )
     step_noise = None
     sde_noise = None
-    opts = sampler_opts or samplers_mod.SamplerOptions(cfg_scale=cfg_scale)
+    # ksample's cfg_scale is authoritative: inject it into caller-provided
+    # options so the sampler-side CFG schedule (true_cfgpp momentum weights)
+    # can't silently diverge from the denoiser's cond/uncond lerp
+    opts = (
+        dataclasses.replace(sampler_opts, cfg_scale=cfg_scale)
+        if sampler_opts is not None
+        else samplers_mod.SamplerOptions(cfg_scale=cfg_scale)
+    )
     if ancestral:
         step_noise = noise_mod.step_noise_batch(
             shape, n_steps, seed, mode=cfgv.rng_mode

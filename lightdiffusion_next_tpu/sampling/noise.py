@@ -170,6 +170,10 @@ class TorchSDEBrownianTree:
         key = (spawn_key, depth)
         cached = self._bridge_cache.get(key)
         if cached is not None:
+            # refresh recency: the shared upper-level nodes are the hottest
+            # entries and must outlive one-off deep nodes under the cap
+            self._bridge_cache.pop(key)
+            self._bridge_cache[key] = cached
             return cached
         seed = int(
             np.random.SeedSequence(

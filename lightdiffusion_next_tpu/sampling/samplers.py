@@ -50,7 +50,12 @@ SAMPLER_NAMES = (
     "dpmpp_sde_cfgpp",
 )
 
-# the reference's public sampler-name registry (sampling.py:517-534)
+# the reference's public sampler-name registry (sampling.py:517-534).
+# NB "euler_ancestral_dy_cfg_pp" performs NO dy checkerboard extra steps —
+# that matches the reference: despite its name, sample_euler_ancestral_dy_
+# cfg_pp never calls dy_sampling_step_cfg_pp (only the non-ancestral
+# sibling does, samplers.py:592); its only extra mechanic is the s_gamma
+# churn, which is inert at the 0.0 defaults the pipeline always uses.
 SAMPLER_ALIASES = {
     "euler_cfgpp": "euler_dy_cfg_pp",
     "euler_ancestral_cfgpp": "euler_ancestral_dy_cfg_pp",
@@ -178,23 +183,6 @@ def segment_flags(flags: np.ndarray) -> List[Tuple[int, int, bool]]:
     return segs
 
 
-def _make_scaled_denoise(denoise_fn, h, w, sh, sw, fullres: bool):
-    """Wrap the denoiser to run the model at (sh, sw) and return full-res
-    predictions (downscale_tensor/upscale_tensor parity)."""
-    if fullres:
-        return denoise_fn
-
-    def scaled(x, sigma):
-        xd = nn.interpolate_bilinear(x, (sh, sw))
-        den, unc = denoise_fn(xd, sigma)
-        return (
-            nn.interpolate_bilinear(den, (h, w)),
-            nn.interpolate_bilinear(unc, (h, w)),
-        )
-
-    return scaled
-
-
 # ---------------------------------------------------------------------------
 # Per-step constants (host-side, from the numpy sigma schedule)
 # ---------------------------------------------------------------------------
@@ -311,19 +299,22 @@ def _dpmpp_2m_step(carry, cs, denoise, *, true_cfgpp, cfg_w):
     return (x, denoised, uncond)
 
 
-def _dpmpp_sde_step(carry, cs, denoise, denoise2, *, true_cfgpp, cfg_w, r=0.5,
+def _dpmpp_sde_step(carry, cs, denoise, st, *, true_cfgpp, cfg_w, r=0.5,
                     s_noise=1.0):
-    """Two-stage DPM++ SDE step (samplers.py:1120-1240). denoise2 runs the
-    midpoint model call (same resolution rule as step 1 in the reference)."""
+    """Two-stage DPM++ SDE step (samplers.py:1120-1240). ``denoise`` is the
+    state-threading form ``(x, sigma, st) -> (den, unc, st)``; the midpoint
+    model call runs INSIDE a lax.cond branch, so its state must flow
+    through the cond's outputs — a mutable box assigned in the branch
+    would leak a tracer out of the sub-trace (stateful/FBCache denoisers)."""
     x, old_den, old_unc = carry
     sigma = cs["sigma"]
-    denoised, uncond = denoise(x, sigma)
+    denoised, uncond, st = denoise(x, sigma, st)
 
-    def last_step(_):
+    def last_step(st):
         d = to_d(x, sigma, denoised)
-        return x + d * (cs["sigma_next"] - sigma)
+        return x + d * (cs["sigma_next"] - sigma), st
 
-    def sde_step(_):
+    def sde_step(st):
         cfg_den = _cfg_combine(
             denoised, uncond, old_den, old_unc, cs, cfg_w, true_cfgpp,
             momentum_fn=lambda d, od: (1 + cs["sde_h_ratio"]) * d
@@ -334,7 +325,7 @@ def _dpmpp_sde_step(carry, cs, denoise, denoise2, *, true_cfgpp, cfg_w, r=0.5,
             - cs["sde_expm1_1"] * cfg_den
             + cs["noise1"] * (s_noise * cs["sde_su1"])
         )
-        denoised2, uncond2 = denoise2(x2, cs["sde_sigma_mid"])
+        denoised2, uncond2, st2 = denoise(x2, cs["sde_sigma_mid"], st)
         cfg_den2 = _cfg_combine(
             denoised2, uncond2, denoised, uncond, cs, cfg_w, true_cfgpp,
             momentum_fn=lambda d, od: (1 + cs["sde_h_ratio"]) * d
@@ -345,10 +336,10 @@ def _dpmpp_sde_step(carry, cs, denoise, denoise2, *, true_cfgpp, cfg_w, r=0.5,
             cs["sde_fac2"] * x
             - cs["sde_expm1_2"] * mix
             + cs["noise2"] * (s_noise * cs["sde_su2"])
-        )
+        ), st2
 
-    x = jax.lax.cond(cs["is_last"] > 0, last_step, sde_step, None)
-    return (x, denoised, uncond)
+    x, st = jax.lax.cond(cs["is_last"] > 0, last_step, sde_step, st)
+    return (x, denoised, uncond), st
 
 
 def _dy_extra_step(x, denoise_half, cs):
@@ -457,8 +448,28 @@ def sample(
     has_jit_args = hasattr(denoise_fn, "jit_args")
     jit_args = denoise_fn.jit_args if has_jit_args else ()
 
+    # Capture the denoiser's PURE function when it exposes one: the cached
+    # jitted runners close over `raw`; closing over the denoiser OBJECT
+    # would pin its .jit_args bundle (the full multi-GB param pytree) in
+    # _RUNNER_CACHE long after the model is unloaded. pure_fn closes over
+    # model CODE only — params arrive via the ja argument. (Denoisers
+    # without pure_fn also have no cache_key, so their closures are never
+    # cached and die with the call.)
+    pure_fn = getattr(denoise_fn, "pure_fn", None)
+
     def make_step(fullres: bool):
-        if stateful and has_jit_args:
+        if pure_fn is not None and stateful:
+
+            def raw(ja, xx, ss, st):
+                return pure_fn(ja, xx, ss, st)
+
+        elif pure_fn is not None:
+
+            def raw(ja, xx, ss, st):
+                d, u = pure_fn(ja, xx, ss)
+                return d, u, st
+
+        elif stateful and has_jit_args:
 
             def raw(ja, xx, ss, st):
                 return denoise_fn.call_with(ja, xx, ss, st)
@@ -505,11 +516,15 @@ def sample(
                 return d, u
 
             if is_sde:
-                new_inner = _dpmpp_sde_step(
-                    inner, cs, den, den,
+                # state threads through the step explicitly: the midpoint
+                # model call runs inside a lax.cond branch, where a box
+                # assignment would leak the branch tracer
+                new_inner, new_st = _dpmpp_sde_step(
+                    inner, cs, lambda xx, ss, s: scaled(ja, xx, ss, s), st,
                     true_cfgpp=opts.true_cfgpp, cfg_w=cfg_w, r=opts.r,
                     s_noise=opts.s_noise,
                 )
+                return (new_inner, new_st), None
             elif is_2m:
                 new_inner = _dpmpp_2m_step(
                     inner, cs, den, true_cfgpp=opts.true_cfgpp, cfg_w=cfg_w
@@ -532,6 +547,11 @@ def sample(
         sampler,
         opts,
         ms if ms.enabled else None,
+        # latent dims are CLOSURE CONSTANTS of the step functions (the
+        # low-res (sh, sw) interpolation targets, the dy checkerboard
+        # split) — a runner cached for one latent size must never serve
+        # another
+        tuple(x.shape),
     )
 
     def get_runner(fullres: bool):
@@ -587,19 +607,47 @@ def sample(
         dispatch over a relay-attached TPU cost ~20 s per extra step on
         12B Flux; jitted it is one dispatch."""
 
+        # dispatch chosen OUTSIDE fn: a cached fn must close over pure_fn
+        # only — naming denoise_fn anywhere in fn's body would capture it
+        # (and its params bundle) in the cached closure
+        if pure_fn is not None and stateful:
+
+            def call_den(ja, c, ss, box):
+                d, u, box[0] = pure_fn(ja, c, ss, box[0])
+                return d, u
+
+        elif pure_fn is not None:
+
+            def call_den(ja, c, ss, box):
+                return pure_fn(ja, c, ss)
+
+        elif stateful and has_jit_args:
+
+            def call_den(ja, c, ss, box):
+                d, u, box[0] = denoise_fn.call_with(ja, c, ss, box[0])
+                return d, u
+
+        elif stateful:
+
+            def call_den(ja, c, ss, box):
+                d, u, box[0] = denoise_fn(c, ss, box[0])
+                return d, u
+
+        elif has_jit_args:
+
+            def call_den(ja, c, ss, box):
+                return denoise_fn.call_with(ja, c, ss)
+
+        else:
+
+            def call_den(ja, c, ss, box):
+                return denoise_fn(c, ss)
+
         def fn(ja, xx, sigma, sigma_next, st):
             box = [st]
 
             def half_den(c, ss):
-                if stateful and has_jit_args:
-                    d, u, box[0] = denoise_fn.call_with(ja, c, ss, box[0])
-                elif stateful:
-                    d, u, box[0] = denoise_fn(c, ss, box[0])
-                elif has_jit_args:
-                    d, u = denoise_fn.call_with(ja, c, ss)
-                else:
-                    d, u = denoise_fn(c, ss)
-                return d, u
+                return call_den(ja, c, ss, box)
 
             return _dy_extra_step(
                 xx, half_den, {"sigma": sigma, "sigma_next": sigma_next}

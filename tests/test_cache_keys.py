@@ -83,3 +83,50 @@ def test_model_churn_no_stale_runner_reuse():
         assert np.isfinite(out).all()
         del m
         gc.collect()
+
+
+def test_runner_cache_keys_include_latent_shape():
+    """Low-res multiscale runners bake (sh, sw, h, w) closure constants;
+    a runner cached at one latent size must not serve another (review
+    finding: same model+sampler+ms at 512x512 then 768x512 crashed)."""
+    from lightdiffusion_next_tpu.sampling import samplers as samplers_mod
+
+    m = _tiny(32)
+    cond = CondInput(jnp.zeros((1, 4, 64)))
+    ms = samplers_mod.MultiScale(enabled=True, factor=0.5,
+                                 fullres_start=1, fullres_end=1)
+    for hw in [(16, 16), (24, 16)]:
+        r = ks.ksample(
+            m, seed=1, steps=4, cfg_scale=7.0, sampler_name="euler",
+            scheduler="normal", positive=cond, negative=cond,
+            latent_image=jnp.zeros((1,) + hw + (4,), jnp.float32), ms=ms,
+        )
+        out = np.asarray(r.latent)
+        assert out.shape == (1,) + hw + (4,)
+        assert np.isfinite(out).all()
+
+
+def test_cached_runners_do_not_pin_params():
+    """The jitted runners stored in samplers._RUNNER_CACHE must close over
+    the denoiser's pure function, never the denoiser object — otherwise
+    every cached runner pins a full param-pytree copy until eviction."""
+    import weakref
+
+    from lightdiffusion_next_tpu.sampling import samplers as samplers_mod
+
+    cond = CondInput(jnp.zeros((1, 4, 64)))
+    m = _tiny(32)
+    sentinel = m.params["time_embed.0.weight"]
+    ref = weakref.ref(sentinel)
+    r = ks.ksample(
+        m, seed=1, steps=2, cfg_scale=7.0, sampler_name="euler",
+        scheduler="normal", positive=cond, negative=cond,
+        latent_image=jnp.zeros((1, 8, 8, 4), jnp.float32),
+    )
+    assert np.isfinite(np.asarray(r.latent)).all()
+    del r, m, sentinel
+    gc.collect()
+    assert ref() is None, (
+        "param leaf kept alive after model release — a cached runner "
+        "closure is pinning the params bundle"
+    )

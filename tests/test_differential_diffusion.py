@@ -43,11 +43,13 @@ def conds():
 
 def _mask_area_at(msamp, mask, sigma_start, sigma):
     """Evaluate _MaskedDenoiser's thresholded mask at one sigma."""
+    mask = jnp.asarray(mask)
     den = ks._MaskedDenoiser(
-        lambda x, s: (x, x), jnp.asarray(mask), jnp.zeros_like(jnp.asarray(mask)),
+        lambda x, s: (x, x), mask, jnp.zeros_like(mask),
         msamp, sigma_start, differential=True,
     )
-    return float(np.sum(np.asarray(den._mask_at(den.jit_args, jnp.asarray(sigma)))))
+    m, _ = den._mask_at(den.jit_args, jnp.asarray(sigma), mask.shape[1:3])
+    return float(np.sum(np.asarray(m)))
 
 
 def test_threshold_mask_hardens_monotonically():
@@ -142,3 +144,38 @@ def test_detailer_enables_differential_when_feathered(monkeypatch):
     d0 = det.Detailer(None, None, _VAE(), det.DetailerConfig(feather=0))
     d0.enhance_detail(image, seg, None, None)
     assert captured["differential_diffusion"] is False
+
+
+def test_masked_denoise_with_multiscale_lowres_segments(model, conds):
+    """Masked sampling through multiscale low-res segments: the denoiser is
+    called at (sh, sw), so the mask/base must be blended at the call shape
+    (previously a broadcast crash at trace time)."""
+    from lightdiffusion_next_tpu.sampling import samplers as samplers_mod
+
+    pos, neg = conds
+    mask = np.zeros((1, 16, 16, 1), np.float32)
+    mask[:, :8] = 1.0
+    r = ks.ksample(
+        model, seed=4, steps=6, cfg_scale=7.0, sampler_name="euler",
+        scheduler="karras", positive=pos, negative=neg,
+        latent_image=jnp.zeros((1, 16, 16, 4), jnp.float32),
+        denoise_mask=jnp.asarray(mask),
+        ms=samplers_mod.MultiScale(enabled=True, factor=0.5,
+                                   fullres_start=2, fullres_end=2),
+    )
+    assert np.isfinite(np.asarray(r.latent)).all()
+
+
+def test_masked_denoise_with_dy_half_res_steps(model, conds):
+    """euler_dy's checkerboard extra step calls the denoiser at half
+    resolution — the masked blend must follow the call shape."""
+    pos, neg = conds
+    mask = np.ones((1, 16, 16, 1), np.float32)
+    mask[:, 8:] = 0.0
+    r = ks.ksample(
+        model, seed=5, steps=5, cfg_scale=7.0, sampler_name="euler_cfgpp",
+        scheduler="karras", positive=pos, negative=neg,
+        latent_image=jnp.zeros((1, 16, 16, 4), jnp.float32),
+        denoise_mask=jnp.asarray(mask),
+    )
+    assert np.isfinite(np.asarray(r.latent)).all()

@@ -126,3 +126,73 @@ def test_fbcache_in_scan_loop(rng):
     out = samplers.sample(den, x0, sigmas, sampler="euler")
     assert out.shape == x0.shape
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_fbcache_with_dpmpp_sde(rng):
+    """The SDE midpoint model call runs inside a lax.cond branch; FBCache
+    state must thread through the cond outputs (a box assignment leaks a
+    tracer -> UnexpectedTracerError). dpmpp_sde_cfgpp IS the SD1.5 default
+    sampler, and fbcache is a public ksample option."""
+    import jax.numpy as jnp
+
+    from lightdiffusion_next_tpu.models import base as base_mod
+    from lightdiffusion_next_tpu.models import unet as unet_mod
+    from lightdiffusion_next_tpu.sampling import fbcache as fb_mod
+    from lightdiffusion_next_tpu.sampling import ksampler as ks
+    from lightdiffusion_next_tpu.sampling.cfg import CondInput
+
+    cfg = unet_mod.UNetConfig(
+        model_channels=32, channel_mult=(1, 2), num_res_blocks=(1, 1),
+        transformer_depth=(1, 1), context_dim=64, num_heads=4,
+        dtype=jnp.float32,
+    )
+    model = base_mod.sd15_model(
+        unet_mod.init_params(cfg, seed=0), cfg=cfg, dtype=jnp.float32
+    )
+    cond = CondInput(jnp.asarray(
+        rng.standard_normal((1, 4, 64)), jnp.float32
+    ))
+    r = ks.ksample(
+        model, seed=3, steps=4, cfg_scale=7.0,
+        sampler_name="dpmpp_sde_cfgpp", scheduler="karras",
+        positive=cond, negative=cond,
+        latent_image=jnp.zeros((1, 16, 16, 4), jnp.float32),
+        fbcache=fb_mod.FBCacheConfig(residual_diff_threshold=0.5),
+    )
+    out = np.asarray(r.latent)
+    assert out.shape == (1, 16, 16, 4)
+    assert np.isfinite(out).all()
+
+
+def test_fbcache_keeps_model_function_wrapper(rng):
+    """model_function_wrapper must still run when FBCache is enabled (it
+    was silently dropped)."""
+    import jax.numpy as jnp
+
+    from lightdiffusion_next_tpu.models import base as base_mod
+    from lightdiffusion_next_tpu.models import unet as unet_mod
+    from lightdiffusion_next_tpu.sampling import fbcache as fb_mod
+    from lightdiffusion_next_tpu.sampling.cfg import CondInput
+
+    cfg = unet_mod.UNetConfig(
+        model_channels=32, channel_mult=(1, 2), num_res_blocks=(1, 1),
+        transformer_depth=(1, 1), context_dim=64, num_heads=4,
+        dtype=jnp.float32,
+    )
+    model = base_mod.sd15_model(
+        unet_mod.init_params(cfg, seed=0), cfg=cfg, dtype=jnp.float32
+    )
+    calls = []
+
+    def wrapper(apply, x, t, context, y):
+        calls.append(1)
+        return apply(x, t, context, y)
+
+    model = model.with_options(model_function_wrapper=wrapper)
+    cond = CondInput(jnp.asarray(rng.standard_normal((1, 4, 64)), jnp.float32))
+    den = fb_mod.for_model(model, cond, None, 1.0, fb_mod.FBCacheConfig())
+    x = jnp.zeros((1, 8, 8, 4), jnp.float32)
+    state = den.init_state(x)
+    d, u, _ = den(x, jnp.asarray([5.0]), state)
+    assert np.isfinite(np.asarray(d)).all()
+    assert calls, "model_function_wrapper was not invoked under FBCache"
