@@ -237,10 +237,13 @@ class DetailerConfig:
 class Detailer:
     """DetailerForEach.do_detail parity (ADetailer.py:640-886)."""
 
-    def __init__(self, model, clip, vae, cfg: DetailerConfig = DetailerConfig()):
+    def __init__(self, model, clip, vae, cfg: Optional[DetailerConfig] = None):
         self.model = model
+        self.clip = clip
         self.vae = vae
-        self.cfg = cfg
+        # NB: no dataclass instance as a default argument — that one shared
+        # instance would leak mutations across every Detailer in the process
+        self.cfg = cfg if cfg is not None else DetailerConfig()
 
     def enhance_detail(
         self,
@@ -310,27 +313,39 @@ class Detailer:
         self, image: np.ndarray, detector, positive, negative, sam=None,
         callback=None,
     ) -> Tuple[np.ndarray, List[SEG]]:
-        segs = detector.detect(image, self.cfg.threshold)
-        segs = dilate_masks(segs, self.cfg.dilation)
-        if sam is not None:
-            # SAM refinement + bitwise AND (pipeline.py:375-511 flow)
-            from lightdiffusion_next_tpu.pipelines.sam import (
-                make_sam_mask,
-                segs_bitwise_and_mask,
-            )
-
-            sam_mask = make_sam_mask(sam, segs, image)
-            segs = segs_bitwise_and_mask(segs, sam_mask)
-        segs = [
-            s
-            for s in segs
-            if (s.bbox[2] - s.bbox[0]) >= self.cfg.drop_size
-            and (s.bbox[3] - s.bbox[1]) >= self.cfg.drop_size
-        ]
+        """Detect + enhance PER BATCH IMAGE (DetailerForEachTest's batch
+        loop, ADetailer.py:952-1019): each image gets its own detections —
+        applying image 0's masks to the whole batch would re-diffuse
+        non-face regions on images 1..B-1."""
         from lightdiffusion_next_tpu.sampling import samplers as samplers_mod
 
-        for seg in segs:
-            if samplers_mod.callback_requests_stop(callback):
-                break
-            image = self.enhance_detail(image, seg, positive, negative, callback)
-        return image, segs
+        out = np.asarray(image).copy()
+        all_segs: List[SEG] = []
+        for bi in range(out.shape[0]):
+            frame = out[bi : bi + 1]
+            segs = detector.detect(frame, self.cfg.threshold)
+            segs = dilate_masks(segs, self.cfg.dilation)
+            if sam is not None:
+                # SAM refinement + bitwise AND (pipeline.py:375-511 flow)
+                from lightdiffusion_next_tpu.pipelines.sam import (
+                    make_sam_mask,
+                    segs_bitwise_and_mask,
+                )
+
+                sam_mask = make_sam_mask(sam, segs, frame)
+                segs = segs_bitwise_and_mask(segs, sam_mask)
+            segs = [
+                s
+                for s in segs
+                if (s.bbox[2] - s.bbox[0]) >= self.cfg.drop_size
+                and (s.bbox[3] - s.bbox[1]) >= self.cfg.drop_size
+            ]
+            for seg in segs:
+                if samplers_mod.callback_requests_stop(callback):
+                    return out, all_segs
+                frame = self.enhance_detail(
+                    frame, seg, positive, negative, callback
+                )
+            out[bi] = frame[0]
+            all_segs.extend(segs)
+        return out, all_segs

@@ -179,11 +179,15 @@ class CheckpointLoaderSimple:
 
     def load_checkpoint(self, ckpt_path: str, embedding_directory=None):
         cache = get_model_cache()
-        hit = cache.get(ckpt_path)
+        # the CLIP's textual-inversion set is resolved against the
+        # embedding directory at build time — a resident built for one
+        # directory must not serve another
+        variant = f"emb={embedding_directory}" if embedding_directory else ""
+        hit = cache.get(ckpt_path, variant)
         if hit is not None:
             return hit
         out = load_checkpoint_guess_config(
             ckpt_path, embedding_directory=embedding_directory
         )
-        cache.put(ckpt_path, out)
+        cache.put(ckpt_path, out, variant)
         return out

@@ -333,8 +333,7 @@ def _sd15_generate(
 
     if adetailer and not _stop_requested(progress_callback):
         images = _run_adetailer(
-            images, model, clip, vae, prompt, negative_prompt,
-            progress_callback,
+            images, model, vae, positive, negative, seed, progress_callback,
         )
         prefix = "Adetailer/LD-head"
     elif hires_fix:
@@ -347,38 +346,50 @@ def _sd15_generate(
     return saver.save_images(images, prefix, prompt=prompt)
 
 
-def _run_adetailer(images, model, clip, vae, prompt, negative_prompt,
+def _run_adetailer(images, model, vae, positive, negative, seed,
                    progress_callback=None):
-    """2-pass person+face detail (pipeline.py:375-511)."""
+    """2-pass person+face detail (pipeline.py:375-511). Conds come from the
+    generation pass (no re-encode); the generation seed drives the detail
+    re-diffusion (the reference threads its seed into do_detail — a fixed
+    seed here would correlate face redraws across independent runs).
+    Detection/upscale aux models are session-cached (SAM's 375 MB ViT and
+    the YOLO weights otherwise reload from disk per generated image)."""
     from lightdiffusion_next_tpu.pipelines import detailer as det
+    from lightdiffusion_next_tpu.pipelines import loader as loader_mod
 
-    encode = clip_facade.CLIPTextEncode()
-    positive = encode.encode(clip, prompt)
-    negative = encode.encode(clip, negative_prompt)
-    d = det.Detailer(model, clip, vae, det.DetailerConfig(denoise=0.5))
+    d = det.Detailer(
+        model, None, vae, det.DetailerConfig(denoise=0.5, seed=seed)
+    )
     cb = _resolve_callback(
         progress_callback, model.latent_format, d.cfg.steps,
         "taesd_decoder.safetensors",
     )
+    cache = loader_mod.get_model_cache()
 
     sam = None
     sam_path = downloader.asset_path("yolos", "sam_vit_b_01ec64.pth")
     if os.path.exists(sam_path):
-        try:
-            from lightdiffusion_next_tpu.pipelines.sam import SAMWrapper
+        sam = cache.get(sam_path, "sam")
+        if sam is None:
+            try:
+                from lightdiffusion_next_tpu.pipelines.sam import SAMWrapper
 
-            sam = SAMWrapper(sam_path)
-        except RuntimeError:
-            sam = None
+                sam = SAMWrapper(sam_path)
+                cache.put(sam_path, sam, "sam")
+            except RuntimeError:
+                sam = None
 
     for yolo_name in ("person_yolov8m-seg.pt", "face_yolov9c.pt"):
         path = downloader.asset_path("yolos", yolo_name)
         if not os.path.exists(path):
             continue
-        try:
-            detector = det.UltralyticsDetector(path)
-        except RuntimeError:
-            continue
+        detector = cache.get(path, "yolo")
+        if detector is None:
+            try:
+                detector = det.UltralyticsDetector(path)
+                cache.put(path, detector, "yolo")
+            except RuntimeError:
+                continue
         images, _ = d.detail(
             images, detector, positive, negative, sam=sam, callback=cb
         )
@@ -408,8 +419,16 @@ def _img2img_usdu(image_path, autohdr, saver, realistic_model, progress_callback
     up_model = None
     esrgan_path = downloader.asset_path("ESRGAN", "RealESRGAN_x4plus.pth")
     if os.path.exists(esrgan_path):
-        params = sd_utils.convs_to_hwio(sd_utils.load_torch_file(esrgan_path))
-        up_model = esrgan.UpscaleModel(params)
+        cache = loader.get_model_cache()
+        up_model = cache.get(esrgan_path, "esrgan")
+        if up_model is None:
+            # session-cached: a fresh UpscaleModel per image re-reads the
+            # checkpoint AND retraces its jitted conv stack
+            params = sd_utils.convs_to_hwio(
+                sd_utils.load_torch_file(esrgan_path)
+            )
+            up_model = esrgan.UpscaleModel(params)
+            cache.put(esrgan_path, up_model, "esrgan")
 
     u = usdu.UltimateSDUpscale(
         model, vae, up_model, usdu.USDUConfig(upscale_by=2.0)
@@ -603,7 +622,10 @@ def encode_flux_conditioning(
 
 def flux_t5_tokenize(text: str, min_length: int = 256):
     """T5 tokenization (T5XXLTokenizer parity, FluxClip.py:593-644): pad
-    with zeros to min_length, end token 1.
+    with zeros to min_length, end token 1, NO maximum — the reference sets
+    max_length=99999999 (FluxClip.py:612), so a long prompt keeps its full
+    sequence (the jitted encoder/DiT retrace per distinct long length;
+    <=255-token prompts all share the 256 bucket).
 
     The T5 tokenizer JSON is VENDORED under assets/tokenizer/t5 (public
     vocabulary data, same status as the vendored CLIP vocab — the reference
@@ -614,7 +636,7 @@ def flux_t5_tokenize(text: str, min_length: int = 256):
     ids = _t5_encode_ids(text)
     if ids and ids[-1] == 1:  # tokenizer post-processor already added </s>
         ids = ids[:-1]
-    ids = ids[: min_length - 1] + [1]
+    ids = ids + [1]
     row = [(t, 1.0) for t in ids]
     row += [(0, 1.0)] * (min_length - len(row))
     return row

@@ -34,6 +34,18 @@ class SAMWrapper:
             raise RuntimeError("segment-anything is not installed") from e
         sam = sam_model_registry[model_type](checkpoint=model_path)
         self.predictor = SamPredictor(sam)
+        self._image_key = None
+
+    def set_image(self, image_u8: np.ndarray) -> None:
+        """Run the ViT image encoder once per distinct image — it is the
+        dominant SAM cost (seconds on CPU) and is identical for every
+        segment of the same frame."""
+        import hashlib
+
+        key = (image_u8.shape, hashlib.md5(image_u8.tobytes()).hexdigest())
+        if key != self._image_key:
+            self.predictor.set_image(image_u8)
+            self._image_key = key
 
     def predict(
         self,
@@ -44,7 +56,7 @@ class SAMWrapper:
         threshold: float = 0.93,
     ) -> Optional[np.ndarray]:
         """sam_predict parity (SAM.py:10-60): best mask above threshold."""
-        self.predictor.set_image(image_u8)
+        self.set_image(image_u8)
         masks, scores, _ = self.predictor.predict(
             point_coords=np.asarray(points) if points else None,
             point_labels=np.asarray(labels) if labels else None,

@@ -153,11 +153,15 @@ def region_for_rect(
 class UltimateSDUpscale:
     """The USDU facade (UltimateSDUpscale.upscale, :900-1012)."""
 
-    def __init__(self, model, vae, upscale_model=None, cfg: USDUConfig = USDUConfig()):
+    def __init__(
+        self, model, vae, upscale_model=None, cfg: Optional[USDUConfig] = None
+    ):
         self.model = model
         self.vae = vae
         self.upscale_model = upscale_model
-        self.cfg = cfg
+        # no dataclass instance as a default argument — one shared default
+        # would leak mutations across every instance in the process
+        self.cfg = cfg if cfg is not None else USDUConfig()
 
     # --- step 1: model upscale (USDUpscaler.upscale, :339-368) ---
     def model_upscale(self, image: np.ndarray) -> np.ndarray:
@@ -251,10 +255,12 @@ class UltimateSDUpscale:
         if resized:
             decoded = self._resize(decoded, y2 - y1, x2 - x1)
 
+        # composite IN PLACE: only [y1:y2, x1:x2] changes, and redraw/seam
+        # own a working copy — a full-frame image.copy() per tile costs
+        # O(tiles * H * W) churn on 2048px+ upscales
         m = mask_full[y1:y2, x1:x2][None, :, :, None]
-        out = image.copy()
-        out[:, y1:y2, x1:x2, :] = decoded * m + crop * (1.0 - m)
-        return out
+        image[:, y1:y2, x1:x2, :] = decoded * m + crop * (1.0 - m)
+        return image
 
     def redraw(
         self, image: np.ndarray, positive, negative, seed, steps, cfg_scale,
@@ -262,7 +268,9 @@ class UltimateSDUpscale:
     ) -> np.ndarray:
         """Linear per-tile redraw (USDURedraw.linear_process, :493-526):
         each tile rectangle is masked, feathered, and denoised on its
-        padded crop region."""
+        padded crop region. Works on a private copy; tiles composite into
+        it in place."""
+        image = np.array(image, dtype=np.float32)  # own the working buffer
         H, W = image.shape[1:3]
         rows, cols = self._grid(image)
         model_hw = self._model_tile(image, self.cfg.padding)
@@ -296,6 +304,7 @@ class UltimateSDUpscale:
         denoise/padding (USDUSeamsFix.half_tile_process, :557-650)."""
         if self.cfg.seam_fix_mode == "none":
             return image
+        image = np.array(image, dtype=np.float32)  # own the working buffer
         H, W = image.shape[1:3]
         rows, cols = self._grid(image)
         tw = min(self.cfg.tile_width, W)

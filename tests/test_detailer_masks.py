@@ -129,3 +129,46 @@ def test_letterboxed_data_rejected_without_polygons():
     )
     (seg,) = segs_from_yolo_result(res, h, w)
     assert seg.mask.sum() == (24 - 8) * (24 - 8)  # bbox fill, not full frame
+
+
+def test_detail_runs_per_batch_image(monkeypatch):
+    """Batch>1: each image must get its OWN detections (the reference's
+    DetailerForEachTest batch loop, ADetailer.py:952-1019) — applying
+    image 0's masks batch-wide re-diffuses wrong regions."""
+    from lightdiffusion_next_tpu.pipelines import detailer as det
+
+    detected_frames = []
+
+    class _Det:
+        def detect(self, frame, threshold):
+            detected_frames.append(np.asarray(frame).copy())
+            # a mask only where this frame is bright
+            m = (np.asarray(frame)[0, :, :, 0] > 0.5).astype(np.float32)
+            if not m.any():
+                return []
+            ys, xs = np.where(m > 0)
+            bbox = (int(xs.min()), int(ys.min()), int(xs.max()) + 1, int(ys.max()) + 1)
+            return [det.SEG(bbox, bbox, m, 1.0)]
+
+    enhanced = []
+
+    def fake_enhance(self, image, seg, positive, negative, callback=None):
+        enhanced.append((image.copy(), seg))
+        out = image.copy()
+        x0, y0, x1, y1 = seg.bbox
+        out[:, y0:y1, x0:x1, :] = -1.0  # visible stamp
+        return out
+
+    monkeypatch.setattr(det.Detailer, "enhance_detail", fake_enhance)
+    d = det.Detailer(None, None, None, det.DetailerConfig(drop_size=1, dilation=0))
+    imgs = np.zeros((2, 32, 32, 3), np.float32)
+    imgs[0, 4:10, 4:10] = 1.0   # bright square top-left on image 0
+    imgs[1, 20:28, 20:28] = 1.0  # bright square bottom-right on image 1
+    out, segs = d.detail(imgs, _Det(), None, None)
+    assert len(detected_frames) == 2  # one detect per image
+    assert len(segs) == 2
+    # image 0 stamped at ITS region, image 1 at its own — not image 0's
+    assert (out[0, 4:10, 4:10] == -1.0).all()
+    assert (out[1, 20:28, 20:28] == -1.0).all()
+    assert (out[1, 4:10, 4:10] == 0.0).all()
+    assert (out[0, 20:28, 20:28] == 0.0).all()

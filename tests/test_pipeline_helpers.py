@@ -131,3 +131,37 @@ def test_params_file_legacy_and_newlines(monkeypatch, tmp_path):
     params_io.write_parameters_to_file("line one\nw: 4", "n", 256, 256, 3)
     prompt, neg, w, h, cfg = params_io.load_parameters_from_file()
     assert prompt == "line one w: 4" and (w, h, cfg) == (256, 256, 3)
+
+
+def test_flux_t5_tokenize_no_truncation(monkeypatch):
+    """Long prompts keep their full T5 sequence (reference max_length is
+    effectively unlimited, FluxClip.py:612); short prompts pad to 256."""
+    from lightdiffusion_next_tpu.pipelines import pipeline as pl
+
+    monkeypatch.setattr(pl, "_t5_encode_ids", lambda text: list(range(2, 402)))
+    row = pl.flux_t5_tokenize("x")
+    assert len(row) == 401  # 400 tokens + </s>, NOT clipped at 256
+    assert row[-1] == (1, 1.0)
+    monkeypatch.setattr(pl, "_t5_encode_ids", lambda text: [5, 6, 7])
+    row = pl.flux_t5_tokenize("x")
+    assert len(row) == 256 and row[3] == (1, 1.0) and row[4] == (0, 1.0)
+
+
+def test_checkpoint_cache_keyed_by_embedding_directory(monkeypatch, tmp_path):
+    from lightdiffusion_next_tpu.pipelines import loader as loader_mod
+
+    ckpt = tmp_path / "m.safetensors"
+    ckpt.write_bytes(b"x")
+    calls = []
+    monkeypatch.setattr(
+        loader_mod, "load_checkpoint_guess_config",
+        lambda path, embedding_directory=None: calls.append(embedding_directory)
+        or ("M", "C", "V"),
+    )
+    loader_mod.get_model_cache().clear()
+    ldr = loader_mod.CheckpointLoaderSimple()
+    ldr.load_checkpoint(str(ckpt), embedding_directory="A")
+    ldr.load_checkpoint(str(ckpt), embedding_directory="A")  # cache hit
+    ldr.load_checkpoint(str(ckpt), embedding_directory="B")  # different set
+    assert calls == ["A", "B"]
+    loader_mod.get_model_cache().clear()
