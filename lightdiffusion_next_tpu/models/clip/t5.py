@@ -135,9 +135,14 @@ def apply_t5(
     )
 
     L = x.shape[1]
-    buckets = compute_bias_table(L, L, cfg)
+    buckets = jnp.asarray(compute_bias_table(L, L, cfg))
     bias_emb = params["encoder.block.0.layer.0.SelfAttention.relative_attention_bias.weight"]
-    bias = jnp.take(bias_emb, jnp.asarray(buckets), axis=0)  # (L, L, H)
+    if hasattr(bias_emb, "dequantize"):  # Q8_0-quantized bias table
+        bias = nn.embedding_lookup(
+            buckets.reshape(-1), bias_emb, dtype=jnp.float32
+        ).reshape(L, L, -1)
+    else:
+        bias = jnp.take(bias_emb, buckets, axis=0)  # (L, L, H)
     bias = bias.transpose(2, 0, 1)[None].astype(jnp.float32)  # (1, H, L, L)
     if attention_mask is not None:
         am = jnp.asarray(attention_mask, dtype=jnp.float32)

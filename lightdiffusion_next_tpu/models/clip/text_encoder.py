@@ -202,7 +202,12 @@ class SDClipModel:
                     vec = np.asarray(t, dtype=np.float32)
                     if vec.shape[0] == width:
                         embeds[i, j] = vec
-                    tok_ids[i, j] = self.special_tokens["pad"]
+                    # NOT the pad id: SD1.5's pad EQUALS the end token
+                    # (49407), so a TI slot marked "pad" would win the
+                    # eos-argmax and pooling would read the TI position
+                    # instead of the real end token (the reference avoids
+                    # this with fresh beyond-vocab ids, SDClip.py:213-268)
+                    tok_ids[i, j] = -1
         return embeds, tok_ids
 
     def encode(self, token_rows: List[List]):

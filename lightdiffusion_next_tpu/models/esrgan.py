@@ -100,21 +100,32 @@ _OLD_ARCH_MAP = [
         re.compile(r"^model\.1\.sub\.(\d+)\.RDB(\d)\.conv(\d)\.0\.(weight|bias)$"),
         r"body.\1.rdb\2.conv\3.\4",
     ),
-    (re.compile(r"^model\.1\.sub\.23\.(weight|bias)$"), r"conv_body.\1"),
     (re.compile(r"^model\.3\.(weight|bias)$"), r"conv_up1.\1"),
     (re.compile(r"^model\.6\.(weight|bias)$"), r"conv_up2.\1"),
     (re.compile(r"^model\.8\.(weight|bias)$"), r"conv_hr.\1"),
     (re.compile(r"^model\.10\.(weight|bias)$"), r"conv_last.\1"),
 ]
 
+_OLD_TRUNK = re.compile(r"^model\.1\.sub\.(\d+)\.(weight|bias)$")
+
 
 def normalize_esrgan_keys(sd: Dict) -> Dict:
     """Old-arch ESRGAN -> RealESRGAN naming (USDU_upscaler arch-sniff
-    analog)."""
+    analog). The trunk conv is the HIGHEST-index `model.1.sub.N` entry
+    with no RDB segment (N = block count, checkpoint-dependent — 23 for
+    x4plus but 16/6-block models exist), detected dynamically."""
     if "conv_first.weight" in sd:
         return dict(sd)
+    trunk_idx = max(
+        (int(m.group(1)) for m in map(_OLD_TRUNK.match, sd) if m),
+        default=None,
+    )
     out = {}
     for k, v in sd.items():
+        m = _OLD_TRUNK.match(k)
+        if m and int(m.group(1)) == trunk_idx:
+            out[f"conv_body.{m.group(2)}"] = v
+            continue
         for pat, repl in _OLD_ARCH_MAP:
             if pat.match(k):
                 out[pat.sub(repl, k)] = v

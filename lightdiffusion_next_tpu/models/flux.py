@@ -113,14 +113,14 @@ def _double_block(p: nn.ParamView, img, txt, vec, pe, cfg: FluxConfig):
         p.scope("txt_mod."), vec, 6
     )
 
-    img_modulated = nn.layer_norm(img) * (1 + im1_scale) + im1_shift
+    img_modulated = nn.layer_norm(img, eps=1e-6) * (1 + im1_scale) + im1_shift
     img_qkv = nn.linear(
         img_modulated, p("img_attn.qkv.weight"), p.get("img_attn.qkv.bias")
     )
     img_q, img_k, img_v = _split_heads(img_qkv, cfg.num_heads, cfg.tp_layout)
     img_q, img_k = _qk_norm(p.scope("img_attn.norm."), img_q, img_k)
 
-    txt_modulated = nn.layer_norm(txt) * (1 + tx1_scale) + tx1_shift
+    txt_modulated = nn.layer_norm(txt, eps=1e-6) * (1 + tx1_scale) + tx1_shift
     txt_qkv = nn.linear(
         txt_modulated, p("txt_attn.qkv.weight"), p.get("txt_attn.qkv.bias")
     )
@@ -136,7 +136,7 @@ def _double_block(p: nn.ParamView, img, txt, vec, pe, cfg: FluxConfig):
     img = img + im1_gate * nn.linear(
         img_attn, p("img_attn.proj.weight"), p("img_attn.proj.bias")
     )
-    h = nn.layer_norm(img) * (1 + im2_scale) + im2_shift
+    h = nn.layer_norm(img, eps=1e-6) * (1 + im2_scale) + im2_shift
     h = nn.linear(h, p("img_mlp.0.weight"), p("img_mlp.0.bias"))
     h = nn.gelu(h, approximate=True)
     img = img + im2_gate * nn.linear(h, p("img_mlp.2.weight"), p("img_mlp.2.bias"))
@@ -144,7 +144,7 @@ def _double_block(p: nn.ParamView, img, txt, vec, pe, cfg: FluxConfig):
     txt = txt + tx1_gate * nn.linear(
         txt_attn, p("txt_attn.proj.weight"), p("txt_attn.proj.bias")
     )
-    h = nn.layer_norm(txt) * (1 + tx2_scale) + tx2_shift
+    h = nn.layer_norm(txt, eps=1e-6) * (1 + tx2_scale) + tx2_shift
     h = nn.linear(h, p("txt_mlp.0.weight"), p("txt_mlp.0.bias"))
     h = nn.gelu(h, approximate=True)
     txt = txt + tx2_gate * nn.linear(h, p("txt_mlp.2.weight"), p("txt_mlp.2.bias"))
@@ -154,7 +154,7 @@ def _double_block(p: nn.ParamView, img, txt, vec, pe, cfg: FluxConfig):
 def _single_block(p: nn.ParamView, x, vec, pe, cfg: FluxConfig):
     """SingleStreamBlock (Flux.py:351-419)."""
     shift, scale, gate = _modulation(p.scope("modulation."), vec, 3)
-    x_mod = nn.layer_norm(x) * (1 + scale) + shift
+    x_mod = nn.layer_norm(x, eps=1e-6) * (1 + scale) + shift
     hidden = cfg.hidden_size
     if cfg.tp_layout:
         # linear1 de-fused at layout time (parallel.layout): two matmuls

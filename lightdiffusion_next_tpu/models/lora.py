@@ -12,7 +12,7 @@ HWIO storage.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -65,7 +65,9 @@ def clip_key_map(clip_params: Dict) -> Dict[str, str]:
     return key_map
 
 
-def load_lora(lora_sd: Dict, key_map: Dict[str, str]) -> Dict[str, Tuple]:
+def load_lora(
+    lora_sd: Dict, key_map: Dict[str, str]
+) -> Tuple[Dict[str, Tuple], List]:
     """LoRA state dict -> {our_param_key: (up, down, alpha)} (load_lora
     parity, LoRas.py:15-55). Unmatched lora keys are reported."""
     patches = {}

@@ -262,7 +262,11 @@ def upsample(p: nn.ParamView, x):
 # ---------------------------------------------------------------------------
 
 
-def _run_block(mods, params, h, emb, context, cfg, attn1_override):
+def _run_block(mods, params, h, emb, context, cfg, attn1_override, block=None):
+    """``block``: ("input"|"middle"|"output", index) — the identity the
+    MSW-MSA override gates on (SD15 preset windows input 1,2 / output
+    9,10,11). Without it the override's block gate never matches and the
+    windowing is silently inert — the reference's own bug."""
     for m in mods:
         p = nn.ParamView(params, m.key)
         if m.kind == "conv_in":
@@ -270,7 +274,9 @@ def _run_block(mods, params, h, emb, context, cfg, attn1_override):
         elif m.kind == "res":
             h = resblock(p, h, emb)
         elif m.kind == "attn":
-            h = spatial_transformer(p, h, context, cfg, m.depth, attn1_override)
+            h = spatial_transformer(
+                p, h, context, cfg, m.depth, attn1_override, block=block
+            )
         elif m.kind == "down":
             h = downsample(p, h)
         elif m.kind == "up":
@@ -323,20 +329,35 @@ def apply_unet(
 
     def run_rest(h):
         rest_hs = list(hs)
-        for mods in input_blocks[2:]:
-            h = _run_block(mods, params, h, emb, context, cfg, attn1_override)
+        for i, mods in enumerate(input_blocks[2:], start=2):
+            h = _run_block(
+                mods, params, h, emb, context, cfg, attn1_override,
+                block=("input", i),
+            )
             rest_hs.append(h)
-        h = _run_block(middle, params, h, emb, context, cfg, attn1_override)
-        for mods in output_blocks:
+        h = _run_block(
+            middle, params, h, emb, context, cfg, attn1_override,
+            block=("middle", 0),
+        )
+        for i, mods in enumerate(output_blocks):
             h = jnp.concatenate([h, rest_hs.pop()], axis=-1)
-            h = _run_block(mods, params, h, emb, context, cfg, attn1_override)
+            h = _run_block(
+                mods, params, h, emb, context, cfg, attn1_override,
+                block=("output", i),
+            )
         return h
 
     # first two numbered blocks = the FBCache "first block" boundary
-    h = _run_block(input_blocks[0], params, h, emb, context, cfg, attn1_override)
+    h = _run_block(
+        input_blocks[0], params, h, emb, context, cfg, attn1_override,
+        block=("input", 0),
+    )
     hs.append(h)
     h_prev = h
-    h = _run_block(input_blocks[1], params, h, emb, context, cfg, attn1_override)
+    h = _run_block(
+        input_blocks[1], params, h, emb, context, cfg, attn1_override,
+        block=("input", 1),
+    )
     hs.append(h)
 
     if first_block_hook is not None:

@@ -87,17 +87,6 @@ def attention_heads(q, k, v, mask: Optional[jax.Array] = None):
     return _fold_heads(sdpa(q, k, v, mask=mask))
 
 
-def vae_attention(x):
-    """Single-head spatial attention for the VAE mid-block.
-
-    Counterpart of pytorch_attention for NCHW 1-head attention
-    (AttentionMethods.py:175-197) — here NHWC: (B, H, W, C) -> same.
-    The q/k/v projections live in the VAE module; this is just the core.
-    """
-    b, h, w, c = x.shape
-    return x.reshape(b, 1, h * w, c)
-
-
 def vae_attention_core(q, k, v):
     """q,k,v: (B, H, W, C) -> attention over H*W tokens, single head."""
     b, h, w, c = q.shape

@@ -77,8 +77,11 @@ class GGUFTensorInfo:
 def parse_gguf(path: str):
     """Parse header: returns (metadata dict, [GGUFTensorInfo], data_start,
     mmap buffer)."""
-    f = open(path, "rb")
-    buf = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
+    with open(path, "rb") as f:
+        # the mmap holds its own reference to the mapping; keeping the file
+        # object open leaked one fd per checkpoint load for the process
+        # lifetime (long-running servers reload many GGUFs)
+        buf = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
     r = _Reader(buf)
     magic = r.read("I")
     if magic != GGUF_MAGIC:
@@ -413,7 +416,13 @@ def to_device_quantized(
     sd: Dict[str, Any],
     dtype=jnp.bfloat16,
     fused: Optional[bool] = None,
-    embed_keys: Tuple[str, ...] = ("shared.weight", "token_embd.weight"),
+    embed_keys: Tuple[str, ...] = (
+        "shared.weight",
+        "token_embd.weight",
+        # T5 relative-attention bias is a LOOKUP table (apply_t5 gathers
+        # bucket rows) — fused matmul layout would crash the gather
+        "encoder.block.0.layer.0.SelfAttention.relative_attention_bias.weight",
+    ),
     sharding_for=None,
 ) -> Dict[str, Any]:
     """Move a GGUF state dict to device: Q8_0 stays int8+scales, dense

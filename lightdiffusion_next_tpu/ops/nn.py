@@ -81,14 +81,6 @@ def group_norm(x, scale, bias, groups: int = 32, eps: float = 1e-5):
     return xf.astype(x.dtype)
 
 
-def group_norm_tokens(x, scale, bias, groups: int = 32, eps: float = 1e-5):
-    """(B, L, C) group norm over channel groups + tokens."""
-    b, l, c = x.shape
-    return group_norm(x.reshape(b, 1, l, c), scale, bias, groups, eps).reshape(
-        b, l, c
-    )
-
-
 def layer_norm(x, scale=None, bias=None, eps: float = 1e-5):
     xf = x.astype(jnp.float32)
     mean = xf.mean(axis=-1, keepdims=True)
@@ -124,17 +116,6 @@ def geglu(x, w, b):
     proj = linear(x, w, b)
     val, gate = jnp.split(proj, 2, axis=-1)
     return val * gelu(gate, approximate=False)
-
-
-def avg_pool2d(x, window: int = 2, stride: int = 2):
-    return jax.lax.reduce_window(
-        x,
-        0.0,
-        jax.lax.add,
-        (1, window, window, 1),
-        (1, stride, stride, 1),
-        "VALID",
-    ) / float(window * window)
 
 
 def interpolate_nearest(x, scale: int = 2):

@@ -182,3 +182,40 @@ def test_unet_first_block_hook_identity(rng):
         first_block_hook=lambda hp, h, rest: rest(h),
     )
     np.testing.assert_allclose(_np(plain), _np(hooked), atol=1e-6)
+
+
+def test_attn1_override_receives_block_identities():
+    """apply_unet must pass ("input"|"middle"|"output", idx) to the attn1
+    override — without it the MSW-MSA block gate never matches and the
+    windowing is silently inert (the reference's own bug, SURVEY §2;
+    round-3 review caught us reproducing it)."""
+    import jax.numpy as jnp
+
+    from lightdiffusion_next_tpu.models import unet as unet_mod
+
+    cfg = unet_mod.UNetConfig(
+        model_channels=32, channel_mult=(1, 2), num_res_blocks=(1, 1),
+        transformer_depth=(1, 1), context_dim=64, num_heads=4,
+        dtype=jnp.float32,
+    )
+    params = unet_mod.init_params(cfg, seed=0)
+    seen = []
+
+    def override(q, k, v, heads, block=None, hw=None):
+        seen.append((block, hw))
+        from lightdiffusion_next_tpu.ops import attention as attn
+
+        return attn.attention(q, k, v, heads)
+
+    x = jnp.zeros((1, 8, 8, 4), jnp.float32)
+    t = jnp.zeros((1,), jnp.float32)
+    ctx = jnp.zeros((1, 4, 64), jnp.float32)
+    unet_mod.apply_unet(params, x, t, ctx, cfg=cfg, attn1_override=override)
+    assert seen, "override never called"
+    blocks = {b for b, _ in seen}
+    assert None not in blocks, "block identity missing from attn1 override"
+    sections = {b[0] for b in blocks}
+    assert "input" in sections and "output" in sections
+    for b, hw in seen:
+        assert isinstance(b[1], int)
+        assert hw is not None and len(hw) == 2
