@@ -63,7 +63,9 @@ class AppInstance:
 
         os.makedirs(self.preview_dir, exist_ok=True)
         path = os.path.join(self.preview_dir, f"preview_{int(time.time()*1e3)}.png")
-        arr = np.clip(np.asarray(image) * 255.0, 0, 255).astype(np.uint8)
+        from lightdiffusion_next_tpu.utils.image import to_uint8
+
+        arr = to_uint8(np.asarray(image))  # same rounding as saved images
         if arr.ndim == 4:
             arr = arr[0]
         with self.preview_lock:

@@ -173,12 +173,23 @@ def generate_images_with_preview(
 def list_history(output_dir: str = "./output") -> List[str]:
     out = []
     for root, _dirs, files in os.walk(output_dir):
-        if "preview" in root:
+        # exclude only the preview DIRECTORY itself (a substring test would
+        # hide any workflow subfolder whose name merely contains "preview")
+        if os.path.basename(root) == "preview":
             continue
         for f in sorted(files):
             if f.endswith(".png"):
                 out.append(os.path.join(root, f))
-    return sorted(out, key=os.path.getmtime, reverse=True)
+
+    def mtime(p: str) -> float:
+        # a file deleted between the walk and the sort (concurrent clear /
+        # second session) must not blow up the history handler
+        try:
+            return os.path.getmtime(p)
+        except OSError:
+            return 0.0
+
+    return sorted(out, key=mtime, reverse=True)
 
 
 def select_from_history(paths: List[str], index) -> str:

@@ -98,3 +98,13 @@ def device_memory_stats() -> dict:
     except Exception:
         stats = {}
     return stats
+
+
+def compile_log(enabled: bool = True) -> None:
+    """Log every XLA compile (function name + shape signature) — the
+    observable the reference's Stable-Fast "Tracing..." message provided
+    (StableFast.py:143-196). Off by default; flip on to diagnose retrace
+    storms (e.g. an identity-unstable jit cache key)."""
+    import jax
+
+    jax.config.update("jax_log_compiles", bool(enabled))

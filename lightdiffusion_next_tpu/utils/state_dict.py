@@ -15,6 +15,8 @@ design).
 from __future__ import annotations
 
 import dataclasses
+import logging
+import os
 from typing import Dict, Optional, Tuple
 
 import numpy as np
@@ -34,7 +36,11 @@ def enable_compilation_cache() -> None:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
     except Exception:
-        pass
+        # never fatal, but never silent: a missing import here once made
+        # this a no-op and every process paid full multi-minute recompiles
+        logging.getLogger(__name__).warning(
+            "persistent XLA compilation cache NOT enabled", exc_info=True
+        )
 
 
 def device_put_params(params: Dict[str, np.ndarray], dtype) -> Dict:
@@ -116,9 +122,12 @@ def state_dict_prefix_replace(
     for rp, new in replace_prefix.items():
         keys = [k for k in sd if k.startswith(rp)]
         for k in keys:
-            out[new + k[len(rp) :]] = sd[k]
+            # pop BEFORE assigning (reference order, util.py:92-105):
+            # with an identity/overlapping prefix map, assign-then-pop
+            # deletes the renamed key outright
             if not filter_keys:
                 out.pop(k, None)
+            out[new + k[len(rp) :]] = sd[k]
     return out
 
 

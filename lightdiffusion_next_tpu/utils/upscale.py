@@ -101,4 +101,8 @@ class LatentUpscale:
     def upscale(self, latent, width: int, height: int):
         if width == 0 and height == 0:
             return latent
+        # reference clamps each dim to >= 64 (upscale.py:161-163) — a
+        # single zero dim otherwise divides by zero in the resampler
+        width = max(64, width)
+        height = max(64, height)
         return bislerp(latent, width // 8, height // 8)
