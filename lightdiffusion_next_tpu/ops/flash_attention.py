@@ -30,6 +30,24 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _exact_block(length: int, preferred: int) -> int:
+    """Divisor of ``length`` nearest ``preferred`` within [preferred/2,
+    3*preferred/2], multiple of 16 (bf16 sublane granule); 0 if none. Used
+    to trade the pad-and-mask path for exact tiling when a near-preferred
+    divisor exists — e.g. Flux's 4352-token joint sequence tiles exactly as
+    (544, 1088) blocks where (512, 1024) pads to 4608x5120 (1.245x the
+    FLOPs). Power-of-two lengths (SD1.5 levels) return ``preferred``."""
+    if length % 16:
+        return 0
+    lo = max(preferred // 2, 16)
+    hi = min(preferred + preferred // 2, length)
+    best = 0
+    for b in range(lo - lo % -16, hi + 1, 16):
+        if length % b == 0 and (not best or abs(b - preferred) <= abs(best - preferred)):
+            best = b
+    return best
+
+
 def _kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale, kv_len):
     ki = pl.program_id(2)
     nk = pl.num_programs(2)
@@ -96,8 +114,8 @@ def flash_attention(q, k, v, block_q: int = 512, block_k: int = 1024):
     scale = 1.0 / math.sqrt(d)
 
     dp = _round_up(d, 128)
-    block_q = min(block_q, _round_up(lq, 128))
-    block_k = min(block_k, _round_up(lk, 128))
+    block_q = _exact_block(lq, block_q) or min(block_q, _round_up(lq, 128))
+    block_k = _exact_block(lk, block_k) or min(block_k, _round_up(lk, 128))
     lqp = _round_up(lq, block_q)
     lkp = _round_up(lk, block_k)
 

@@ -83,6 +83,24 @@ def test_flash_attention_ragged_kv(rng):
     np.testing.assert_allclose(ours, oracle, atol=2e-5)
 
 
+def test_flash_attention_exact_tiling_blocks(rng):
+    # divisor-aware block pick: L=96 with preferred (64, 64) resolves to
+    # exact 48-wide blocks (no pad/mask path); Flux's 4352-token sequence
+    # resolves the same way to (544, 1088) on device
+    assert fa._exact_block(4352, 512) == 544
+    assert fa._exact_block(4352, 1024) == 1088
+    assert fa._exact_block(16384, 512) == 512  # power-of-two: unchanged
+    assert fa._exact_block(77, 512) == 0  # not 16-divisible: pad path
+    B, H, L, D = 1, 2, 96, 32
+    q = jnp.asarray(rng.standard_normal((B, H, L, D)), dtype=jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, H, L, D)), dtype=jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, H, L, D)), dtype=jnp.float32)
+    assert fa._exact_block(L, 64) == 48
+    ours = np.asarray(fa.flash_attention(q, k, v, block_q=64, block_k=64))
+    oracle = np.asarray(attn.sdpa(q, k, v))
+    np.testing.assert_allclose(ours, oracle, atol=2e-5)
+
+
 def test_vae_attention_core(rng):
     x = rng.standard_normal((1, 4, 4, 8)).astype(np.float32)
     q = jnp.asarray(x)
