@@ -52,6 +52,36 @@ def is_tpu() -> bool:
 
 
 # ---------------------------------------------------------------------------
+# Compiler options
+# ---------------------------------------------------------------------------
+
+# XLA reserves 16 MiB of scoped VMEM for kernel stack allocations by default;
+# the fused Q8_0 matmul's best tiles at Flux shapes ((2176, 512, 1024) for
+# M=4352) need ~22 MiB. 32 MiB measured strictly faster end-to-end and leaves
+# ~96 MiB of v5e VMEM for XLA's own fusions. Override with
+# LDT_SCOPED_VMEM_KIB=0 to fall back to the compiler default.
+SCOPED_VMEM_LIMIT_KIB = int(os.environ.get("LDT_SCOPED_VMEM_KIB", 32768))
+
+
+def jit_compiler_options() -> Optional[dict]:
+    """Options for ``jax.jit(..., compiler_options=...)`` at the OUTER jit
+    entry points that compile Pallas quant-matmul calls (the sampler
+    runners). TPU-only flags crash the CPU compiler, so return None off-TPU
+    (CPU tests run the kernels in interpreter mode anyway)."""
+    if SCOPED_VMEM_LIMIT_KIB and is_tpu():
+        return {"xla_tpu_scoped_vmem_limit_kib": str(SCOPED_VMEM_LIMIT_KIB)}
+    return None
+
+
+def scoped_vmem_budget_bytes() -> int:
+    """The per-grid-step VMEM budget Pallas kernels should tile within:
+    the scoped limit minus 2 MiB headroom for Mosaic's own stack."""
+    limit_kib = SCOPED_VMEM_LIMIT_KIB if (SCOPED_VMEM_LIMIT_KIB and is_tpu()) \
+        else 16384
+    return max((limit_kib - 2048) * 1024, 8 << 20)
+
+
+# ---------------------------------------------------------------------------
 # Dtype policy
 # ---------------------------------------------------------------------------
 

@@ -95,6 +95,41 @@ def _pick_tile(dim: int, preferred: int, granule: int) -> int:
     return max(t, granule)
 
 
+def _vmem_budget() -> int:
+    """Per-grid-step VMEM budget: the scoped-vmem limit raised by
+    config.jit_compiler_options() at the outer jit sites (32 MiB on TPU,
+    compiler-default 16 MiB elsewhere), minus Mosaic stack headroom."""
+    from lightdiffusion_next_tpu import config as _config
+
+    return _config.scoped_vmem_budget_bytes()
+
+
+def _tile_vmem(tm: int, tk: int, tn: int) -> int:
+    """Scoped-VMEM bytes of one grid step under the M-outer grid: double
+    -buffered x (bf16) and weight (int8) + scales (f32) blocks, single f32
+    accumulator, double-buffered out (bf16). Matches the compiler's
+    reported scoped allocation within rounding."""
+    return (
+        2 * tm * tk * 2
+        + 2 * (tk * tn + (tk // QBLOCK) * tn * 4)
+        + tm * tn * 4
+        + 2 * tm * tn * 2
+    )
+
+
+def _pick_tn(n: int, preferred: int, tm: int, tk: int) -> int:
+    """Largest N-tile <= preferred that divides n AND fits the scoped-VMEM
+    budget alongside the chosen (tm, tk) blocks. A wider tn divides the
+    activation re-fetch traffic (x is streamed once per N-tile pass), so
+    prefer 1024 where VMEM allows; under the default 16 MiB scoped limit
+    the budget steps it back down (e.g. to 512 at tm=2048)."""
+    budget = _vmem_budget()
+    tn = _pick_tile(n, preferred, 128)
+    while tn > 128 and _tile_vmem(tm, tk, tn) > budget:
+        tn = _pick_tile(n, tn - 128, 128)
+    return tn
+
+
 def supported(m: int, k: int, n: int) -> bool:
     """Shapes the fused kernel handles without padding K/N. K must tile in
     256-multiples so the scales block keeps an 8-divisible sublane count
@@ -102,14 +137,7 @@ def supported(m: int, k: int, n: int) -> bool:
     return k % 256 == 0 and n % 128 == 0 and m >= 1
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "out_dtype", "interpret", "tile_m", "tile_k", "tile_n",
-        "weight_stationary",
-    ),
-)
-def quant_matmul_2d(
+def _quant_matmul_2d(
     x,
     qt,
     scales_t,
@@ -135,13 +163,15 @@ def quant_matmul_2d(
     # re-dequantized once per M-tile, so prefer the largest M-tile that
     # fits VMEM alongside the (tk, tn) weight + scales + acc blocks:
     # Flux image-token matmuls (M=4096/4352) drop from 16-17 dequant
-    # passes at tm=256 to 4-8 at tm<=1024 — the VPU dequant is a
-    # significant serial fraction next to the MXU dot.
+    # passes at tm=256 to 2 at tm<=2304 — the VPU dequant is a
+    # significant serial fraction next to the MXU dot. (2304 rather than
+    # 2048 so M=4352 lands its 2176 divisor under the raised 32 MiB
+    # scoped-vmem limit.)
     pad = (-m) % 8
     if pad:
         x = jnp.pad(x, ((0, pad), (0, 0)))
     mp = m + pad
-    tm = _pick_tile(mp, tile_m or 2048, 8)
+    tm = _pick_tile(mp, tile_m or 2304, 8)
     tk = _pick_tile(k, tile_k or 512, 256)
     n_k = k // tk
 
@@ -159,7 +189,7 @@ def quant_matmul_2d(
         tn_cap = max(128, ((8 << 20) // (4 * mp)) // 128 * 128)
         tn = _pick_tile(n, min(512, tn_cap), 128)
     else:
-        tn = _pick_tile(n, tile_n or 512, 128)
+        tn = _pick_tn(n, tile_n or 1024, tm, tk)
 
     if wstation:
         out = pl.pallas_call(
@@ -235,6 +265,46 @@ def quant_matmul_2d(
         interpret=interpret,
     )(x, qt, scales_t)
     return out[:m] if mp != m else out
+
+
+@functools.lru_cache(maxsize=1)
+def _jitted_quant_matmul_2d():
+    """Jit of the 2-D kernel entry, created lazily so the scoped-vmem
+    compiler option (config.jit_compiler_options — needs an initialized
+    backend) is attached for STANDALONE calls. Calls from inside an outer
+    jit (the sampler runners) inline the trace and take the OUTER jit's
+    compiler options instead — those sites attach the same options."""
+    from lightdiffusion_next_tpu import config as _config
+
+    return jax.jit(
+        _quant_matmul_2d,
+        static_argnames=(
+            "out_dtype", "interpret", "tile_m", "tile_k", "tile_n",
+            "weight_stationary",
+        ),
+        compiler_options=_config.jit_compiler_options(),
+    )
+
+
+def _tracing() -> bool:
+    try:
+        from jax._src import core as _core
+
+        return not _core.trace_state_clean()
+    except Exception:  # pragma: no cover - private-API drift
+        return True
+
+
+def quant_matmul_2d(x, qt, scales_t, **kw):
+    """x (M, K) x quantized weight -> (M, N); see _quant_matmul_2d.
+
+    Standalone calls go through a jit carrying the scoped-vmem compiler
+    option (the big tiles need it). Calls from inside an outer trace run
+    the impl directly — jax forbids compiler_options on nested jits, and
+    the OUTER jit (sampler runners, trainer step) carries the option."""
+    if _tracing():
+        return _quant_matmul_2d(x, qt, scales_t, **kw)
+    return _jitted_quant_matmul_2d()(x, qt, scales_t, **kw)
 
 
 def quant_matmul(x, qt, scales_t, out_dtype=None, interpret=None):

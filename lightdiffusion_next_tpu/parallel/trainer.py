@@ -69,7 +69,13 @@ def build_sharded_trainer(
 
     bshard = shard_rules.batch_sharding(mesh)
 
-    jit_step = jax.jit(step, donate_argnums=(0, 1))
+    from lightdiffusion_next_tpu import config as _config
+
+    jit_step = jax.jit(
+        step,
+        donate_argnums=(0, 1),
+        compiler_options=_config.jit_compiler_options(),
+    )
 
     def make_batch(batch_size: int, h: int, w: int, txt_len: int, seed: int = 0):
         import numpy as np

@@ -34,6 +34,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from lightdiffusion_next_tpu import config as _config
 from lightdiffusion_next_tpu.ops import nn
 from lightdiffusion_next_tpu.sampling import schedules
 
@@ -566,7 +567,8 @@ def sample(
             _RUNNER_CACHE[key] = jax.jit(
                 lambda ja, carry, xs: jax.lax.scan(
                     lambda c, s: step(ja, c, s), carry, xs
-                )
+                ),
+                compiler_options=_config.jit_compiler_options(),
             )
         return _RUNNER_CACHE[key]
 
@@ -575,7 +577,10 @@ def sample(
         if base_key[0] is None:
             return make_step(fullres)
         if key not in _RUNNER_CACHE:
-            _RUNNER_CACHE[key] = jax.jit(make_step(fullres))
+            _RUNNER_CACHE[key] = jax.jit(
+                make_step(fullres),
+                compiler_options=_config.jit_compiler_options(),
+            )
         return _RUNNER_CACHE[key]
 
     def init_segment_state(fullres: bool):
@@ -657,7 +662,9 @@ def sample(
         if base_key[0] is None:
             return fn
         if key not in _RUNNER_CACHE:
-            _RUNNER_CACHE[key] = jax.jit(fn)
+            _RUNNER_CACHE[key] = jax.jit(
+                fn, compiler_options=_config.jit_compiler_options()
+            )
         return _RUNNER_CACHE[key]
 
     def run_dy_extra(inner, i):
