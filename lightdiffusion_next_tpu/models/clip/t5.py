@@ -104,16 +104,33 @@ def _t5_attention(p: nn.ParamView, x, bias, heads: int):
     return nn.linear(out, p("o.weight"))
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "intermediate_output",
-        "final_layer_norm_intermediate",
-        "cfg",
-        "compute_dtype",
-    ),
-)
-def apply_t5(
+def apply_t5(params, tokens, attention_mask=None, **kw):
+    """Jitted T5 encode — see _apply_t5. The jit is created lazily so it
+    carries config.jit_compiler_options() (the raised scoped-vmem limit):
+    T5-XXL is Q8_0-quantized and the fused quant-matmul picks tiles
+    against that budget, so a top-level jit compiling those kernels
+    WITHOUT the option would hit a scoped-vmem OOM once the token batch
+    grows past the small-tile range (M <= ~512 today)."""
+    return _jitted_apply_t5()(params, tokens, attention_mask, **kw)
+
+
+@functools.lru_cache(maxsize=1)
+def _jitted_apply_t5():
+    from lightdiffusion_next_tpu import config as _config
+
+    return functools.partial(
+        jax.jit,
+        static_argnames=(
+            "intermediate_output",
+            "final_layer_norm_intermediate",
+            "cfg",
+            "compute_dtype",
+        ),
+        compiler_options=_config.jit_compiler_options(),
+    )(_apply_t5)
+
+
+def _apply_t5(
     params: Dict,
     tokens,  # (B, L) int32
     attention_mask=None,  # (B, L) 1=attend
