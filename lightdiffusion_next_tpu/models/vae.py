@@ -191,16 +191,57 @@ class VAE:
         self._decode = jax.jit(lambda p, z: apply_decoder(p, z, cfg))
         self._encode = jax.jit(lambda p, x: apply_encoder(p, x, cfg))
 
-    def decode(self, samples):
-        """latent NHWC -> images NHWC float32 in [0,1]."""
+    # Decoder activation peak per latent pixel: 64 output pixels x 128 ch
+    # x 4 B x ~handful of live buffers under XLA's scheduler. Matches the
+    # reference's measured-constant approach (memory_used_decode,
+    # VariationalAE.py:638-642) rather than trying to model the graph.
+    _DECODE_BYTES_PER_LATENT_PIXEL = 160 * 1024
+
+    def _max_decode_batch(self, shape) -> int:
+        """Largest sub-batch the decoder fits in free HBM — the TPU
+        translation of the reference's free-memory batch sizing
+        (VAE.decode, VariationalAE.py:690-703). Memory stats may be
+        unavailable (CPU tests, some relay setups): assume 8 GB free."""
+        try:
+            st = jax.local_devices()[0].memory_stats() or {}
+            free = st["bytes_limit"] - st["bytes_in_use"]
+        except Exception:
+            free = 8 << 30
+        per_image = shape[1] * shape[2] * self._DECODE_BYTES_PER_LATENT_PIXEL
+        return max(1, int(free * 0.8) // max(per_image, 1))
+
+    def _decode_scaled(self, samples):
         out = self._decode(self.params, samples.astype(self.dtype))
         return jnp.clip((out.astype(jnp.float32) + 1.0) / 2.0, 0.0, 1.0)
+
+    def decode(self, samples):
+        """latent NHWC -> images NHWC float32 in [0,1].
+
+        Decodes in free-memory-sized sub-batches; if even a single image
+        exhausts HBM, falls back to tiled decoding (the reference's OOM
+        path, VariationalAE.py:704-716)."""
+        b = samples.shape[0]
+        step = min(self._max_decode_batch(samples.shape), b)
+        try:
+            if step >= b:
+                return self._decode_scaled(samples)
+            outs = [
+                self._decode_scaled(samples[i : i + step])
+                for i in range(0, b, step)
+            ]
+            return jnp.concatenate(outs, axis=0)
+        except jax.errors.JaxRuntimeError as e:  # pragma: no cover - OOM path
+            if "RESOURCE_EXHAUSTED" not in str(e):
+                raise
+            return self.decode_tiled(samples)
 
     def decode_tiled(self, samples, tile: int = 64, overlap: int = 16):
         from lightdiffusion_next_tpu.utils import tiling
 
         def dec(z):
-            return self.decode(z)
+            # _decode_scaled directly: decode() falls back HERE on OOM, so
+            # routing tiles back through decode() could recurse
+            return self._decode_scaled(z)
 
         return tiling.tiled_apply_2d(
             dec, samples, tile=tile, overlap=overlap, upscale=8, out_channels=3

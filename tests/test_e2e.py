@@ -70,6 +70,23 @@ def test_txt2img_slice(stack, tmp_path):
     assert os.path.exists(paths[0])
 
 
+def test_vae_decode_memory_chunking(stack):
+    """Batched decode splits into free-memory-sized sub-batches with
+    identical output (reference free-memory batch sizing,
+    VariationalAE.py:690-703 — the OOM class hit at e2e batch 4 on TPU)."""
+    _, _, vae = stack
+    rng = np.random.default_rng(3)
+    z = jnp.asarray(rng.standard_normal((3, 8, 8, 4)), jnp.float32)
+    whole = np.asarray(vae.decode(z))
+    try:
+        vae._max_decode_batch = lambda shape: 2  # force 2+1 chunks
+        chunked = np.asarray(vae.decode(z))
+    finally:
+        del vae._max_decode_batch
+    np.testing.assert_allclose(whole, chunked, atol=1e-5)
+    assert vae._max_decode_batch((1, 128, 128, 4)) >= 1
+
+
 def test_txt2img_reproducible(stack):
     model, clip, vae = stack
     encode = clip_facade.CLIPTextEncode()
