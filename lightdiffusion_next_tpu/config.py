@@ -75,10 +75,23 @@ def jit_compiler_options() -> Optional[dict]:
 
 def scoped_vmem_budget_bytes() -> int:
     """The per-grid-step VMEM budget Pallas kernels should tile within:
-    the scoped limit minus 2 MiB headroom for Mosaic's own stack."""
+    the scoped limit minus 2 MiB headroom for Mosaic's own stack (half the
+    limit when the user configures one too small for that headroom)."""
     limit_kib = SCOPED_VMEM_LIMIT_KIB if (SCOPED_VMEM_LIMIT_KIB and is_tpu()) \
         else 16384
-    return max((limit_kib - 2048) * 1024, 8 << 20)
+    limit = limit_kib * 1024
+    return max(limit - (2 << 20), limit // 2)
+
+
+def ldt_jit(fn, **jit_kwargs):
+    """``jax.jit`` with this framework's compiler options attached — use
+    this for every OUTER jit that can compile Pallas quant-matmul calls,
+    so the scoped-vmem invariant (kernel tiles budgeted against
+    ``scoped_vmem_budget_bytes`` <= the compiled program's scoped limit)
+    is structural rather than per-site convention. Must be called with an
+    initialized backend and NOT from inside a trace (jax forbids
+    compiler_options on nested jits)."""
+    return jax.jit(fn, compiler_options=jit_compiler_options(), **jit_kwargs)
 
 
 # ---------------------------------------------------------------------------

@@ -118,16 +118,15 @@ def apply_t5(params, tokens, attention_mask=None, **kw):
 def _jitted_apply_t5():
     from lightdiffusion_next_tpu import config as _config
 
-    return functools.partial(
-        jax.jit,
+    return _config.ldt_jit(
+        _apply_t5,
         static_argnames=(
             "intermediate_output",
             "final_layer_norm_intermediate",
             "cfg",
             "compute_dtype",
         ),
-        compiler_options=_config.jit_compiler_options(),
-    )(_apply_t5)
+    )
 
 
 def _apply_t5(

@@ -224,12 +224,26 @@ class VAE:
         step = min(self._max_decode_batch(samples.shape), b)
         try:
             if step >= b:
-                return self._decode_scaled(samples)
-            outs = [
-                self._decode_scaled(samples[i : i + step])
-                for i in range(0, b, step)
-            ]
-            return jnp.concatenate(outs, axis=0)
+                out = self._decode_scaled(samples)
+            else:
+                outs = []
+                for i in range(0, b, step):
+                    chunk = samples[i : i + step]
+                    n = chunk.shape[0]
+                    if n < step:  # ragged tail: pad to the chunk shape so
+                        # the batch-``step`` executable is reused (a second
+                        # full-size decoder compile costs tens of seconds
+                        # over a relay-attached TPU)
+                        chunk = jnp.concatenate(
+                            [chunk, chunk[-1:].repeat(step - n, axis=0)],
+                            axis=0,
+                        )
+                    outs.append(self._decode_scaled(chunk)[:n])
+                out = jnp.concatenate(outs, axis=0)
+            # force execution INSIDE the try: dispatch is async, and an
+            # execution-time OOM surfacing at the caller's np.asarray
+            # would bypass this fallback
+            return jax.block_until_ready(out)
         except jax.errors.JaxRuntimeError as e:  # pragma: no cover - OOM path
             if "RESOURCE_EXHAUSTED" not in str(e):
                 raise

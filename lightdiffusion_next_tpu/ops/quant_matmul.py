@@ -104,20 +104,22 @@ def _vmem_budget() -> int:
     return _config.scoped_vmem_budget_bytes()
 
 
-def _tile_vmem(tm: int, tk: int, tn: int) -> int:
+def _tile_vmem(tm: int, tk: int, tn: int, x_bytes: int, out_bytes: int) -> int:
     """Scoped-VMEM bytes of one grid step under the M-outer grid: double
-    -buffered x (bf16) and weight (int8) + scales (f32) blocks, single f32
-    accumulator, double-buffered out (bf16). Matches the compiler's
-    reported scoped allocation within rounding."""
+    -buffered x and weight (int8) + scales (f32) blocks, single f32
+    accumulator, double-buffered out. Matches the compiler's reported
+    scoped allocation within rounding (bf16 x/out at Flux shapes)."""
     return (
-        2 * tm * tk * 2
+        2 * tm * tk * x_bytes
         + 2 * (tk * tn + (tk // QBLOCK) * tn * 4)
         + tm * tn * 4
-        + 2 * tm * tn * 2
+        + 2 * tm * tn * out_bytes
     )
 
 
-def _pick_tn(n: int, preferred: int, tm: int, tk: int) -> int:
+def _pick_tn(
+    n: int, preferred: int, tm: int, tk: int, x_bytes: int, out_bytes: int
+) -> int:
     """Largest N-tile <= preferred that divides n AND fits the scoped-VMEM
     budget alongside the chosen (tm, tk) blocks. A wider tn divides the
     activation re-fetch traffic (x is streamed once per N-tile pass), so
@@ -125,7 +127,7 @@ def _pick_tn(n: int, preferred: int, tm: int, tk: int) -> int:
     the budget steps it back down (e.g. to 512 at tm=2048)."""
     budget = _vmem_budget()
     tn = _pick_tile(n, preferred, 128)
-    while tn > 128 and _tile_vmem(tm, tk, tn) > budget:
+    while tn > 128 and _tile_vmem(tm, tk, tn, x_bytes, out_bytes) > budget:
         tn = _pick_tile(n, tn - 128, 128)
     return tn
 
@@ -188,8 +190,14 @@ def _quant_matmul_2d(
     if wstation:
         tn_cap = max(128, ((8 << 20) // (4 * mp)) // 128 * 128)
         tn = _pick_tile(n, min(512, tn_cap), 128)
+    elif tile_n is not None:
+        # explicit tile_n (tile sweeps): honor it verbatim — a clamp here
+        # would silently measure a different tile than the caller labeled
+        tn = _pick_tile(n, tile_n, 128)
     else:
-        tn = _pick_tn(n, tile_n or 1024, tm, tk)
+        xb = jnp.dtype(x.dtype).itemsize
+        ob = jnp.dtype(out_dtype).itemsize
+        tn = _pick_tn(n, 1024, tm, tk, xb, ob)
 
     if wstation:
         out = pl.pallas_call(
@@ -276,13 +284,12 @@ def _jitted_quant_matmul_2d():
     compiler options instead — those sites attach the same options."""
     from lightdiffusion_next_tpu import config as _config
 
-    return jax.jit(
+    return _config.ldt_jit(
         _quant_matmul_2d,
         static_argnames=(
             "out_dtype", "interpret", "tile_m", "tile_k", "tile_n",
             "weight_stationary",
         ),
-        compiler_options=_config.jit_compiler_options(),
     )
 
 

@@ -71,11 +71,7 @@ def build_sharded_trainer(
 
     from lightdiffusion_next_tpu import config as _config
 
-    jit_step = jax.jit(
-        step,
-        donate_argnums=(0, 1),
-        compiler_options=_config.jit_compiler_options(),
-    )
+    jit_step = _config.ldt_jit(step, donate_argnums=(0, 1))
 
     def make_batch(batch_size: int, h: int, w: int, txt_len: int, seed: int = 0):
         import numpy as np

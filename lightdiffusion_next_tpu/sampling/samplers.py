@@ -558,29 +558,29 @@ def sample(
     def get_runner(fullres: bool):
         key = (base_key, fullres, "scan")
         if base_key[0] is None:
+            # uncachable denoiser: still jit (with the scoped-vmem option —
+            # quant-matmul tiles are budgeted for it), just don't store it
             step = make_step(fullres)
-            return lambda ja, carry, xs: jax.lax.scan(
-                lambda c, s: step(ja, c, s), carry, xs
+            return _config.ldt_jit(
+                lambda ja, carry, xs: jax.lax.scan(
+                    lambda c, s: step(ja, c, s), carry, xs
+                )
             )
         if key not in _RUNNER_CACHE:
             step = make_step(fullres)
-            _RUNNER_CACHE[key] = jax.jit(
+            _RUNNER_CACHE[key] = _config.ldt_jit(
                 lambda ja, carry, xs: jax.lax.scan(
                     lambda c, s: step(ja, c, s), carry, xs
-                ),
-                compiler_options=_config.jit_compiler_options(),
+                )
             )
         return _RUNNER_CACHE[key]
 
     def get_step_runner(fullres: bool):
         key = (base_key, fullres, "step")
         if base_key[0] is None:
-            return make_step(fullres)
+            return _config.ldt_jit(make_step(fullres))
         if key not in _RUNNER_CACHE:
-            _RUNNER_CACHE[key] = jax.jit(
-                make_step(fullres),
-                compiler_options=_config.jit_compiler_options(),
-            )
+            _RUNNER_CACHE[key] = _config.ldt_jit(make_step(fullres))
         return _RUNNER_CACHE[key]
 
     def init_segment_state(fullres: bool):
@@ -660,11 +660,9 @@ def sample(
 
         key = (base_key, "dy_extra")
         if base_key[0] is None:
-            return fn
+            return _config.ldt_jit(fn)
         if key not in _RUNNER_CACHE:
-            _RUNNER_CACHE[key] = jax.jit(
-                fn, compiler_options=_config.jit_compiler_options()
-            )
+            _RUNNER_CACHE[key] = _config.ldt_jit(fn)
         return _RUNNER_CACHE[key]
 
     def run_dy_extra(inner, i):

@@ -39,9 +39,12 @@ REPS = 20
 
 
 def time_chain(fn, x, reps=REPS):
-    """Chained jit: y = fn(...(fn(x))); one readback."""
+    """Chained jit: y = fn(...(fn(x))); one readback. Carries the scoped
+    -vmem compiler option (config.ldt_jit) — the kernel's big tiles need
+    it on the compiling (outer) jit."""
+    from lightdiffusion_next_tpu import config as _config
 
-    @jax.jit
+    @_config.ldt_jit
     def chained(x):
         def body(_, v):
             return fn(v)
