@@ -199,3 +199,21 @@ def test_weight_stationary_ragged_m_padding(rng):
     )
     assert out.shape == (50, 128)
     np.testing.assert_allclose(out, x @ deq.T, rtol=2e-4, atol=2e-2)
+
+
+def test_tile_budget_dtype_aware():
+    """The tile VMEM estimator scales with x/out dtype sizes, and _pick_tn
+    steps tiles down under tighter budgets (the fp32-vs-bf16 scoped-vmem
+    OOM class)."""
+    bf16 = qm._tile_vmem(2176, 512, 1024, 2, 2)
+    f32 = qm._tile_vmem(2176, 512, 1024, 4, 4)
+    assert f32 > bf16
+    # bf16 at the raised 32 MiB limit fits tn=1024; fp32 must step down
+    budget = 30 << 20
+    assert bf16 <= budget < f32
+    # _pick_tn respects the active budget (CPU default: 16 MiB limit)
+    tn_bf16 = qm._pick_tn(21504, 1024, 2176, 512, 2, 2)
+    assert qm._tile_vmem(2176, 512, tn_bf16, 2, 2) <= qm._vmem_budget()
+    tn_f32 = qm._pick_tn(21504, 1024, 2176, 512, 4, 4)
+    assert qm._tile_vmem(2176, 512, tn_f32, 4, 4) <= qm._vmem_budget()
+    assert tn_f32 <= tn_bf16
