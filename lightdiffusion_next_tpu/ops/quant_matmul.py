@@ -107,13 +107,16 @@ def _vmem_budget() -> int:
 def _tile_vmem(tm: int, tk: int, tn: int, x_bytes: int, out_bytes: int) -> int:
     """Scoped-VMEM bytes of one grid step under the M-outer grid: double
     -buffered x and weight (int8) + scales (f32) blocks, single f32
-    accumulator, double-buffered out. Matches the compiler's reported
-    scoped allocation within rounding (bf16 x/out at Flux shapes)."""
+    accumulator, double-buffered out, plus the dequant's (tk, tn) f32
+    intermediate (measured: a tk=1024 tile the formula-without-it approved
+    compiled to 33.03 MiB actual vs 32 MiB limit). Matches the compiler's
+    reported scoped allocation within rounding at bf16 Flux shapes."""
     return (
         2 * tm * tk * x_bytes
         + 2 * (tk * tn + (tk // QBLOCK) * tn * 4)
         + tm * tn * 4
         + 2 * tm * tn * out_bytes
+        + tk * tn * 4
     )
 
 

@@ -37,6 +37,38 @@ SCHEDULERS = schedules.SCHEDULERS
 # product. We keep only the pipeline-level defaults (MultiScale dataclass).
 
 
+# Pre/post latent-scaling programs, cached by (model_sampling class,
+# latent format, max_denoise). noise_scaling / inverse_noise_scaling /
+# process_in / process_out are stateless formulas (EPS/CONST read only
+# class attributes; LatentFormat is a frozen dataclass), so keying by TYPE
+# and closing over the first instance seen is behavior-safe. Jitting them
+# turns ~8 eager elementwise dispatches per ksample into 2 compiled calls
+# — a fixed ~0.1-0.3 s/image over a relay-attached TPU, multiplied by the
+# per-tile ksample loops in USDU/ADetailer.
+_SCALING_CACHE: Dict = {}
+
+
+def _scaling_runners(msampling, lf, max_denoise: bool):
+    import jax
+
+    key = (type(msampling), lf, bool(max_denoise))
+    if key not in _SCALING_CACHE:
+
+        def pre(sigma0, noise, latent_image):
+            latent_in = lf.process_in(latent_image)
+            x = msampling.noise_scaling(
+                sigma0, noise, latent_in, max_denoise=max_denoise
+            )
+            return x, latent_in
+
+        def post(sigma_last, out):
+            raw = msampling.inverse_noise_scaling(sigma_last, out)
+            return lf.process_out(raw), raw
+
+        _SCALING_CACHE[key] = (jax.jit(pre), jax.jit(post))
+    return _SCALING_CACHE[key]
+
+
 def sigmas_for(
     model_sampling,
     scheduler: str,
@@ -255,16 +287,15 @@ def ksample(
         )
 
     # --- latent into model space + noise scaling (CFG.py:318-346) ---
-    latent_in = lf.process_in(jnp.asarray(latent_image, dtype=jnp.float32))
     max_denoise = (
         abs(float(msampling.sigma_max) - float(sigmas[0])) < 1e-4
         or float(sigmas[0]) > float(msampling.sigma_max)
     )
-    x = msampling.noise_scaling(
+    pre_fn, post_fn = _scaling_runners(msampling, lf, max_denoise)
+    x, latent_in = pre_fn(
         jnp.asarray(sigmas[0]),
         jnp.asarray(init_noise),
-        latent_in,
-        max_denoise=max_denoise,
+        jnp.asarray(latent_image, dtype=jnp.float32),
     )
 
     # --- CFG denoiser (optionally FBCache-wrapped) ---
@@ -320,5 +351,5 @@ def ksample(
         opts=opts,
         callback=callback,
     )
-    out = msampling.inverse_noise_scaling(jnp.asarray(sigmas[-1]), out)
-    return KSampleResult(latent=lf.process_out(out), raw=out)
+    latent_out, raw = post_fn(jnp.asarray(sigmas[-1]), out)
+    return KSampleResult(latent=latent_out, raw=raw)
