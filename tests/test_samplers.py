@@ -354,3 +354,47 @@ def test_true_cfgpp_differs(rng):
         opts=samplers.SamplerOptions(true_cfgpp=True, cfg_scale=2.0),
     )
     assert not np.allclose(np.asarray(out_eff), np.asarray(out_true))
+
+
+def test_scaling_runners_match_eager_formulas(rng):
+    """ksampler's jitted pre/post latent-scaling programs (cached by
+    sampling CLASS + latent format) must equal the eager formulas for both
+    parameterizations; two instances of the same class share one cache
+    entry safely because noise_scaling reads no instance state."""
+    from lightdiffusion_next_tpu.sampling import ksampler as ks
+    from lightdiffusion_next_tpu.sampling import model_sampling as ms_mod
+    from lightdiffusion_next_tpu.utils import latent as lf_mod
+
+    latent = jnp.asarray(rng.standard_normal((1, 4, 4, 4)), jnp.float32)
+    noise = jnp.asarray(rng.standard_normal((1, 4, 4, 4)), jnp.float32)
+    for msampling, lf in (
+        (ms_mod.ModelSamplingDiscrete(), lf_mod.SD15),
+        (ms_mod.ModelSamplingFlux(), lf_mod.FLUX1),
+    ):
+        for max_denoise in (False, True):
+            sigma0 = jnp.asarray(float(msampling.sigma_max))
+            pre, post = ks._scaling_runners(msampling, lf, max_denoise)
+            x, latent_in = pre(sigma0, noise, latent)
+            ref_in = lf.process_in(latent)
+            ref_x = msampling.noise_scaling(
+                sigma0, noise, ref_in, max_denoise=max_denoise
+            )
+            np.testing.assert_allclose(
+                np.asarray(x), np.asarray(ref_x), rtol=1e-6, atol=1e-6
+            )
+            np.testing.assert_allclose(
+                np.asarray(latent_in), np.asarray(ref_in), rtol=1e-6
+            )
+            sig_last = jnp.asarray(0.25)
+            out_l, out_raw = post(sig_last, x)
+            ref_raw = msampling.inverse_noise_scaling(sig_last, x)
+            np.testing.assert_allclose(
+                np.asarray(out_raw), np.asarray(ref_raw), rtol=1e-6, atol=1e-6
+            )
+            np.testing.assert_allclose(
+                np.asarray(out_l), np.asarray(lf.process_out(ref_raw)),
+                rtol=1e-6, atol=1e-6,
+            )
+        # second instance of the same class hits the same cache entry
+        pre2, _ = ks._scaling_runners(type(msampling)(), lf, False)
+        assert pre2 is ks._scaling_runners(msampling, lf, False)[0]
