@@ -59,9 +59,10 @@ def _kernel_wstation(
     """Weight-stationary variant: grid (j, kk, i) with the M-tile index i
     INNERMOST, so each (tk, tn) weight block is fetched from HBM and
     dequantized exactly ONCE per matmul instead of once per M-tile — the
-    dominant HBM term for tall activations (Flux image streams fetch the
-    full 13.4 GB quantized checkpoint 4-17x per step under the
-    M-outer grid). The accumulator spans ALL M-tiles of the current
+    weight-side HBM term for tall activations (Flux image streams fetch
+    the full 13.4 GB quantized checkpoint M/tm times per step under the
+    M-outer grid; 2x at today's tm=2176 defaults, 4-17x with the small
+    tiles this variant was built against). The accumulator spans ALL M-tiles of the current
     N-tile ((mp, tn) f32 scratch, VMEM-bounded by the tn picker); each
     row-tile's output is flushed on the last kk."""
     kk = pl.program_id(1)
