@@ -45,12 +45,23 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--preview", action="store_true",
                    help="write step previews to <output>/preview and track "
                         "progress (same channel the WebUI polls)")
+    p.add_argument("--w8a8", action="store_true",
+                   help="Flux: requantize Q8_0 matmul weights per-column and "
+                        "run int8x int8 MXU matmuls (faster, slightly coarser "
+                        "quantization; no reference analogue)")
     return p
 
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     from lightdiffusion_next_tpu.pipelines.pipeline import pipeline
+
+    if args.w8a8:
+        import dataclasses as _dc
+
+        from lightdiffusion_next_tpu import config as _config
+
+        _config.set_config(_dc.replace(_config.get_config(), w8a8=True))
 
     progress_callback = None
     if args.preview:

@@ -153,6 +153,13 @@ class RuntimeConfig:
     donate_latents: bool = True
     # enable jax profiler traces around the sampler loop
     profile_dir: Optional[str] = None
+    # W8A8: requantize Q8_0 matmul weights per-column at load and run
+    # s8 x s8 MXU matmuls with per-token int8 activations (2x bf16 peak
+    # on v5e). Opt-in: one extra weight rounding + activation rounding
+    # per matmul vs the Q8_0 bf16-compute path. Env default LDT_W8A8=1.
+    w8a8: bool = dataclasses.field(
+        default_factory=lambda: os.environ.get("LDT_W8A8", "") == "1"
+    )
 
     def __post_init__(self):
         if self.attention_backend not in _VALID_ATTENTION:

@@ -15,6 +15,7 @@ is the planned fast path (ops.quant_matmul).
 from __future__ import annotations
 
 import dataclasses
+import functools
 import mmap
 import struct
 from typing import Any, Dict, Optional, Tuple
@@ -229,6 +230,100 @@ class QTensor8T:
         qt, scales_t = children
         shape, tp = aux
         return cls(qt, scales_t, shape, tp)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class QTensor8W:
+    """Per-output-column int8 weight for the W8A8 MXU path (opt-in,
+    config ``w8a8`` / CLI ``--w8a8``).
+
+    Derived from a Q8_0 QTensor8T at load by ``to_w8a8``: the per-32-block
+    scales are collapsed into one f32 scale per output column (the standard
+    W8A8 per-channel weight quantization) so the s8 x s8 -> s32 MXU
+    contraction can post-scale outside the K-sum. Costs one extra weight
+    rounding step vs Q8_0 (block-scale granularity is lost); buys the int8
+    MXU rate (2x bf16 peak on v5e), kills the in-kernel dequant pass, and
+    shrinks scale storage (K/32*N f32 -> N f32 — ~1.4 GB on 12B Flux).
+    The reference has no analogue (its GGML path always dequantizes to
+    fp16 compute, src/Quantize/Quantizer.py:260-332); activations are
+    row-quantized per call in ops.quant_matmul.quantize_rows."""
+
+    qt: Any  # int8 (K, N) — per-column requantized codes
+    col_scales: Any  # f32 (1, N)
+    shape: Tuple[int, ...]  # logical torch-layout (out=N, in=K)
+    tp: bool = False
+
+    @property
+    def ndim(self) -> int:
+        return len(self.shape)
+
+    def dequantize(self, dtype=jnp.bfloat16):
+        w_t = self.qt.astype(jnp.float32) * self.col_scales
+        return w_t.T.astype(dtype)
+
+    def fused_matmul(self, x, out_dtype=None):
+        from lightdiffusion_next_tpu.ops import quant_matmul as qm
+
+        k, n = self.qt.shape
+        m = 1
+        for d in x.shape[:-1]:
+            m *= d
+        if not self.tp and qm.supported(m, k, n):
+            return qm.w8a8_matmul(x, self.qt, self.col_scales, out_dtype)
+        w = self.dequantize(x.dtype)
+        return jax.lax.dot_general(
+            x,
+            w,
+            dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
+            preferred_element_type=x.dtype,
+        )
+
+    def astype(self, dtype):  # dtype of the DEQUANTIZED output
+        return self
+
+    def tree_flatten(self):
+        return (self.qt, self.col_scales), (self.shape, self.tp)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        qt, col_scales = children
+        shape, tp = aux
+        return cls(qt, col_scales, shape, tp)
+
+
+@functools.lru_cache(maxsize=1)
+def _jitted_requant_col():
+    @jax.jit
+    def requant(qt, scales_t):
+        k, n = qt.shape
+        w = qt.astype(jnp.float32).reshape(k // 32, 32, n) * scales_t[:, None, :]
+        w = w.reshape(k, n)
+        cs = jnp.maximum(
+            jnp.max(jnp.abs(w), axis=0, keepdims=True), 1e-12
+        ) * (1.0 / 127.0)
+        codes = jnp.clip(jnp.round(w / cs), -127.0, 127.0).astype(jnp.int8)
+        return codes, cs
+
+    return requant
+
+
+def to_w8a8(params: Dict[str, Any]) -> Dict[str, Any]:
+    """Map every fused-layout QTensor8T leaf of a flat param dict to its
+    per-column QTensor8W form (one jitted device pass per unique shape —
+    a few seconds one-time at load on 12B). QTensorLoRA bases convert in
+    place; embeddings (row-major QTensor8) and dense leaves pass through."""
+    requant = _jitted_requant_col()
+
+    def convert(v):
+        if isinstance(v, QTensorLoRA):
+            return QTensorLoRA(base=convert(v.base), up=v.up, down=v.down)
+        if isinstance(v, QTensor8T):
+            codes, cs = requant(v.qt, v.scales_t)
+            return QTensor8W(qt=codes, col_scales=cs, shape=v.shape, tp=v.tp)
+        return v
+
+    return {k: convert(v) for k, v in params.items()}
 
 
 @jax.tree_util.register_pytree_node_class

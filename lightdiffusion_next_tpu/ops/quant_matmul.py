@@ -86,6 +86,33 @@ def _kernel_wstation(
         o_ref[...] = acc_ref[rows, :].astype(out_dtype)
 
 
+def _kernel_w8a8(
+    x_ref, q_ref, sx_ref, cs_ref, o_ref, acc_ref, *, n_k: int, out_dtype
+):
+    """W8A8 variant: both operands int8, MXU contracts at the int8 rate
+    (2x bf16 peak on v5e) with an int32 accumulator; the only float work
+    is the final per-(row, col) rescale. No dequant pass exists at all —
+    the VPU serial fraction of the bf16 kernel disappears."""
+    kk = pl.program_id(2)
+
+    @pl.when(kk == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    acc_ref[...] += jax.lax.dot_general(
+        x_ref[...],
+        q_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+
+    @pl.when(kk == n_k - 1)
+    def _():
+        o_ref[...] = (
+            acc_ref[...].astype(jnp.float32) * sx_ref[...] * cs_ref[...]
+        ).astype(out_dtype)
+
+
 def _pick_tile(dim: int, preferred: int, granule: int) -> int:
     """Largest tile <= preferred that divides dim and is a multiple of
     ``granule`` (dim is already a multiple of granule)."""
@@ -328,5 +355,153 @@ def quant_matmul(x, qt, scales_t, out_dtype=None, interpret=None):
     k = x.shape[-1]
     y = quant_matmul_2d(
         x.reshape(-1, k), qt, scales_t, out_dtype=out_dtype, interpret=interpret
+    )
+    return y.reshape(lead + (y.shape[-1],))
+
+
+# ---------------------------------------------------------------------------
+# W8A8: int8 activations x int8 weights on the MXU int8 path
+# ---------------------------------------------------------------------------
+
+
+def quantize_rows(x):
+    """Per-token (per-row) symmetric int8 quantization of x (..., K):
+    returns (codes int8, scales f32 (..., 1)) with x ~= codes * scales.
+    Done in XLA (one fused absmax+scale pass, ~M*K*3 bytes of traffic —
+    trivial next to the K*N weight stream the kernel saves)."""
+    xf = x.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    sx = jnp.maximum(absmax, 1e-12) * (1.0 / 127.0)
+    codes = jnp.clip(jnp.round(xf / sx), -127.0, 127.0).astype(jnp.int8)
+    return codes, sx
+
+
+def _tile_vmem_w8a8(tm: int, tk: int, tn: int, out_bytes: int) -> int:
+    """Scoped-VMEM bytes of one w8a8 grid step: double-buffered int8 x and
+    weight blocks, int32 accumulator, double-buffered out, the epilogue's
+    (tm, tn) f32 temp, and the two scale vectors."""
+    return (
+        2 * tm * tk
+        + 2 * tk * tn
+        + tm * tn * 4
+        + 2 * tm * tn * out_bytes
+        + tm * tn * 4
+        + 2 * (tm * 4 + tn * 4)
+    )
+
+
+def _pick_tn_w8a8(n: int, preferred: int, tm: int, tk: int, out_bytes: int) -> int:
+    budget = _vmem_budget()
+    tn = _pick_tile(n, preferred, 128)
+    while tn > 128 and _tile_vmem_w8a8(tm, tk, tn, out_bytes) > budget:
+        tn = _pick_tile(n, tn - 128, 128)
+    return tn
+
+
+def _w8a8_matmul_2d(
+    x,
+    qt,
+    col_scales,
+    out_dtype=jnp.bfloat16,
+    interpret=False,
+    tile_m=None,
+    tile_k=None,
+    tile_n=None,
+):
+    """x (M, K) float x per-column-requantized weight qt int8 (K, N) /
+    col_scales f32 (1, N) -> (M, N) in ``out_dtype``.
+
+    The activation is row-quantized to int8 in XLA first; the kernel's MXU
+    contraction then runs s8 x s8 -> s32 (double the bf16 MACs/cycle on
+    v5e) and the weight block needs NO dequantization — the bf16 kernel's
+    per-M-tile VPU dequant pass (the reason it prefers huge M-tiles) is
+    gone, as is the (K/32, N) f32 block-scale stream (1.125 -> 1.0
+    bytes/weight)."""
+    m, k = x.shape
+    k2, n = qt.shape
+    assert k == k2, (x.shape, qt.shape)
+    assert col_scales.shape == (1, n), col_scales.shape
+
+    xq, sx = quantize_rows(x)
+
+    # int8 x blocks want 32-row sublane granules; pad M up to 32.
+    pad = (-m) % 32
+    if pad:
+        xq = jnp.pad(xq, ((0, pad), (0, 0)))
+        sx = jnp.pad(sx, ((0, pad), (0, 0)))
+    mp = m + pad
+    tm = _pick_tile(mp, tile_m or 2176, 32)
+    tk = _pick_tile(k, tile_k or 512, 256)
+    n_k = k // tk
+    ob = jnp.dtype(out_dtype).itemsize
+    tn = (
+        _pick_tile(n, tile_n, 128)
+        if tile_n is not None
+        else _pick_tn_w8a8(n, 1024, tm, tk, ob)
+    )
+
+    out = pl.pallas_call(
+        functools.partial(_kernel_w8a8, n_k=n_k, out_dtype=out_dtype),
+        grid=(mp // tm, n // tn, n_k),
+        in_specs=[
+            pl.BlockSpec(
+                (tm, tk), lambda i, j, kk: (i, kk), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (tk, tn), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (tm, 1), lambda i, j, kk: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, tn), lambda i, j, kk: (0, j), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (tm, tn), lambda i, j, kk: (i, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((mp, n), out_dtype),
+        scratch_shapes=[pltpu.VMEM((tm, tn), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * k * n,
+            bytes_accessed=mp * k + k * n + n * 4 + mp * 4 + mp * n * ob,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xq, qt, sx, col_scales)
+    return out[:m] if mp != m else out
+
+
+@functools.lru_cache(maxsize=1)
+def _jitted_w8a8_matmul_2d():
+    from lightdiffusion_next_tpu import config as _config
+
+    return _config.ldt_jit(
+        _w8a8_matmul_2d,
+        static_argnames=("out_dtype", "interpret", "tile_m", "tile_k", "tile_n"),
+    )
+
+
+def w8a8_matmul_2d(x, qt, col_scales, **kw):
+    """x (M, K) x per-column int8 weight -> (M, N); see _w8a8_matmul_2d.
+    Same outer-jit discipline as quant_matmul_2d (scoped-vmem option on
+    standalone calls; inlined under an outer ldt_jit trace)."""
+    if _tracing():
+        return _w8a8_matmul_2d(x, qt, col_scales, **kw)
+    return _jitted_w8a8_matmul_2d()(x, qt, col_scales, **kw)
+
+
+def w8a8_matmul(x, qt, col_scales, out_dtype=None, interpret=None):
+    """Batched wrapper: x (..., K) -> (..., N) through the W8A8 kernel."""
+    out_dtype = out_dtype or x.dtype
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    lead = x.shape[:-1]
+    k = x.shape[-1]
+    y = w8a8_matmul_2d(
+        x.reshape(-1, k), qt, col_scales, out_dtype=out_dtype, interpret=interpret
     )
     return y.reshape(lead + (y.shape[-1],))

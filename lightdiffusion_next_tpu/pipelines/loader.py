@@ -61,13 +61,19 @@ def load_checkpoint_guess_config(
     return model, clip, vae
 
 
-def load_diffusion_model_gguf(path: str, mesh=None) -> base_mod.DiffusionModel:
+def load_diffusion_model_gguf(
+    path: str, mesh=None, w8a8: Optional[bool] = None
+) -> base_mod.DiffusionModel:
     """Flux GGUF -> quantized DiffusionModel (UnetLoaderGGUF parity).
 
     With ``mesh`` (a ("data","model") jax.sharding.Mesh), params are laid
     out tensor-parallel per parallel.sharding.flux_param_spec as they are
     uploaded — each chip only ever holds its shard (the 12B Q8_0 weights
-    are ~13 GB; one v5e chip has 16 GB)."""
+    are ~13 GB; one v5e chip has 16 GB).
+
+    ``w8a8`` (default: config.w8a8) requantizes the fused matmul weights
+    per-column on device after upload for the int8-MXU compute path
+    (ops.ggml.QTensor8W)."""
     from lightdiffusion_next_tpu.ops import ggml
 
     cfgv = _config.get_config()
@@ -97,6 +103,10 @@ def load_diffusion_model_gguf(path: str, mesh=None) -> base_mod.DiffusionModel:
     params = ggml.to_device_quantized(
         sd, dtype=cfgv.dtypes.param_dtype, sharding_for=sharding_for
     )
+    if w8a8 is None:
+        w8a8 = cfgv.w8a8
+    if w8a8:
+        params = ggml.to_w8a8(params)
 
     return base_mod.DiffusionModel(
         apply_fn=flux_mod.make_apply_fn(fcfg),

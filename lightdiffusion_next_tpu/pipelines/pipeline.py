@@ -476,6 +476,8 @@ def _get_flux_models(unet_path, t5_path, clip_l_path, ae_path, mesh=None):
     # a TP-sharded model is a different resident object than the single-chip
     # one; the variant keeps mtime-based staleness on the real path
     variant = "" if mesh is None else f"mesh{tuple(mesh.shape.values())}"
+    if _config.get_config().w8a8:
+        variant += ":w8a8"
     model = cache.get(unet_path, variant=variant)
     if model is None:
         model = loader.load_diffusion_model_gguf(unet_path, mesh=mesh)

@@ -162,6 +162,21 @@ def main():
     del host
     print(f"upload: {time.perf_counter()-t0:.1f}s", flush=True)
 
+    # --w8a8: per-column weight requantization + int8 MXU matmuls
+    # (ops.ggml.QTensor8W / ops.quant_matmul.w8a8_matmul)
+    use_w8a8 = "--w8a8" in sys.argv
+    if use_w8a8:
+        from lightdiffusion_next_tpu.ops import ggml as _ggml
+
+        t0 = time.perf_counter()
+        params = _ggml.to_w8a8(params)
+        import jax as _jax
+
+        _jax.block_until_ready(
+            [v.qt for v in params.values() if isinstance(v, _ggml.QTensor8W)]
+        )
+        print(f"w8a8 requant: {time.perf_counter()-t0:.1f}s", flush=True)
+
     def apply_fn(p, x, t, context, y=None, guidance=None,
                  first_block_hook=None, **_):
         return flux_mod.apply_flux(
@@ -217,7 +232,7 @@ def main():
 
         callback.chunk = 5
 
-    def run():
+    def run(return_latent=False):
         res = ks.ksample(
             model,
             seed=7,
@@ -230,10 +245,22 @@ def main():
             latent_image=latent,
             callback=callback,
         )
-        return float(np.abs(np.asarray(res.latent)).mean())
+        lat = np.asarray(res.latent)
+        if return_latent:
+            return lat
+        return float(np.abs(lat).mean())
 
     t0 = time.perf_counter()
-    chk = run()
+    if "--dump-latent" in sys.argv:
+        # save the final latent for cross-config numerics comparison
+        # (e.g. w8a8 vs bf16-compute drift at a fixed seed)
+        out_path = sys.argv[sys.argv.index("--dump-latent") + 1]
+        lat = run(return_latent=True)
+        np.save(out_path, lat)
+        chk = float(np.abs(lat).mean())
+        print(f"latent saved to {out_path}", flush=True)
+    else:
+        chk = run()
     print(f"compile+first run: {time.perf_counter()-t0:.1f}s "
           f"(checksum {chk:.4f})", flush=True)
     assert np.isfinite(chk)
@@ -249,6 +276,7 @@ def main():
             {
                 "metric": f"flux_dev_q8_txt2img_1024px_{n_steps}step_s_per_image"
                 + ("" if use_fbcache else "_nofbcache")
+                + ("_w8a8" if use_w8a8 else "")
                 + ("_preview" if callback is not None else ""),
                 "value": round(dt, 3),
                 "unit": "s/image",

@@ -223,11 +223,14 @@ def test_usdu_tiny(stack):
 
 
 @pytest.mark.slow
-def test_flux_pipeline_end_to_end_with_gguf_assets(tmp_path, monkeypatch):
+@pytest.mark.parametrize("w8a8", [False, True])
+def test_flux_pipeline_end_to_end_with_gguf_assets(tmp_path, monkeypatch, w8a8):
     """The FULL flux workflow through the real loaders: tiny GGUF DiT
     (Q8_0) + llama.cpp-named T5 GGUF + CLIP-L + flux AE, built by
     scripts/make_tiny_assets.make_flux_assets, then pipeline(flux=True).
-    This is the drive that caught T5XXLModel choking on quantized leaves."""
+    This is the drive that caught T5XXLModel choking on quantized leaves.
+    The w8a8 variant drives the per-column int8 requant load path
+    (config.w8a8 -> ggml.to_w8a8) through the same workflow."""
     import importlib.util
     import sys as _sys
 
@@ -246,10 +249,15 @@ def test_flux_pipeline_end_to_end_with_gguf_assets(tmp_path, monkeypatch):
 
     monkeypatch.setenv("LDT_ASSET_ROOT", root)
     monkeypatch.setenv("LDT_OFFLINE", "1")
+    import dataclasses as _dc
+
+    from lightdiffusion_next_tpu import config as _config
     from lightdiffusion_next_tpu.pipelines import loader as loader_mod
     from lightdiffusion_next_tpu.pipelines.pipeline import pipeline
 
     loader_mod.get_model_cache().clear()  # other tests' residents
+    old_cfg = _config.get_config()
+    _config.set_config(_dc.replace(old_cfg, w8a8=w8a8))
     try:
         paths = pipeline(
             "a tiny castle", 128, 128, number=1, batch=1,
@@ -258,5 +266,20 @@ def test_flux_pipeline_end_to_end_with_gguf_assets(tmp_path, monkeypatch):
         assert len(paths) == 1 and paths[0].endswith(".png")
         assert os.path.exists(paths[0])
         assert "Flux" in paths[0]
+        if w8a8:
+            from lightdiffusion_next_tpu.ops import ggml
+
+            # the variant prefix depends on whether the virtual mesh
+            # auto-TPed the model; match on the :w8a8 suffix
+            cache = loader_mod.get_model_cache()
+            cached = [
+                v for k, v in cache._cache.items() if k.endswith(":w8a8")
+            ]
+            assert cached, "w8a8 variant missing from model cache"
+            model = cached[0]
+            assert any(
+                isinstance(v, ggml.QTensor8W) for v in model.params.values()
+            )
     finally:
+        _config.set_config(old_cfg)
         loader_mod.get_model_cache().clear()

@@ -1,0 +1,198 @@
+"""W8A8 int8-MXU matmul path (ops/quant_matmul w8a8_* + ops/ggml.QTensor8W).
+
+The reference has no analogue (its GGML path always dequantizes to float
+compute, src/Quantize/Quantizer.py:260-332); the oracle here is explicit
+numpy quantization math: per-column weight requantization of the Q8_0
+logical value and per-row activation quantization, contracted in int32.
+On CPU the kernel runs in Pallas interpret mode; the same path compiles
+on TPU.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lightdiffusion_next_tpu.ops import ggml, nn, quant_matmul as qm
+
+
+def _make_qweight(rng, n_out, k):
+    w = rng.standard_normal((n_out, k)).astype(np.float32)
+    q, scales = ggml.quantize_q8_0(w)
+    t8 = ggml.QTensor8(jnp.asarray(q), jnp.asarray(scales), (n_out, k))
+    return ggml.transpose_for_matmul(t8)
+
+
+def _np_w8a8_oracle(x, codes, cs, sx, xq):
+    """Exact integer contraction: (M,K) int8 x (K,N) int8 -> int32, then
+    the two rescales. Matches the kernel bit-for-bit up to the final
+    dtype cast."""
+    acc = xq.astype(np.int64) @ codes.astype(np.int64)
+    return acc.astype(np.float64) * sx * cs
+
+
+def _exact_w8a8(x, w8):
+    """The kernel's exact expected output for float input ``x`` (M, K)
+    against a QTensor8W — activation quantization included."""
+    xq, sx = qm.quantize_rows(jnp.asarray(x))
+    return _np_w8a8_oracle(
+        x, np.asarray(w8.qt), np.asarray(w8.col_scales),
+        np.asarray(sx), np.asarray(xq),
+    )
+
+
+class TestQuantizeRows:
+    def test_roundtrip_error_bounded(self, rng):
+        x = rng.standard_normal((7, 96)).astype(np.float32) * 3.0
+        codes, sx = qm.quantize_rows(jnp.asarray(x))
+        codes, sx = np.asarray(codes), np.asarray(sx)
+        assert codes.dtype == np.int8 and sx.shape == (7, 1)
+        # symmetric absmax quant: elementwise error <= scale/2
+        assert np.all(np.abs(codes * sx - x) <= sx * 0.5 + 1e-9)
+
+    def test_zero_row_safe(self):
+        x = jnp.zeros((3, 64), jnp.float32)
+        codes, sx = qm.quantize_rows(x)
+        assert np.all(np.asarray(codes) == 0)
+        assert np.all(np.isfinite(np.asarray(sx)))
+
+
+class TestRequantAndClass:
+    def test_to_w8a8_value_preservation(self, rng):
+        t8t = _make_qweight(rng, 128, 256)
+        params = {"blk.weight": t8t, "dense": jnp.ones((4, 4))}
+        out = ggml.to_w8a8(params)
+        w8 = out["blk.weight"]
+        assert isinstance(w8, ggml.QTensor8W)
+        assert w8.shape == t8t.shape and w8.qt.dtype == jnp.int8
+        assert w8.col_scales.shape == (1, 128)
+        # per-column requantization error bound: half a code step per elem
+        ref = np.asarray(t8t.dequantize(jnp.float32))  # (N, K) torch layout
+        got = np.asarray(w8.dequantize(jnp.float32))
+        cs = np.asarray(w8.col_scales)[0][:, None]  # (N, 1)
+        assert np.all(np.abs(got - ref) <= cs * 0.5 + 1e-9)
+        # dense leaves pass through untouched
+        assert out["dense"] is params["dense"]
+
+    def test_to_w8a8_converts_lora_base(self, rng):
+        t8t = _make_qweight(rng, 128, 256)
+        lora = ggml.QTensorLoRA(
+            base=t8t,
+            up=jnp.zeros((128, 4), jnp.float32),
+            down=jnp.zeros((4, 256), jnp.float32),
+        )
+        out = ggml.to_w8a8({"w": lora})["w"]
+        assert isinstance(out, ggml.QTensorLoRA)
+        assert isinstance(out.base, ggml.QTensor8W)
+
+    def test_pytree_roundtrip_through_jit(self, rng):
+        t8t = _make_qweight(rng, 128, 256)
+        w8 = ggml.to_w8a8({"w": t8t})["w"]
+        x = jnp.asarray(rng.standard_normal((8, 256)).astype(np.float32))
+
+        @jax.jit
+        def f(params, x):
+            return nn.linear(x, params["w"])
+
+        y = f({"w": w8}, x)
+        ref = _exact_w8a8(np.asarray(x), w8)
+        np.testing.assert_allclose(np.asarray(y), ref, rtol=1e-5, atol=1e-5)
+
+    def test_tp_flag_falls_back_to_dequant_dot(self, rng):
+        t8t = _make_qweight(rng, 128, 256)
+        w8 = ggml.to_w8a8({"w": dataclasses.replace(t8t, tp=True)})["w"]
+        assert w8.tp
+        x = jnp.asarray(rng.standard_normal((8, 256)).astype(np.float32))
+        y = np.asarray(w8.fused_matmul(x))
+        # exact dequant+dot (no activation quantization on the TP path)
+        ref = np.asarray(x) @ np.asarray(w8.dequantize(jnp.float32)).T
+        np.testing.assert_allclose(y, ref, rtol=2e-5, atol=2e-5)
+
+
+class TestW8A8Kernel:
+    def test_matches_integer_oracle(self, rng):
+        m, k, n = 24, 256, 384
+        t8t = _make_qweight(rng, n, k)
+        w8 = ggml.to_w8a8({"w": t8t})["w"]
+        x = rng.standard_normal((m, k)).astype(np.float32)
+        xq, sx = qm.quantize_rows(jnp.asarray(x))
+        out = np.asarray(
+            qm.w8a8_matmul(jnp.asarray(x), w8.qt, w8.col_scales,
+                           out_dtype=jnp.float32)
+        )
+        ref = _np_w8a8_oracle(
+            x, np.asarray(w8.qt), np.asarray(w8.col_scales),
+            np.asarray(sx), np.asarray(xq),
+        )
+        np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+    def test_m_padding(self, rng):
+        # M=5 is not a multiple of the int8 sublane granule (32)
+        m, k, n = 5, 256, 128
+        t8t = _make_qweight(rng, n, k)
+        w8 = ggml.to_w8a8({"w": t8t})["w"]
+        x = rng.standard_normal((m, k)).astype(np.float32)
+        out = np.asarray(
+            qm.w8a8_matmul(jnp.asarray(x), w8.qt, w8.col_scales,
+                           out_dtype=jnp.float32)
+        )
+        assert out.shape == (m, n)
+        np.testing.assert_allclose(out, _exact_w8a8(x, w8), rtol=1e-5, atol=1e-5)
+
+    def test_close_to_float_matmul(self, rng):
+        # end-to-end accuracy vs the unquantized product: both the weight
+        # and activation rounding contribute ~1e-2 relative error on
+        # standard-normal data
+        m, k, n = 16, 512, 256
+        w = rng.standard_normal((n, k)).astype(np.float32)
+        q, scales = ggml.quantize_q8_0(w)
+        t8t = ggml.transpose_for_matmul(
+            ggml.QTensor8(jnp.asarray(q), jnp.asarray(scales), (n, k))
+        )
+        w8 = ggml.to_w8a8({"w": t8t})["w"]
+        x = rng.standard_normal((m, k)).astype(np.float32)
+        out = np.asarray(
+            qm.w8a8_matmul(jnp.asarray(x), w8.qt, w8.col_scales,
+                           out_dtype=jnp.float32)
+        )
+        ref = x @ w.T
+        denom = np.sqrt((ref**2).mean())
+        assert np.sqrt(((out - ref) ** 2).mean()) / denom < 2e-2
+
+    def test_tile_budget_respected(self):
+        # picked tiles must fit the scoped-VMEM budget at the Flux shape
+        from lightdiffusion_next_tpu import config as _config
+
+        tm, tk = 2176, 512
+        tn = qm._pick_tn_w8a8(12288, 1024, tm, tk, out_bytes=2)
+        assert tn % 128 == 0
+        assert qm._tile_vmem_w8a8(tm, tk, tn, 2) <= _config.scoped_vmem_budget_bytes()
+
+
+class TestLinearDispatch:
+    def test_linear_with_bias(self, rng):
+        t8t = _make_qweight(rng, 128, 256)
+        w8 = ggml.to_w8a8({"w": t8t})["w"]
+        x = jnp.asarray(rng.standard_normal((4, 256)).astype(np.float32))
+        b = jnp.asarray(rng.standard_normal((128,)).astype(np.float32))
+        y = np.asarray(nn.linear(x, w8, b))
+        ref = _exact_w8a8(np.asarray(x), w8) + np.asarray(b)
+        np.testing.assert_allclose(y, ref, rtol=1e-5, atol=1e-5)
+
+    def test_lora_on_w8a8_base(self, rng):
+        from lightdiffusion_next_tpu.models import lora as lora_mod
+
+        t8t = _make_qweight(rng, 128, 256)
+        w8 = ggml.to_w8a8({"w": t8t})["w"]
+        up = rng.standard_normal((128, 4)).astype(np.float32) * 0.1
+        down = rng.standard_normal((4, 256)).astype(np.float32) * 0.1
+        params = lora_mod.apply_lora(
+            {"w": w8}, {"w": (up, down, 4.0)}, strength=1.0
+        )
+        assert isinstance(params["w"], ggml.QTensorLoRA)
+        x = jnp.asarray(rng.standard_normal((4, 256)).astype(np.float32))
+        y = np.asarray(nn.linear(x, params["w"]))
+        ref = _exact_w8a8(np.asarray(x), w8) + np.asarray(x) @ (up @ down).T
+        np.testing.assert_allclose(y, ref, rtol=1e-4, atol=1e-4)
