@@ -87,24 +87,40 @@ def _kernel_wstation(
 
 
 def _kernel_w8a8(
-    x_ref, q_ref, sx_ref, cs_ref, o_ref, acc_ref, *, n_k: int, out_dtype
+    x_ref, q_ref, sx_ref, cs_ref, o_ref, acc_ref, *, n_k: int, out_dtype,
+    int8_mxu: bool
 ):
     """W8A8 variant: both operands int8, MXU contracts at the int8 rate
     (2x bf16 peak on v5e) with an int32 accumulator; the only float work
     is the final per-(row, col) rescale. No dequant pass exists at all —
-    the VPU serial fraction of the bf16 kernel disappears."""
+    the VPU serial fraction of the bf16 kernel disappears.
+
+    ``int8_mxu=False`` is the A/B fallback: cast both int8 blocks to bf16
+    and contract at the bf16 rate into an f32 accumulator — keeps the
+    traffic/no-dequant wins (int8 in HBM and VMEM) if Mosaic's s8 x s8
+    path regresses. bf16's 8 mantissa bits round individual int8 products
+    (codes >256 are not exactly representable), so this variant is
+    approximate where int8_mxu=True is integer-exact."""
     kk = pl.program_id(2)
 
     @pl.when(kk == 0)
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    acc_ref[...] += jax.lax.dot_general(
-        x_ref[...],
-        q_ref[...],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    )
+    if int8_mxu:
+        acc_ref[...] += jax.lax.dot_general(
+            x_ref[...],
+            q_ref[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+    else:
+        acc_ref[...] += jax.lax.dot_general(
+            x_ref[...].astype(jnp.bfloat16),
+            q_ref[...].astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(acc_ref.dtype)
 
     @pl.when(kk == n_k - 1)
     def _():
@@ -407,6 +423,7 @@ def _w8a8_matmul_2d(
     tile_m=None,
     tile_k=None,
     tile_n=None,
+    int8_mxu=True,
 ):
     """x (M, K) float x per-column-requantized weight qt int8 (K, N) /
     col_scales f32 (1, N) -> (M, N) in ``out_dtype``.
@@ -441,7 +458,9 @@ def _w8a8_matmul_2d(
     )
 
     out = pl.pallas_call(
-        functools.partial(_kernel_w8a8, n_k=n_k, out_dtype=out_dtype),
+        functools.partial(
+            _kernel_w8a8, n_k=n_k, out_dtype=out_dtype, int8_mxu=int8_mxu
+        ),
         grid=(mp // tm, n // tn, n_k),
         in_specs=[
             pl.BlockSpec(
@@ -461,7 +480,9 @@ def _w8a8_matmul_2d(
             (tm, tn), lambda i, j, kk: (i, j), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((mp, n), out_dtype),
-        scratch_shapes=[pltpu.VMEM((tm, tn), jnp.int32)],
+        scratch_shapes=[
+            pltpu.VMEM((tm, tn), jnp.int32 if int8_mxu else jnp.float32)
+        ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
@@ -481,7 +502,9 @@ def _jitted_w8a8_matmul_2d():
 
     return _config.ldt_jit(
         _w8a8_matmul_2d,
-        static_argnames=("out_dtype", "interpret", "tile_m", "tile_k", "tile_n"),
+        static_argnames=(
+            "out_dtype", "interpret", "tile_m", "tile_k", "tile_n", "int8_mxu"
+        ),
     )
 
 
