@@ -200,24 +200,8 @@ class QTensor8T:
         )
 
     def _check_not_silently_sharded(self) -> None:
-        """Backstop for the explicit ``tp`` flag: a CONCRETE multi-device
-        array reaching the single-device kernel path is a wiring bug (the
-        caller sharded the weight without marking it tp) — fail loudly
-        instead of letting GSPMD replicate 12 GB of codes per chip. Tracers
-        carry no shardings, so inside jit this check is a no-op and the flag
-        is the only authority."""
-        sharding = getattr(self.qt, "sharding", None)
-        if sharding is None:
-            return
-        try:
-            multi = len(sharding.device_set) > 1
-        except Exception:
-            return
-        if multi:
-            raise ValueError(
-                "QTensor8T spans multiple devices but tp=False; shard it "
-                "through parallel.sharding.shard_params (which sets tp=True)"
-            )
+        """See module-level _check_not_silently_sharded."""
+        _check_not_silently_sharded(self.qt, "QTensor8T")
 
     def astype(self, dtype):  # dtype of the DEQUANTIZED output
         return self
@@ -270,6 +254,7 @@ class QTensor8W:
         for d in x.shape[:-1]:
             m *= d
         if not self.tp and qm.supported(m, k, n):
+            _check_not_silently_sharded(self.qt, "QTensor8W")
             return qm.w8a8_matmul(x, self.qt, self.col_scales, out_dtype)
         w = self.dequantize(x.dtype)
         return jax.lax.dot_general(
@@ -292,9 +277,29 @@ class QTensor8W:
         return cls(qt, col_scales, shape, tp)
 
 
-@functools.lru_cache(maxsize=1)
-def _jitted_requant_col():
-    @jax.jit
+def _check_not_silently_sharded(arr, kind: str) -> None:
+    """Backstop for the explicit ``tp`` flag: a CONCRETE multi-device
+    array reaching a single-device kernel path is a wiring bug (the
+    caller sharded the weight without marking it tp) — fail loudly
+    instead of letting GSPMD replicate 12 GB of codes per chip. Tracers
+    carry no shardings, so inside jit this is a no-op and the flag is
+    the only authority."""
+    sharding = getattr(arr, "sharding", None)
+    if sharding is None:
+        return
+    try:
+        multi = len(sharding.device_set) > 1
+    except Exception:
+        return
+    if multi:
+        raise ValueError(
+            f"{kind} spans multiple devices but tp=False; shard it "
+            "through parallel.sharding.shard_params (which sets tp=True)"
+        )
+
+
+@functools.lru_cache(maxsize=2)
+def _jitted_requant_col(donate: bool):
     def requant(qt, scales_t):
         k, n = qt.shape
         w = qt.astype(jnp.float32).reshape(k // 32, 32, n) * scales_t[:, None, :]
@@ -305,20 +310,33 @@ def _jitted_requant_col():
         codes = jnp.clip(jnp.round(w / cs), -127.0, 127.0).astype(jnp.int8)
         return codes, cs
 
-    return requant
+    # Donating qt lets XLA write the new codes into the OLD (K, N) int8
+    # buffer (same shape/dtype): without it, a 12B Flux conversion holds
+    # BOTH int8 generations (~24 GB) and OOMs a 16 GB v5e mid-load. CPU
+    # ignores donation (and warns), so only donate on TPU.
+    return jax.jit(requant, donate_argnums=(0,) if donate else ())
 
 
 def to_w8a8(params: Dict[str, Any]) -> Dict[str, Any]:
     """Map every fused-layout QTensor8T leaf of a flat param dict to its
     per-column QTensor8W form (one jitted device pass per unique shape —
     a few seconds one-time at load on 12B). QTensorLoRA bases convert in
-    place; embeddings (row-major QTensor8) and dense leaves pass through."""
-    requant = _jitted_requant_col()
+    place; embeddings (row-major QTensor8) and dense leaves pass through.
+
+    The input dict's QTensor8T code buffers are DONATED on TPU (consumed
+    in place, leaf by leaf — peak extra HBM is one leaf's f32 dequant
+    temp, not a second 12 GB code generation); callers must treat the
+    input dict as dead after this returns. tp=True leaves pass through
+    unconverted: the sharded path never takes the int8 kernel, so
+    conversion would cost per-column rounding for zero compute gain."""
+    from lightdiffusion_next_tpu import config as _config
+
+    requant = _jitted_requant_col(_config.is_tpu())
 
     def convert(v):
         if isinstance(v, QTensorLoRA):
             return QTensorLoRA(base=convert(v.base), up=v.up, down=v.down)
-        if isinstance(v, QTensor8T):
+        if isinstance(v, QTensor8T) and not v.tp:
             codes, cs = requant(v.qt, v.scales_t)
             return QTensor8W(qt=codes, col_scales=cs, shape=v.shape, tp=v.tp)
         return v
@@ -414,7 +432,7 @@ def transpose_for_matmul(t: QTensor8, sharding=None) -> QTensor8T:
 
 
 def is_quantized(x) -> bool:
-    return isinstance(x, (QTensor8, QTensor8T))
+    return isinstance(x, (QTensor8, QTensor8T, QTensor8W))
 
 
 def _load_tensor(info: GGUFTensorInfo, buf, data_start: int, lazy_np=True):

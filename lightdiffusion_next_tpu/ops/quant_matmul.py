@@ -98,9 +98,11 @@ def _kernel_w8a8(
     ``int8_mxu=False`` is the A/B fallback: cast both int8 blocks to bf16
     and contract at the bf16 rate into an f32 accumulator — keeps the
     traffic/no-dequant wins (int8 in HBM and VMEM) if Mosaic's s8 x s8
-    path regresses. bf16's 8 mantissa bits round individual int8 products
-    (codes >256 are not exactly representable), so this variant is
-    approximate where int8_mxu=True is integer-exact."""
+    path regresses. int8 values are exact in bf16 (7-bit magnitudes) and
+    the MXU forms their pairwise products exactly in f32; rounding enters
+    only when f32 partial sums exceed 2^24 (possible at K=12288:
+    worst-case |sum| ~ 2e8), so this variant is near-exact where
+    int8_mxu=True is integer-exact."""
     kk = pl.program_id(2)
 
     @pl.when(kk == 0)
@@ -395,14 +397,17 @@ def quantize_rows(x):
 def _tile_vmem_w8a8(tm: int, tk: int, tn: int, out_bytes: int) -> int:
     """Scoped-VMEM bytes of one w8a8 grid step: double-buffered int8 x and
     weight blocks, int32 accumulator, double-buffered out, the epilogue's
-    (tm, tn) f32 temp, and the two scale vectors."""
+    (tm, tn) f32 temp, and the two scale blocks AT THEIR PHYSICAL layout:
+    a (tm, 1) f32 block is lane-padded to 128 lanes and a (1, tn) block
+    sublane-padded to 8 rows (the bf16 kernel's estimator was once burned
+    by exactly this class of undercount — see _tile_vmem)."""
     return (
         2 * tm * tk
         + 2 * tk * tn
         + tm * tn * 4
         + 2 * tm * tn * out_bytes
         + tm * tn * 4
-        + 2 * (tm * 4 + tn * 4)
+        + 2 * (tm * 128 * 4 + 8 * tn * 4)
     )
 
 

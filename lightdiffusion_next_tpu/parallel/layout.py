@@ -70,6 +70,13 @@ def _take_rows(leaf, idx: np.ndarray):
             scales=leaf.scales[idx],
             shape=(len(idx),) + tuple(leaf.shape[1:]),
         )
+    if isinstance(leaf, ggml.QTensor8W):  # w8a8 per-column layout (K, N)
+        return ggml.QTensor8W(
+            qt=leaf.qt[:, idx],
+            col_scales=leaf.col_scales[:, idx],
+            shape=(len(idx), leaf.shape[1]),
+            tp=leaf.tp,
+        )
     return leaf[idx]  # dense np/jnp weight (out, in) or bias (out,)
 
 
@@ -97,6 +104,13 @@ def _take_input_cols(leaf, lo: int, hi: int):
             q=leaf.q[:, lo // 32 : hi // 32, :],
             scales=leaf.scales[:, lo // 32 : hi // 32],
             shape=(leaf.shape[0], hi - lo),
+        )
+    if isinstance(leaf, ggml.QTensor8W):  # w8a8 per-column layout (K, N)
+        return ggml.QTensor8W(
+            qt=leaf.qt[lo:hi, :],
+            col_scales=leaf.col_scales,
+            shape=(leaf.shape[0], hi - lo),
+            tp=leaf.tp,
         )
     return leaf[:, lo:hi]  # dense torch-layout (out, in)
 

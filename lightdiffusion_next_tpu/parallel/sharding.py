@@ -80,6 +80,16 @@ def _quantized_sharding(leaf, spec: "P", mesh: Mesh):
         qs = P("model", None)
     else:
         qs = P()
+    if isinstance(leaf, ggml.QTensor8W):
+        # w8a8 per-column layout: col_scales (1, N) follow the N axis when
+        # out-sharded and replicate when in(K)-sharded
+        cs = P(None, "model") if qs == P(None, "model") else P()
+        return ggml.QTensor8W(
+            qt=_ns(mesh, *qs),
+            col_scales=_ns(mesh, *cs),
+            shape=leaf.shape,
+            tp=mesh.devices.size > 1,
+        )
     return ggml.QTensor8T(
         qt=_ns(mesh, *qs),
         scales_t=_ns(mesh, *qs),
@@ -132,6 +142,13 @@ def shard_params(params: Dict, shardings: Dict) -> Dict:
                 base=put(v.base, s.base),
                 up=jax.device_put(v.up, s.up),
                 down=jax.device_put(v.down, s.down),
+            )
+        if isinstance(v, ggml.QTensor8W):
+            return ggml.QTensor8W(
+                qt=jax.device_put(v.qt, s.qt),
+                col_scales=jax.device_put(v.col_scales, s.col_scales),
+                shape=v.shape,
+                tp=s.tp,
             )
         if hasattr(v, "qt"):
             return ggml.QTensor8T(

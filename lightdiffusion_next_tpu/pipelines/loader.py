@@ -106,6 +106,16 @@ def load_diffusion_model_gguf(
     if w8a8 is None:
         w8a8 = cfgv.w8a8
     if w8a8:
+        if mesh is not None:
+            # tp leaves pass through to_w8a8 unconverted: the sharded
+            # path never takes the single-device int8 kernel, so w8a8
+            # would trade per-column rounding for zero compute gain
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "w8a8 has no effect on a tensor-parallel Flux load; "
+                "keeping Q8_0 block-scale weights"
+            )
         params = ggml.to_w8a8(params)
 
     return base_mod.DiffusionModel(

@@ -53,6 +53,29 @@ def main():
             rng.standard_normal((m, k)).astype(np.float32), jnp.bfloat16
         )
 
+        # -- numerics first (single calls, small row slice): the kernel
+        # must match the exact host int8 oracle; drift vs the bf16-dequant
+        # kernel quantifies the activation+requant rounding.
+        xs = x[:64].astype(jnp.float32)
+        xq, sxs = qm.quantize_rows(xs)
+        oracle = (
+            np.asarray(xq).astype(np.int64) @ np.asarray(w8.qt).astype(np.int64)
+        ).astype(np.float64) * np.asarray(sxs) * np.asarray(w8.col_scales)
+        got = np.asarray(
+            qm.w8a8_matmul_2d(xs, w8.qt, w8.col_scales, out_dtype=jnp.float32)
+        )
+        kerr = np.abs(got - oracle).max() / (np.abs(oracle).max() + 1e-12)
+        ref_bf16 = np.asarray(
+            qm.quant_matmul(xs, t8t.qt, t8t.scales_t, out_dtype=jnp.float32)
+        )
+        drift = np.sqrt(((got - ref_bf16) ** 2).mean()) / (
+            np.sqrt((ref_bf16**2).mean()) + 1e-12
+        )
+        status = "OK" if kerr < 1e-5 else "KERNEL MISMATCH"
+        print(f"[{m}x{k}x{n}] numerics: kernel-vs-int-oracle rel {kerr:.2e} "
+              f"({status}); drift vs bf16-dequant rmse {drift:.4f}",
+              flush=True)
+
         def chain_fn(fn, xs, n_out):
             # feed a (m, k)-shaped view of each output back in so the
             # chain cannot be elided; k != n in general, so tile+slice

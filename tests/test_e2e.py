@@ -277,8 +277,23 @@ def test_flux_pipeline_end_to_end_with_gguf_assets(tmp_path, monkeypatch, w8a8):
             ]
             assert cached, "w8a8 variant missing from model cache"
             model = cached[0]
+            leaves = list(model.params.values())
+            tp = any(getattr(v, "tp", False) for v in leaves)
+            if tp:
+                # under auto-TP, w8a8 is inert by design (tp leaves pass
+                # through to_w8a8 unconverted — the sharded path never
+                # takes the single-device int8 kernel)
+                assert not any(isinstance(v, ggml.QTensor8W) for v in leaves)
+            else:
+                assert any(isinstance(v, ggml.QTensor8W) for v in leaves)
+            # the single-chip loader path converts regardless of the
+            # session mesh: load directly without one
+            m2 = loader_mod.load_diffusion_model_gguf(
+                os.path.join(root, "unet", "flux1-dev-Q8_0.gguf"),
+                mesh=None, w8a8=True,
+            )
             assert any(
-                isinstance(v, ggml.QTensor8W) for v in model.params.values()
+                isinstance(v, ggml.QTensor8W) for v in m2.params.values()
             )
     finally:
         _config.set_config(old_cfg)

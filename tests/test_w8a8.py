@@ -196,3 +196,43 @@ class TestLinearDispatch:
         y = np.asarray(nn.linear(x, params["w"]))
         ref = _exact_w8a8(np.asarray(x), w8) + np.asarray(x) @ (up @ down).T
         np.testing.assert_allclose(y, ref, rtol=1e-4, atol=1e-4)
+
+
+class TestTPTransforms:
+    def test_layout_take_rows_and_cols_preserve_values(self, rng):
+        from lightdiffusion_next_tpu.parallel import layout
+
+        t8t = _make_qweight(rng, 128, 256)
+        w8 = ggml.to_w8a8({"w": t8t})["w"]
+        deq = np.asarray(w8.dequantize(jnp.float32))  # (N=128, K=256)
+        idx = np.arange(128)[::-1].copy()
+        rows = layout._take_rows(w8, idx)
+        assert isinstance(rows, ggml.QTensor8W) and rows.shape == (128, 256)
+        np.testing.assert_allclose(
+            np.asarray(rows.dequantize(jnp.float32)), deq[idx], atol=1e-6
+        )
+        cols = layout._take_input_cols(w8, 32, 160)
+        assert isinstance(cols, ggml.QTensor8W) and cols.shape == (128, 128)
+        np.testing.assert_allclose(
+            np.asarray(cols.dequantize(jnp.float32)), deq[:, 32:160], atol=1e-6
+        )
+
+    def test_shard_params_roundtrips_w8a8(self, rng):
+        import jax as _jax
+        from jax.sharding import Mesh, PartitionSpec as P
+
+        from lightdiffusion_next_tpu.parallel import sharding as shard_rules
+
+        t8t = _make_qweight(rng, 128, 256)
+        w8 = ggml.to_w8a8({"w": t8t})["w"]
+        devs = np.array(_jax.devices()[:8]).reshape(1, 8)
+        mesh = Mesh(devs, ("data", "model"))
+        rec = shard_rules._quantized_sharding(w8, P("model", None), mesh)
+        assert isinstance(rec, ggml.QTensor8W) and rec.tp
+        out = shard_rules.shard_params({"w": w8}, {"w": rec})["w"]
+        assert isinstance(out, ggml.QTensor8W) and out.tp
+        np.testing.assert_allclose(
+            np.asarray(out.dequantize(jnp.float32)),
+            np.asarray(w8.dequantize(jnp.float32)),
+            atol=1e-6,
+        )
