@@ -4,7 +4,8 @@ The reference is inference-only; this trainer exists because a TPU-native
 framework should exercise its sharding end to end (dp x tp), and it is what
 the multichip dry-run validates: one jitted train step over a
 ("data","model") mesh with Megatron-sharded Flux params, batch sharded over
-"data", loss/grads psum'd by XLA.
+"data", loss/grads psum'd by XLA. Train state checkpoints/resumes through
+orbax with shardings preserved (save_checkpoint/restore_checkpoint).
 """
 
 from __future__ import annotations
@@ -73,7 +74,9 @@ def build_sharded_trainer(
 
     jit_step = _config.ldt_jit(step, donate_argnums=(0, 1))
 
-    def make_batch(batch_size: int, h: int, w: int, txt_len: int, seed: int = 0):
+    def make_batch(
+        batch_size: int, h: int, w: int, txt_len: int, seed: int = 0
+    ):
         import numpy as np
 
         rng = np.random.default_rng(seed)
@@ -96,3 +99,49 @@ def build_sharded_trainer(
         return {k: jax.device_put(v, bshard) for k, v in batch.items()}
 
     return mesh, params, opt_state, jit_step, make_batch
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint save/restore (orbax) — the reference has no training at all
+# (SURVEY §5 "checkpoint/resume": inference weights only); a trainer that
+# can't resume isn't one, so the sharded train state round-trips through
+# orbax with shardings preserved.
+# ---------------------------------------------------------------------------
+
+
+def save_checkpoint(path: str, params: Dict, opt_state, step: int) -> None:
+    """Write the sharded train state to ``path`` (a directory). Each host
+    writes only its shards (orbax handles the multi-host layout); the
+    step counter rides along as a scalar leaf."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    state = {
+        "params": params,
+        "opt_state": opt_state,
+        "step": jnp.asarray(step, jnp.int32),
+    }
+    import os
+
+    ckptr.save(os.path.abspath(path), state, force=True)
+    ckptr.wait_until_finished()
+
+
+def restore_checkpoint(path: str, params: Dict, opt_state) -> Tuple:
+    """Restore (params, opt_state, step) from ``path`` INTO the shardings
+    of the passed-in state (use the freshly built trainer state as the
+    template — each leaf is restored directly onto its mesh shards, never
+    materialized unsharded on one device)."""
+    import os
+
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    template = {
+        "params": params,
+        "opt_state": opt_state,
+        "step": jnp.asarray(0, jnp.int32),
+    }
+    abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, template)
+    restored = ckptr.restore(os.path.abspath(path), abstract)
+    return restored["params"], restored["opt_state"], int(restored["step"])

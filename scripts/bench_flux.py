@@ -202,15 +202,21 @@ def main():
     n_steps = 20
     if "--steps" in sys.argv:
         n_steps = int(sys.argv[sys.argv.index("--steps") + 1])
+    batch = 1
+    if "--batch" in sys.argv:
+        # serving-throughput mode: batch images through one denoise (the
+        # joint sequence becomes (B, 4352, ...) — quant-matmul M scales
+        # with B, amortizing weight fetches across images)
+        batch = int(sys.argv[sys.argv.index("--batch") + 1])
 
     rng = np.random.default_rng(0)
     positive = cfg_mod.CondInput(
         cross_attn=jnp.asarray(
-            rng.standard_normal((1, 256, 4096), dtype=np.float32) * 0.2,
+            rng.standard_normal((batch, 256, 4096), dtype=np.float32) * 0.2,
             dtype=cfgv.dtypes.compute_dtype,
         ),
         pooled=jnp.asarray(
-            rng.standard_normal((1, 768), dtype=np.float32) * 0.2,
+            rng.standard_normal((batch, 768), dtype=np.float32) * 0.2,
             dtype=cfgv.dtypes.compute_dtype,
         ),
         guidance=3.0,
@@ -220,7 +226,7 @@ def main():
         cross_attn=jnp.zeros_like(positive.cross_attn),
         pooled=jnp.zeros_like(positive.pooled),
     )
-    latent = latent_mod.empty_latent(1024, 1024, 1, channels=16)
+    latent = latent_mod.empty_latent(1024, 1024, batch, channels=16)
 
     # --preview-sim: attach a chunk=5 callback with a small host readback,
     # the webui/preview production path (chunked scan segments) — validates
@@ -277,10 +283,13 @@ def main():
                 "metric": f"flux_dev_q8_txt2img_1024px_{n_steps}step_s_per_image"
                 + ("" if use_fbcache else "_nofbcache")
                 + ("_w8a8" if use_w8a8 else "")
+                + (f"_batch{batch}" if batch != 1 else "")
                 + ("_preview" if callback is not None else ""),
-                "value": round(dt, 3),
+                "value": round(dt / batch, 3),
                 "unit": "s/image",
                 "it_per_s": round(n_steps / dt, 3),
+                "batch": batch,
+                "wall_s": round(dt, 3),
             }
         ),
         flush=True,
