@@ -42,6 +42,7 @@ DEFAULT_SETTINGS = {
     "multiscale_fullres_end": 8,
     "keep_models_loaded": True,
     "enable_preview": True,
+    "w8a8": False,
 }
 
 
@@ -104,6 +105,15 @@ def generate_images_with_preview(
         from lightdiffusion_next_tpu.pipelines.loader import get_model_cache
 
         get_model_cache().set_keep_models_loaded(keep_loaded)
+
+        if "w8a8" in kwargs:  # int8-MXU Flux compute (this framework's own)
+            import dataclasses as _dc
+
+            from lightdiffusion_next_tpu import config as _config
+
+            _config.set_config(
+                _dc.replace(_config.get_config(), w8a8=bool(kwargs.pop("w8a8")))
+            )
 
         img2img_enabled = bool(kwargs.pop("img2img_enabled", False))
         if img2img_enabled:
@@ -319,6 +329,12 @@ def build_app():
                         label="Real-time preview",
                         info="TAESD previews during generation",
                     )
+                    w8a8 = gr.Checkbox(
+                        value=s["w8a8"],
+                        label="W8A8 int8 compute (Flux)",
+                        info="int8-MXU matmuls; faster, slightly coarser "
+                             "quantization",
+                    )
                 with gr.Row():
                     img2img = gr.Checkbox(
                         value=s["img2img_enabled"], label="Image to image"
@@ -384,7 +400,7 @@ def build_app():
         def on_generate(
             prompt, negative, width, height, num_images, batch_size, hires,
             adet, enh, speed, hdr, realistic, flux, reuse, keep, prev,
-            i2i_enabled, i2i_image, ms_preset,
+            use_w8a8, i2i_enabled, i2i_image, ms_preset,
             ms_enabled, ms_intermittent, ms_factor, ms_start, ms_end,
         ):
             ms_kwargs = multiscale_kwargs(
@@ -416,6 +432,7 @@ def build_app():
                     "multiscale_fullres_end": int(ms_end),
                     "keep_models_loaded": bool(keep),
                     "enable_preview": bool(prev),
+                    "w8a8": bool(use_w8a8),
                 }
             )
             paths, state = [], "starting"
@@ -432,6 +449,7 @@ def build_app():
                 reuse_seed=bool(reuse),
                 keep_models_loaded=bool(keep),
                 enable_preview=bool(prev),
+                w8a8=bool(use_w8a8),
                 img2img_enabled=bool(i2i_enabled),
                 img2img_image=i2i_image,
                 prio_speed=speed,
@@ -450,7 +468,7 @@ def build_app():
             on_generate,
             [prompt, negative, width, height, num_images, batch_size, hires,
              adet, enh, speed, hdr, realistic, flux, reuse_seed, keep_loaded,
-             preview_on, img2img, img2img_image, ms_preset,
+             preview_on, w8a8, img2img, img2img_image, ms_preset,
              ms_enabled, ms_intermittent, ms_factor, ms_start, ms_end],
             [gallery, status, history, history_paths],
         )

@@ -415,3 +415,37 @@ def test_cli_preview_flag_parses():
 
     args = build_parser().parse_args(["a cat", "64", "64", "--preview"])
     assert args.preview
+
+
+def test_w8a8_toggle_sets_config(monkeypatch, tmp_path):
+    """The W8A8 checkbox routes to config.w8a8 (this framework's own
+    int8-MXU feature; no reference analogue) and is popped before the
+    pipeline call."""
+    monkeypatch.chdir(tmp_path)
+    from lightdiffusion_next_tpu import config as _config
+    from lightdiffusion_next_tpu.app import webui
+    from lightdiffusion_next_tpu.pipelines import pipeline as pipeline_mod
+
+    captured = {}
+    monkeypatch.setattr(
+        pipeline_mod, "pipeline",
+        lambda **kw: captured.update(kw) or ["x.png"],
+    )
+    old = _config.get_config()
+    try:
+        list(
+            webui.generate_images_with_preview(
+                output_dir=str(tmp_path), prompt="p", w=64, h=64, w8a8=True,
+            )
+        )
+        assert _config.get_config().w8a8 is True
+        assert "w8a8" not in captured
+        assert webui.load_settings()["w8a8"] is True
+        list(
+            webui.generate_images_with_preview(
+                output_dir=str(tmp_path), prompt="p", w=64, h=64, w8a8=False,
+            )
+        )
+        assert _config.get_config().w8a8 is False
+    finally:
+        _config.set_config(old)
