@@ -223,8 +223,13 @@ def test_usdu_tiny(stack):
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("w8a8", [False, True])
-def test_flux_pipeline_end_to_end_with_gguf_assets(tmp_path, monkeypatch, w8a8):
+@pytest.mark.parametrize(
+    "w8a8,tp", [(False, "auto"), (True, "auto"), (True, "off")],
+    ids=["q8", "w8a8-tp", "w8a8-singlechip"],
+)
+def test_flux_pipeline_end_to_end_with_gguf_assets(
+    tmp_path, monkeypatch, w8a8, tp
+):
     """The FULL flux workflow through the real loaders: tiny GGUF DiT
     (Q8_0) + llama.cpp-named T5 GGUF + CLIP-L + flux AE, built by
     scripts/make_tiny_assets.make_flux_assets, then pipeline(flux=True).
@@ -249,6 +254,10 @@ def test_flux_pipeline_end_to_end_with_gguf_assets(tmp_path, monkeypatch, w8a8):
 
     monkeypatch.setenv("LDT_ASSET_ROOT", root)
     monkeypatch.setenv("LDT_OFFLINE", "1")
+    # "off" forces the single-chip path even on the 8-device virtual mesh:
+    # with the tiny model's K=256/N%128 shapes the w8a8 Pallas kernel then
+    # actually runs (interpret mode) inside the sampler runners
+    monkeypatch.setenv("LDT_FLUX_TP", tp)
     import dataclasses as _dc
 
     from lightdiffusion_next_tpu import config as _config
@@ -278,8 +287,9 @@ def test_flux_pipeline_end_to_end_with_gguf_assets(tmp_path, monkeypatch, w8a8):
             assert cached, "w8a8 variant missing from model cache"
             model = cached[0]
             leaves = list(model.params.values())
-            tp = any(getattr(v, "tp", False) for v in leaves)
-            if tp:
+            is_tp = any(getattr(v, "tp", False) for v in leaves)
+            assert is_tp == (tp == "auto")
+            if is_tp:
                 # under auto-TP, w8a8 is inert by design (tp leaves pass
                 # through to_w8a8 unconverted — the sharded path never
                 # takes the single-device int8 kernel)
