@@ -61,8 +61,10 @@ def main():
         oracle = (
             np.asarray(xq).astype(np.int64) @ np.asarray(w8.qt).astype(np.int64)
         ).astype(np.float64) * np.asarray(sxs) * np.asarray(w8.col_scales)
+        interp = jax.default_backend() == "cpu"
         got = np.asarray(
-            qm.w8a8_matmul_2d(xs, w8.qt, w8.col_scales, out_dtype=jnp.float32)
+            qm.w8a8_matmul_2d(xs, w8.qt, w8.col_scales,
+                              out_dtype=jnp.float32, interpret=interp)
         )
         kerr = np.abs(got - oracle).max() / (np.abs(oracle).max() + 1e-12)
         ref_bf16 = np.asarray(
@@ -99,7 +101,8 @@ def main():
         f_w8a8_bf16mxu = _config.ldt_jit(
             lambda xs, t=w8: chain_fn(
                 lambda a: qm.w8a8_matmul_2d(
-                    a, t.qt, t.col_scales, out_dtype=a.dtype, int8_mxu=False
+                    a, t.qt, t.col_scales, out_dtype=a.dtype,
+                    int8_mxu=False, interpret=interp,
                 ),
                 xs, n,
             )
@@ -131,6 +134,44 @@ def main():
             print(f"[{m}x{k}x{n}] speedup int8mxu/bf16: "
                   f"{results['bf16-dequant'][0]/results['w8a8-int8mxu'][0]:.2f}x",
                   flush=True)
+
+        if "--sweep" in sys.argv:
+            # explicit w8a8 tile sweep (chained-jit relative numbers):
+            # defaults vs the traffic-optimal full-M grid and wider-N picks
+            for tm, tk, tn in [
+                (None, None, None),   # picker defaults
+                (4352, 512, 256),     # full M: x+weights fetched once each
+                (4352, 512, 128),
+                (2176, 512, 1024),    # wider N (may exceed scoped budget)
+                (1088, 512, 1024),
+                (2176, 1024, 512),
+            ]:
+                # _pick_tile snaps any preferred tile to a valid divisor,
+                # so explicit preferences are safe at every shape
+                label = f"tm={tm},tk={tk},tn={tn}"
+                f = _config.ldt_jit(
+                    lambda xs, t=w8, a=tm, b=tk, c=tn: chain_fn(
+                        lambda q: qm.w8a8_matmul_2d(
+                            q.reshape(-1, k), t.qt, t.col_scales,
+                            out_dtype=q.dtype, tile_m=a, tile_k=b, tile_n=c,
+                            interpret=interp,
+                        ),
+                        xs, n,
+                    )
+                )
+                try:
+                    jax.block_until_ready(f(x))
+                    ts = []
+                    for _ in range(3):
+                        t0 = time.perf_counter()
+                        jax.block_until_ready(f(x))
+                        ts.append(time.perf_counter() - t0)
+                    dt = min(ts) / chain
+                    print(f"[{m}x{k}x{n}] sweep {label}: {dt*1e3:.2f} ms "
+                          f"~{2*m*k*n/dt/1e12:.0f} TF/s", flush=True)
+                except Exception as e:
+                    print(f"[{m}x{k}x{n}] sweep {label}: FAILED "
+                          f"{type(e).__name__}: {str(e)[:160]}", flush=True)
 
 
 if __name__ == "__main__":
