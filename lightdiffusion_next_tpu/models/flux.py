@@ -50,6 +50,13 @@ class FluxConfig:
     # linear1_mlp (shard boundaries align with heads; zero reshape
     # collectives under "model"-axis tensor parallelism)
     tp_layout: bool = False
+    # set by parallel.spmd.make_spmd_apply_fn for the shard_map TP
+    # forward: the mesh axis name to psum row-parallel partial sums over.
+    # Inside the shard_map body num_heads is the LOCAL head count and
+    # every weight leaf is a local shard — unlike the GSPMD path, the
+    # fused int8/w8a8 Pallas kernels run per shard. None = single-device
+    # or GSPMD semantics (no explicit collectives).
+    tp_axis: Optional[str] = None
 
     @property
     def head_dim(self) -> int:
@@ -104,6 +111,20 @@ def _split_heads(qkv, num_heads: int, interleaved: bool = False):
     return qkv[0], qkv[1], qkv[2]
 
 
+def _row_parallel(x, w, b, tp_axis: Optional[str]):
+    """Row-parallel linear for the shard_map TP forward: the local matmul
+    produces a PARTIAL sum over the sharded input dim; psum completes it
+    and the (replicated) bias is added exactly once, after. With
+    tp_axis=None this is plain nn.linear (bias-after-add is the same
+    math)."""
+    out = nn.linear(x, w, None)
+    if tp_axis is not None:
+        out = jax.lax.psum(out, tp_axis)
+    if b is not None:
+        out = out + b.astype(out.dtype)
+    return out
+
+
 def _double_block(p: nn.ParamView, img, txt, vec, pe, cfg: FluxConfig):
     """DoubleStreamBlock (Flux.py:260-349)."""
     im1_shift, im1_scale, im1_gate, im2_shift, im2_scale, im2_gate = _modulation(
@@ -133,21 +154,25 @@ def _double_block(p: nn.ParamView, img, txt, vec, pe, cfg: FluxConfig):
     attn = _attention(q, k, v, pe)
     txt_attn, img_attn = attn[:, : txt.shape[1]], attn[:, txt.shape[1] :]
 
-    img = img + im1_gate * nn.linear(
-        img_attn, p("img_attn.proj.weight"), p("img_attn.proj.bias")
+    img = img + im1_gate * _row_parallel(
+        img_attn, p("img_attn.proj.weight"), p("img_attn.proj.bias"), cfg.tp_axis
     )
     h = nn.layer_norm(img, eps=1e-6) * (1 + im2_scale) + im2_shift
     h = nn.linear(h, p("img_mlp.0.weight"), p("img_mlp.0.bias"))
     h = nn.gelu(h, approximate=True)
-    img = img + im2_gate * nn.linear(h, p("img_mlp.2.weight"), p("img_mlp.2.bias"))
+    img = img + im2_gate * _row_parallel(
+        h, p("img_mlp.2.weight"), p("img_mlp.2.bias"), cfg.tp_axis
+    )
 
-    txt = txt + tx1_gate * nn.linear(
-        txt_attn, p("txt_attn.proj.weight"), p("txt_attn.proj.bias")
+    txt = txt + tx1_gate * _row_parallel(
+        txt_attn, p("txt_attn.proj.weight"), p("txt_attn.proj.bias"), cfg.tp_axis
     )
     h = nn.layer_norm(txt, eps=1e-6) * (1 + tx2_scale) + tx2_shift
     h = nn.linear(h, p("txt_mlp.0.weight"), p("txt_mlp.0.bias"))
     h = nn.gelu(h, approximate=True)
-    txt = txt + tx2_gate * nn.linear(h, p("txt_mlp.2.weight"), p("txt_mlp.2.bias"))
+    txt = txt + tx2_gate * _row_parallel(
+        h, p("txt_mlp.2.weight"), p("txt_mlp.2.bias"), cfg.tp_axis
+    )
     return img, txt
 
 
@@ -177,18 +202,23 @@ def _single_block(p: nn.ParamView, x, vec, pe, cfg: FluxConfig):
         # and GSPMD would all-gather both halves; as two row-parallel
         # matmuls the partial sums fold into one all-reduce
         # biasless partial dots adjacent so XLA's AllReduceReassociate can
-        # fold add(psum(a), psum(b)) -> psum(a+b); bias applied after
+        # fold add(psum(a), psum(b)) -> psum(a+b); bias applied after.
+        # Under the shard_map forward (tp_axis) the fold is literal: ONE
+        # explicit psum over the already-added partials.
         out = nn.linear(attn, p("linear2_attn.weight"), None) + nn.linear(
             nn.gelu(mlp, approximate=True), p("linear2_mlp.weight"), None
         )
+        if cfg.tp_axis is not None:
+            out = jax.lax.psum(out, cfg.tp_axis)
         b2 = p.get("linear2_attn.bias")
         if b2 is not None:
             out = out + b2
     else:
-        out = nn.linear(
+        out = _row_parallel(
             jnp.concatenate([attn, nn.gelu(mlp, approximate=True)], axis=-1),
             p("linear2.weight"),
             p("linear2.bias"),
+            cfg.tp_axis,
         )
     return x + gate * out
 

@@ -1,0 +1,169 @@
+"""shard_map tensor-parallel Flux forward — explicit-collective TP.
+
+The GSPMD TP path (parallel/inference.py) partitions the dequant+dot
+fallback: inside jit the QTensor8T/QTensor8W leaves carry tp=True, the
+single-device Pallas kernels are bypassed, and XLA inserts the Megatron
+all-reduces from the param shardings. Correct, but it forfeits the fused
+int8 kernels (ops/quant_matmul) that make the single-chip path fast.
+
+This module runs the SAME Megatron math under jax.shard_map instead:
+each device's body sees its LOCAL weight shards as ordinary arrays
+(tp=False), so every matmul routes through the fused Q8_0 / W8A8 Pallas
+kernels, and the row-parallel partial sums are completed by the explicit
+``jax.lax.psum`` calls `models/flux.py` emits when ``FluxConfig.tp_axis``
+is set (one per stream per double block, one per single block — exactly
+the collective structure tests/test_tp_collectives.py pins for GSPMD).
+
+Requires the TP-aligned layout (parallel.layout.to_tp_layout): qkv rows
+head-interleaved so shards hold whole heads, single-block linear1/linear2
+de-fused so shard boundaries never cross the attn/mlp seam.
+
+The reference has no distributed backend at all (SURVEY §5); this is the
+TPU-native design for >1 chip per image.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from lightdiffusion_next_tpu.models import flux as flux_mod
+from lightdiffusion_next_tpu.ops import ggml
+from lightdiffusion_next_tpu.parallel import sharding as shard_rules
+
+
+def _leaf_specs(key: str, leaf):
+    """Per-leaf PartitionSpecs for one param entry, in the pytree
+    structure of the leaf itself (so the resulting dict is a valid
+    shard_map in_specs tree). Mirrors parallel.sharding._quantized_sharding
+    but yields PartitionSpecs instead of NamedShardings."""
+    spec = shard_rules.flux_param_spec(key)
+    if isinstance(leaf, ggml.QTensorLoRA):
+        return ggml.QTensorLoRA(
+            base=_leaf_specs(key, leaf.base), up=P(), down=P()
+        )
+    if isinstance(leaf, ggml.QTensor8W):
+        if spec == P("model", None):  # column-parallel: out dim sharded
+            qs, cs = P(None, "model"), P(None, "model")
+        elif spec == P(None, "model"):  # row-parallel: in dim sharded
+            qs, cs = P("model", None), P()
+        else:
+            qs, cs = P(), P()
+        return ggml.QTensor8W(
+            qt=qs, col_scales=cs, shape=leaf.shape, tp=False
+        )
+    if isinstance(leaf, ggml.QTensor8T):
+        if spec == P("model", None):
+            qs = P(None, "model")
+        elif spec == P(None, "model"):
+            qs = P("model", None)
+        else:
+            qs = P()
+        return ggml.QTensor8T(qt=qs, scales_t=qs, shape=leaf.shape, tp=False)
+    return spec
+
+
+def flux_tp_in_specs(params: Dict) -> Dict:
+    """shard_map in_specs pytree for a TP-laid-out Flux param dict."""
+    return {k: _leaf_specs(k, v) for k, v in params.items()}
+
+
+def _local_view(params: Dict, tp: int) -> Dict:
+    """Rebuild quantized leaves with tp=False and the LOCAL logical shape
+    so the shard_map body routes them through the single-device fused
+    kernels. Arrays are untouched (no copies) — only the static aux data
+    changes. The local shape divides the sharded dim by ``tp`` per
+    flux_param_spec (column-parallel: out/tp; row-parallel: in/tp)."""
+
+    def conv(key, v):
+        spec = shard_rules.flux_param_spec(key)
+        if isinstance(v, ggml.QTensorLoRA):
+            return ggml.QTensorLoRA(
+                base=conv(key, v.base), up=v.up, down=v.down
+            )
+        if isinstance(v, (ggml.QTensor8T, ggml.QTensor8W)):
+            out_d, in_d = v.shape
+            if spec == P("model", None):
+                shape = (out_d // tp, in_d)
+            elif spec == P(None, "model"):
+                shape = (out_d, in_d // tp)
+            else:
+                shape = v.shape
+            return dataclasses.replace(v, shape=shape, tp=False)
+        return v
+
+    return {k: conv(k, v) for k, v in params.items()}
+
+
+def make_spmd_apply_fn(cfg: flux_mod.FluxConfig, mesh: Mesh, axis: str = "model"):
+    """Build (apply_fn, local_view_fn) for the shard_map TP forward.
+
+    ``apply_fn(local_params, x, t, context, y, guidance=..., first_block_hook=...)``
+    matches DiffusionModel.apply_fn's signature; pass it params through
+    ``local_view_fn`` (same sharded arrays, local aux). Activations are
+    replicated over the mesh; the output is replicated (every chip holds
+    the full denoised tokens, as the sampler expects)."""
+    if not cfg.tp_layout:
+        raise ValueError(
+            "the shard_map TP forward requires the TP-aligned layout "
+            "(load with parallel.layout.to_tp_layout / loader mesh=...)"
+        )
+    tp = mesh.shape[axis]
+    if cfg.num_heads % tp:
+        raise ValueError(f"num_heads {cfg.num_heads} not divisible by tp={tp}")
+    lcfg = dataclasses.replace(
+        cfg, num_heads=cfg.num_heads // tp, tp_axis=axis
+    )
+    rep = P()  # replicated over every mesh axis
+
+    def apply_fn(p, x, t, context, y=None, guidance=None,
+                 first_block_hook=None, **_):
+        b = x.shape[0]
+        if y is None:
+            y = jnp.zeros((b, cfg.vec_in_dim), jnp.float32)
+        if guidance is None and cfg.guidance_embed:
+            guidance = jnp.full((b,), 3.5, dtype=jnp.float32)
+
+        in_specs = (flux_tp_in_specs(p), rep, rep, rep, rep)
+        args = (p, x, t, context, y)
+        if cfg.guidance_embed:
+            in_specs = in_specs + (rep,)
+            args = args + (guidance,)
+
+            def body(pp, xx, tt, cc, yy, gg):
+                return flux_mod.apply_flux(
+                    pp, xx, tt, cc, yy, guidance=gg, cfg=lcfg,
+                    first_block_hook=first_block_hook,
+                )
+        else:
+
+            def body(pp, xx, tt, cc, yy):
+                return flux_mod.apply_flux(
+                    pp, xx, tt, cc, yy, cfg=lcfg,
+                    first_block_hook=first_block_hook,
+                )
+
+        fn = jax.shard_map(
+            body, mesh=mesh, in_specs=in_specs, out_specs=rep,
+            check_vma=False,
+        )
+        return fn(*args)
+
+    return apply_fn, partial(_local_view, tp=tp)
+
+
+def to_spmd_model(model, mesh: Mesh, axis: str = "model"):
+    """Rewrap a TP-loaded DiffusionModel (GSPMD semantics) as a shard_map
+    TP model: same sharded param arrays, fused-kernel compute path."""
+    apply_fn, local_view = make_spmd_apply_fn(model.config, mesh, axis)
+    # uid=None mints a fresh trace identity: the runner caches key compiled
+    # programs by uid, and the spmd apply_fn is a different program than
+    # the GSPMD one this model was loaded with
+    return dataclasses.replace(
+        model, apply_fn=apply_fn, params=local_view(model.params), uid=None
+    )

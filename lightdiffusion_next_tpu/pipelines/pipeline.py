@@ -458,13 +458,19 @@ def _img2img_usdu(image_path, autohdr, saver, realistic_model, progress_callback
 # ---------------------------------------------------------------------------
 
 
-def _get_flux_models(unet_path, t5_path, clip_l_path, ae_path, mesh=None):
+def _get_flux_models(
+    unet_path, t5_path, clip_l_path, ae_path, mesh=None, spmd=False
+):
     """Load (or fetch cached) flux model + VAE + text encoders.
 
     Everything is keyed in the session ModelCache by path+mtime so a second
     generation re-reads NOTHING from disk (the reference keeps these
     resident between generations, src/Device/ModelCache.py:34-62; round 1
-    re-read the 12B GGUF per image)."""
+    re-read the 12B GGUF per image).
+
+    ``spmd``: wrap the TP-loaded model in the shard_map forward
+    (parallel.spmd) — same Megatron collectives, but the fused int8/W8A8
+    Pallas kernels run per shard instead of the GSPMD dequant+dot."""
     from lightdiffusion_next_tpu.models import vae as vae_mod
     from lightdiffusion_next_tpu.models.clip import t5 as t5_mod
     from lightdiffusion_next_tpu.models.clip import text_encoder as te
@@ -476,11 +482,24 @@ def _get_flux_models(unet_path, t5_path, clip_l_path, ae_path, mesh=None):
     # a TP-sharded model is a different resident object than the single-chip
     # one; the variant keeps mtime-based staleness on the real path
     variant = "" if mesh is None else f"mesh{tuple(mesh.shape.values())}"
-    if _config.get_config().w8a8:
+    if spmd:
+        variant += ":spmd"
+    w8a8 = _config.get_config().w8a8
+    if w8a8:
         variant += ":w8a8"
     model = cache.get(unet_path, variant=variant)
     if model is None:
-        model = loader.load_diffusion_model_gguf(unet_path, mesh=mesh)
+        # under spmd the w8a8 conversion happens AFTER the local-view wrap
+        # (the loader skips tp=True leaves by design)
+        model = loader.load_diffusion_model_gguf(
+            unet_path, mesh=mesh, w8a8=w8a8 and not (spmd and mesh is not None)
+        )
+        if spmd and mesh is not None:
+            from lightdiffusion_next_tpu.parallel import spmd as spmd_mod
+
+            model = spmd_mod.to_spmd_model(model, mesh)
+            if w8a8:
+                model = model.with_params(ggml.to_w8a8(model.params))
         model = model.with_options(fbcache=fb_mod.FBCacheConfig(0.120))
         cache.put(unet_path, model, variant=variant)
 
@@ -524,9 +543,12 @@ def _flux_txt2img(prompt, w, h, batch, autohdr, saver, progress_callback):
             raise FileNotFoundError(f"flux asset missing: {p}")
 
     # multi-chip: shard the 12B DiT tensor-parallel over every device
-    # (pure-TP (1, N) mesh; set LDT_FLUX_TP=off to force single-chip)
+    # (pure-TP (1, N) mesh). LDT_FLUX_TP: "auto" = GSPMD TP, "spmd" =
+    # shard_map TP (fused Pallas kernels per shard, parallel/spmd.py),
+    # "off" = force single-chip.
+    tp_mode = os.environ.get("LDT_FLUX_TP", "auto")
     mesh = None
-    if os.environ.get("LDT_FLUX_TP", "auto") != "off":
+    if tp_mode != "off":
         import jax
 
         if len(jax.devices()) > 1:
@@ -535,7 +557,8 @@ def _flux_txt2img(prompt, w, h, batch, autohdr, saver, progress_callback):
             mesh = par_inf.inference_mesh(n_model=len(jax.devices()))
 
     model, vae, t5_model, clip_model = _get_flux_models(
-        unet_path, t5_path, clip_l_path, ae_path, mesh=mesh
+        unet_path, t5_path, clip_l_path, ae_path, mesh=mesh,
+        spmd=(tp_mode == "spmd"),
     )
 
     # dual text encode (CLIPTextEncodeFlux, Quantizer.py:960-991)

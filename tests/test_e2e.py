@@ -224,8 +224,10 @@ def test_usdu_tiny(stack):
 
 @pytest.mark.slow
 @pytest.mark.parametrize(
-    "w8a8,tp", [(False, "auto"), (True, "auto"), (True, "off")],
-    ids=["q8", "w8a8-tp", "w8a8-singlechip"],
+    "w8a8,tp",
+    [(False, "auto"), (True, "auto"), (True, "off"),
+     (False, "spmd"), (True, "spmd")],
+    ids=["q8", "w8a8-tp", "w8a8-singlechip", "q8-spmd", "w8a8-spmd"],
 )
 def test_flux_pipeline_end_to_end_with_gguf_assets(
     tmp_path, monkeypatch, w8a8, tp
@@ -289,7 +291,10 @@ def test_flux_pipeline_end_to_end_with_gguf_assets(
             leaves = list(model.params.values())
             is_tp = any(getattr(v, "tp", False) for v in leaves)
             assert is_tp == (tp == "auto")
-            if is_tp:
+            if tp == "spmd":
+                # local view strips tp; w8a8 converts post-wrap
+                assert any(isinstance(v, ggml.QTensor8W) for v in leaves)
+            elif is_tp:
                 # under auto-TP, w8a8 is inert by design (tp leaves pass
                 # through to_w8a8 unconverted — the sharded path never
                 # takes the single-device int8 kernel)

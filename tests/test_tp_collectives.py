@@ -33,8 +33,10 @@ TINY = flux_mod.FluxConfig(
 def _collective_defs(hlo: str, op: str):
     """HLO definition lines of a collective: '<name> = <shape(s)> op(...)'.
     Operand uses render as '%op.N,' / '%op.N)' — never followed by '(' —
-    so the literal 'op(' only appears at definitions."""
-    return [ln for ln in hlo.splitlines() if re.search(rf"{op}\(", ln)]
+    and the space prefix excludes the VALUE NAME of an unnumbered def
+    ('%all-reduce = (f32[...' would otherwise match and its result-shape
+    tuple's commas would be miscounted as operands)."""
+    return [ln for ln in hlo.splitlines() if re.search(rf" {op}\(", ln)]
 
 
 def _logical_count(defs, op: str):
@@ -42,7 +44,7 @@ def _logical_count(defs, op: str):
     count once per operand."""
     n = 0
     for ln in defs:
-        m = re.search(rf"{op}\(([^)]*)\)", ln)
+        m = re.search(rf" {op}\(([^)]*)\)", ln)
         n += len([s for s in m.group(1).split(",") if s.strip()])
     return n
 
