@@ -58,7 +58,7 @@ def test_flux_models_cached_across_calls(monkeypatch, tmp_path):
         def with_options(self, **k):
             return self
 
-    def fake_load_gguf(path, mesh=None):
+    def fake_load_gguf(path, mesh=None, w8a8=None):
         calls["unet"] += 1
         calls["disk"] += 1
         return FakeModel()
