@@ -129,6 +129,12 @@ def make_spmd_apply_fn(cfg: flux_mod.FluxConfig, mesh: Mesh, axis: str = "model"
         if guidance is None and cfg.guidance_embed:
             guidance = jnp.full((b,), 3.5, dtype=jnp.float32)
 
+        # Stateful hooks (FBCache) communicate their new scan state through
+        # a mutable box (fbcache.make_hook, hook.state_box). Values written
+        # inside the shard_map body are BODY tracers — the body must return
+        # them explicitly and we re-stash the legit outer value after.
+        box = getattr(first_block_hook, "state_box", None)
+
         in_specs = (flux_tp_in_specs(p), rep, rep, rep, rep)
         args = (p, x, t, context, y)
         if cfg.guidance_embed:
@@ -136,23 +142,31 @@ def make_spmd_apply_fn(cfg: flux_mod.FluxConfig, mesh: Mesh, axis: str = "model"
             args = args + (guidance,)
 
             def body(pp, xx, tt, cc, yy, gg):
-                return flux_mod.apply_flux(
+                out = flux_mod.apply_flux(
                     pp, xx, tt, cc, yy, guidance=gg, cfg=lcfg,
                     first_block_hook=first_block_hook,
                 )
+                return (out, box[0]) if box is not None else out
         else:
 
             def body(pp, xx, tt, cc, yy):
-                return flux_mod.apply_flux(
+                out = flux_mod.apply_flux(
                     pp, xx, tt, cc, yy, cfg=lcfg,
                     first_block_hook=first_block_hook,
                 )
+                return (out, box[0]) if box is not None else out
 
         fn = jax.shard_map(
-            body, mesh=mesh, in_specs=in_specs, out_specs=rep,
+            body, mesh=mesh, in_specs=in_specs,
+            out_specs=(rep, rep) if box is not None else rep,
             check_vma=False,
         )
-        return fn(*args)
+        res = fn(*args)
+        if box is not None:
+            out, new_state = res
+            box[0] = new_state
+            return out
+        return res
 
     return apply_fn, partial(_local_view, tp=tp)
 

@@ -111,6 +111,11 @@ def make_hook(state_box, cfg: FBCacheConfig, gate):
         state_box[0] = new_state
         return h
 
+    # expose the side channel: a wrapper that re-scopes the model call
+    # (parallel.spmd's shard_map body) must return the new state as an
+    # explicit output and re-stash it here, or the write above leaks a
+    # body tracer into the outer trace
+    hook.state_box = state_box
     return hook
 
 
