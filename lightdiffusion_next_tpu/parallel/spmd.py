@@ -44,8 +44,20 @@ def _leaf_specs(key: str, leaf):
     but yields PartitionSpecs instead of NamedShardings."""
     spec = shard_rules.flux_param_spec(key)
     if isinstance(leaf, ggml.QTensorLoRA):
+        # the low-rank factors must shard WITH the base: a column-parallel
+        # base produces a local (.., N/tp) output, so ``up`` rows (out dim)
+        # shard along "model" (rows are already in the layout keyspace —
+        # to_tp_layout_patches permuted them with the qkv interleave); a
+        # row-parallel base consumes a local (.., K/tp) input, so ``down``
+        # cols shard and the correction is a partial folded into the psum.
+        if spec == P("model", None):
+            up_s, down_s = P("model", None), P()
+        elif spec == P(None, "model"):
+            up_s, down_s = P(), P(None, "model")
+        else:
+            up_s, down_s = P(), P()
         return ggml.QTensorLoRA(
-            base=_leaf_specs(key, leaf.base), up=P(), down=P()
+            base=_leaf_specs(key, leaf.base), up=up_s, down=down_s
         )
     if isinstance(leaf, ggml.QTensor8W):
         if spec == P("model", None):  # column-parallel: out dim sharded

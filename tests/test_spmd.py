@@ -218,3 +218,66 @@ def test_spmd_collective_structure(rng):
         n += len([s for s in m.group(1).split(",") if s.strip()])
     expected = CFG.depth * 4 + CFG.depth_single_blocks * 1
     assert 1 <= n <= expected, (n, expected, ar[:4])
+
+
+def test_spmd_lora_matches_single_device(rng):
+    """LoRA factors shard WITH their base under shard_map TP: up rows for
+    column-parallel targets (layout-keyspace rows), down cols for
+    row-parallel (correction folds into the psum). Oracle: single-device
+    quantized forward with the same LoRA merged."""
+    from lightdiffusion_next_tpu.models import lora as lora_mod
+
+    mesh = _mesh()
+    sd = flux_mod.init_params(CFG, seed=8)
+    x, t, ctx, y = _inputs(rng)
+
+    H = CFG.hidden_size
+    patches = {
+        # column-parallel target (qkv) + row-parallel target (proj)
+        "double_blocks.0.img_attn.qkv.weight": (
+            rng.standard_normal((3 * H, 4)).astype(np.float32) * 0.05,
+            rng.standard_normal((4, H)).astype(np.float32) * 0.05,
+            4.0,
+        ),
+        "double_blocks.0.img_attn.proj.weight": (
+            rng.standard_normal((H, 4)).astype(np.float32) * 0.05,
+            rng.standard_normal((4, H)).astype(np.float32) * 0.05,
+            4.0,
+        ),
+    }
+
+    # oracle: single-device quantized params + LoRA (no layout translation)
+    def quant(sdict):
+        out = {}
+        for k, v in sdict.items():
+            v = np.asarray(v, np.float32)
+            if (
+                v.ndim == 2
+                and v.shape[1] % 32 == 0
+                and shard_rules.flux_param_spec(k)
+                != jax.sharding.PartitionSpec()
+            ):
+                q, s = ggml.quantize_q8_0(v)
+                out[k] = ggml.transpose_for_matmul(
+                    ggml.QTensor8(jnp.asarray(q), jnp.asarray(s), v.shape)
+                )
+            else:
+                out[k] = jnp.asarray(v, jnp.float32)
+        return out
+
+    base_params = lora_mod.apply_lora(quant(sd), patches, strength=1.0)
+    base = np.asarray(
+        jax.jit(
+            lambda p, xx, tt, cc, yy: flux_mod.apply_flux(p, xx, tt, cc, yy, cfg=CFG)
+        )(base_params, x, t, ctx, y)
+    )
+
+    params, fcfg = _shard(dict(sd), CFG, mesh, quantize=True)
+    apply_fn, local_view = spmd_mod.make_spmd_apply_fn(fcfg, mesh)
+    local = lora_mod.apply_lora(
+        local_view(params), patches, strength=1.0, model_cfg=fcfg
+    )
+    assert any(isinstance(v, ggml.QTensorLoRA) for v in local.values())
+    with mesh:
+        out = np.asarray(jax.jit(apply_fn)(local, x, t, ctx, y))
+    np.testing.assert_allclose(out, base, atol=5e-4)
