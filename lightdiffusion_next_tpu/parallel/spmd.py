@@ -132,6 +132,13 @@ def make_spmd_apply_fn(cfg: flux_mod.FluxConfig, mesh: Mesh, axis: str = "model"
         cfg, num_heads=cfg.num_heads // tp, tp_axis=axis
     )
     rep = P()  # replicated over every mesh axis
+    # batch shards over the "data" axis when the mesh has one >1 (dp x tp
+    # serving: each data-row of chips denoises its own sub-batch; the tp
+    # psums stay within the row). Pure-TP meshes (data=1) reduce to
+    # replicated activations.
+    data_axis = "data" if mesh.shape.get("data", 1) > 1 else None
+    act = P(data_axis) if data_axis else rep
+    n_data = mesh.shape.get("data", 1)
 
     def apply_fn(p, x, t, context, y=None, guidance=None,
                  first_block_hook=None, **_):
@@ -140,17 +147,30 @@ def make_spmd_apply_fn(cfg: flux_mod.FluxConfig, mesh: Mesh, axis: str = "model"
             y = jnp.zeros((b, cfg.vec_in_dim), jnp.float32)
         if guidance is None and cfg.guidance_embed:
             guidance = jnp.full((b,), 3.5, dtype=jnp.float32)
+        if data_axis and b % n_data:
+            raise ValueError(
+                f"batch {b} not divisible by data-axis size {n_data}"
+            )
 
         # Stateful hooks (FBCache) communicate their new scan state through
         # a mutable box (fbcache.make_hook, hook.state_box). Values written
         # inside the shard_map body are BODY tracers — the body must return
         # them explicitly and we re-stash the legit outer value after.
         box = getattr(first_block_hook, "state_box", None)
+        if box is not None and data_axis:
+            # the FBCache state carries whole-batch SCALAR decisions
+            # (consecutive_hits/valid) that diverge across data shards —
+            # ill-defined to reassemble; keep dp x tp to stateless hooks
+            raise ValueError(
+                "stateful first_block_hook (FBCache) is not supported on a "
+                "dp x tp spmd mesh; use a pure-TP (1, N) mesh or disable "
+                "FBCache"
+            )
 
-        in_specs = (flux_tp_in_specs(p), rep, rep, rep, rep)
+        in_specs = (flux_tp_in_specs(p), act, act, act, act)
         args = (p, x, t, context, y)
         if cfg.guidance_embed:
-            in_specs = in_specs + (rep,)
+            in_specs = in_specs + (act,)
             args = args + (guidance,)
 
             def body(pp, xx, tt, cc, yy, gg):
@@ -170,7 +190,7 @@ def make_spmd_apply_fn(cfg: flux_mod.FluxConfig, mesh: Mesh, axis: str = "model"
 
         fn = jax.shard_map(
             body, mesh=mesh, in_specs=in_specs,
-            out_specs=(rep, rep) if box is not None else rep,
+            out_specs=(act, rep) if box is not None else act,
             check_vma=False,
         )
         res = fn(*args)

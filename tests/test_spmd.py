@@ -281,3 +281,34 @@ def test_spmd_lora_matches_single_device(rng):
     with mesh:
         out = np.asarray(jax.jit(apply_fn)(local, x, t, ctx, y))
     np.testing.assert_allclose(out, base, atol=5e-4)
+
+
+def test_spmd_dp_tp_batch_sharded(rng):
+    """dp x tp spmd serving: batch shards over "data", each chip row
+    denoises its sub-batch, psums stay within the row. Output equals
+    per-sample single-device forwards."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    mesh = make_mesh(2, 2)
+    sd = flux_mod.init_params(CFG, seed=9)
+    x, t, ctx, y = _inputs(rng, b=2)
+    base = _single_device_oracle(sd, x, t, ctx, y)
+
+    params, fcfg = _shard(dict(sd), CFG, mesh)
+    apply_fn, local_view = spmd_mod.make_spmd_apply_fn(fcfg, mesh)
+    with mesh:
+        out = np.asarray(jax.jit(apply_fn)(local_view(params), x, t, ctx, y))
+    np.testing.assert_allclose(out, base, atol=3e-4)
+
+    # stateful hook on a dp mesh is rejected loudly
+    def fake_hook(a, b_, run_rest):
+        return run_rest(b_)
+
+    fake_hook.state_box = [None]
+    with pytest.raises(ValueError, match="dp x tp"):
+        apply_fn(local_view(params), x, t, ctx, y, first_block_hook=fake_hook)
+
+    # odd batch is rejected loudly
+    x3, t3, ctx3, y3 = _inputs(rng, b=3)
+    with pytest.raises(ValueError, match="not divisible"):
+        apply_fn(local_view(params), x3, t3, ctx3, y3)
