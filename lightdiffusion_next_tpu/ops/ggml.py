@@ -253,7 +253,7 @@ class QTensor8W:
         m = 1
         for d in x.shape[:-1]:
             m *= d
-        if not self.tp and qm.supported(m, k, n):
+        if not self.tp and qm.supported_w8a8(m, k, n):
             _check_not_silently_sharded(self.qt, "QTensor8W")
             return qm.w8a8_matmul(x, self.qt, self.col_scales, out_dtype)
         w = self.dequantize(x.dtype)

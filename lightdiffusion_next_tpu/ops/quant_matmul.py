@@ -188,6 +188,14 @@ def supported(m: int, k: int, n: int) -> bool:
     return k % 256 == 0 and n % 128 == 0 and m >= 1
 
 
+def supported_w8a8(m: int, k: int, n: int) -> bool:
+    """The W8A8 kernel has NO block-scale tensor, so its K granule is the
+    128-lane tile, not 256: tp=8 row-parallel shards of Flux hidden=3072
+    (K_local=384) still take the kernel where the Q8_0 kernel must fall
+    back to dequant+dot."""
+    return k % 128 == 0 and n % 128 == 0 and m >= 1
+
+
 def _quant_matmul_2d(
     x,
     qt,
@@ -453,7 +461,9 @@ def _w8a8_matmul_2d(
         sx = jnp.pad(sx, ((0, pad), (0, 0)))
     mp = m + pad
     tm = _pick_tile(mp, tile_m or 2176, 32)
-    tk = _pick_tile(k, tile_k or 512, 256)
+    # K granule 128 (x lane dim / q int8 sublane dim), not the bf16
+    # kernel's 256 — no scales block to keep 8-sublane-aligned here
+    tk = _pick_tile(k, tile_k or 512, 128)
     n_k = k // tk
     ob = jnp.dtype(out_dtype).itemsize
     tn = (

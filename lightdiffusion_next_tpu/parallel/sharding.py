@@ -98,6 +98,37 @@ def _quantized_sharding(leaf, spec: "P", mesh: Mesh):
     )
 
 
+def flux_sharding_for(sd: Dict, mesh: Mesh):
+    """``sharding_for(key)`` callback for ggml.to_device_quantized over a
+    TP-laid-out Flux state dict: NamedShardings for dense leaves, a
+    quantized-record for 2-D quantized ones (the public face of
+    _quantized_sharding — loader, tests and the dryrun all build the same
+    closure)."""
+    from lightdiffusion_next_tpu.ops import ggml
+
+    def sharding_for(key):
+        leaf = sd[key]
+        spec = flux_param_spec(key)
+        if ggml.is_quantized(leaf) and len(leaf.shape) == 2:
+            return _quantized_sharding(leaf, spec, mesh)
+        return _ns(mesh, *spec)
+
+    return sharding_for
+
+
+def shard_state_dict(sd: Dict, mesh: Mesh, dtype=None) -> Dict:
+    """TP-laid-out Flux state dict (host QTensor8/np or mixed leaves) ->
+    sharded device params per flux_param_spec. ``dtype`` is the dense-leaf
+    cast (default f32 — tests/dryrun; the loader passes its policy)."""
+    import jax.numpy as jnp
+
+    from lightdiffusion_next_tpu.ops import ggml
+
+    return ggml.to_device_quantized(
+        sd, dtype=dtype or jnp.float32, sharding_for=flux_sharding_for(sd, mesh)
+    )
+
+
 def flux_param_shardings(params: Dict, mesh: Mesh) -> Dict:
     from lightdiffusion_next_tpu.ops import ggml
 

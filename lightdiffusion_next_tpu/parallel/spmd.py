@@ -18,6 +18,14 @@ Requires the TP-aligned layout (parallel.layout.to_tp_layout): qkv rows
 head-interleaved so shards hold whole heads, single-block linear1/linear2
 de-fused so shard boundaries never cross the attn/mlp seam.
 
+Kernel-coverage caveat at tp=8 on real Flux (hidden=3072): row-parallel
+shards have K_local = 384, below the Q8_0 kernel's 256-multiple K
+constraint (scale-block sublanes), so attn.proj/linear2 fall back to
+dequant+dot under Q8_0 — ~10% of DiT FLOPs. The W8A8 kernel has no
+scale-block constraint (K granule 128, quant_matmul.supported_w8a8) and
+keeps the fused path everywhere; prefer --w8a8 with spmd at tp=8.
+tp=2/4 (K_local 1536/768) is fully covered in both modes.
+
 The reference has no distributed backend at all (SURVEY §5); this is the
 TPU-native design for >1 chip per image.
 """
@@ -169,24 +177,18 @@ def make_spmd_apply_fn(cfg: flux_mod.FluxConfig, mesh: Mesh, axis: str = "model"
 
         in_specs = (flux_tp_in_specs(p), act, act, act, act)
         args = (p, x, t, context, y)
-        if cfg.guidance_embed:
+        if cfg.guidance_embed:  # guidance rides as an extra positional
             in_specs = in_specs + (act,)
             args = args + (guidance,)
 
-            def body(pp, xx, tt, cc, yy, gg):
-                out = flux_mod.apply_flux(
-                    pp, xx, tt, cc, yy, guidance=gg, cfg=lcfg,
-                    first_block_hook=first_block_hook,
-                )
-                return (out, box[0]) if box is not None else out
-        else:
-
-            def body(pp, xx, tt, cc, yy):
-                out = flux_mod.apply_flux(
-                    pp, xx, tt, cc, yy, cfg=lcfg,
-                    first_block_hook=first_block_hook,
-                )
-                return (out, box[0]) if box is not None else out
+        def body(pp, xx, tt, cc, yy, *rest):
+            out = flux_mod.apply_flux(
+                pp, xx, tt, cc, yy,
+                guidance=rest[0] if rest else None,
+                cfg=lcfg,
+                first_block_hook=first_block_hook,
+            )
+            return (out, box[0]) if box is not None else out
 
         fn = jax.shard_map(
             body, mesh=mesh, in_specs=in_specs,

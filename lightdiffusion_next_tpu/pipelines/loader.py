@@ -90,15 +90,7 @@ def load_diffusion_model_gguf(
         # row-major QTensor8 leaves) so each chip's shard holds whole
         # attention heads — see parallel.layout
         sd, fcfg = layout.to_tp_layout(sd, fcfg)
-
-        def sharding_for(key):
-            leaf = sd[key]
-            spec = shard_rules.flux_param_spec(key)
-            if ggml.is_quantized(leaf) and len(leaf.shape) == 2:
-                return shard_rules._quantized_sharding(leaf, spec, mesh)
-            from jax.sharding import NamedSharding
-
-            return NamedSharding(mesh, spec)
+        sharding_for = shard_rules.flux_sharding_for(sd, mesh)
 
     params = ggml.to_device_quantized(
         sd, dtype=cfgv.dtypes.param_dtype, sharding_for=sharding_for
@@ -160,6 +152,20 @@ class ModelCache:
     def put(self, path: str, value, variant: str = "") -> None:
         if self.keep_models_loaded:
             self._cache[self._key(path, variant)] = value
+
+    def evict_other_variants(self, path: str, keep_variant: str = "") -> None:
+        """Drop every OTHER variant of ``path`` before loading a new one:
+        two 12B Flux variants (e.g. Q8_0 and w8a8, or GSPMD and spmd)
+        resident together is ~26 GB of int8 codes against one 16 GB chip.
+        Mirrors the reference evicting on checkpoint switch
+        (ModelCache.py:34-62 keeps exactly one model per slot)."""
+        try:
+            base = f"{os.path.abspath(path)}:"
+        except Exception:
+            return
+        keep = self._key(path, keep_variant)
+        for k in [k for k in self._cache if k.startswith(base) and k != keep]:
+            del self._cache[k]
 
     def clear(self) -> None:
         self._cache.clear()

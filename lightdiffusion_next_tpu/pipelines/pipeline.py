@@ -481,6 +481,7 @@ def _get_flux_models(
 
     # a TP-sharded model is a different resident object than the single-chip
     # one; the variant keeps mtime-based staleness on the real path
+    spmd = spmd and mesh is not None  # spmd wrap only exists on a mesh
     variant = "" if mesh is None else f"mesh{tuple(mesh.shape.values())}"
     if spmd:
         variant += ":spmd"
@@ -489,12 +490,15 @@ def _get_flux_models(
         variant += ":w8a8"
     model = cache.get(unet_path, variant=variant)
     if model is None:
+        # one resident DiT at a time: a second 12B variant (w8a8 toggle /
+        # TP-mode flip) alongside the first is ~26 GB vs 16 GB HBM
+        cache.evict_other_variants(unet_path, keep_variant=variant)
         # under spmd the w8a8 conversion happens AFTER the local-view wrap
         # (the loader skips tp=True leaves by design)
         model = loader.load_diffusion_model_gguf(
-            unet_path, mesh=mesh, w8a8=w8a8 and not (spmd and mesh is not None)
+            unet_path, mesh=mesh, w8a8=w8a8 and not spmd
         )
-        if spmd and mesh is not None:
+        if spmd:
             from lightdiffusion_next_tpu.parallel import spmd as spmd_mod
 
             model = spmd_mod.to_spmd_model(model, mesh)
@@ -547,6 +551,11 @@ def _flux_txt2img(prompt, w, h, batch, autohdr, saver, progress_callback):
     # shard_map TP (fused Pallas kernels per shard, parallel/spmd.py),
     # "off" = force single-chip.
     tp_mode = os.environ.get("LDT_FLUX_TP", "auto")
+    if tp_mode not in ("auto", "spmd", "off"):
+        raise ValueError(
+            f"LDT_FLUX_TP={tp_mode!r}: must be auto (GSPMD TP), spmd "
+            "(shard_map TP) or off (single chip)"
+        )
     mesh = None
     if tp_mode != "off":
         import jax

@@ -69,18 +69,7 @@ def _shard(sd, fcfg, mesh, quantize=False):
                 qsd[k] = v
         sd = qsd
     sd, fcfg = layout_mod.to_tp_layout(sd, fcfg)
-
-    def sharding_for(key):
-        leaf = sd[key]
-        spec = shard_rules.flux_param_spec(key)
-        if ggml.is_quantized(leaf) and len(leaf.shape) == 2:
-            return shard_rules._quantized_sharding(leaf, spec, mesh)
-        from jax.sharding import NamedSharding
-
-        return NamedSharding(mesh, spec)
-
-    params = ggml.to_device_quantized(sd, dtype=jnp.float32, sharding_for=sharding_for)
-    return params, fcfg
+    return shard_rules.shard_state_dict(sd, mesh), fcfg
 
 
 def _single_device_oracle(sd, x, t, ctx, y, quantize=False):

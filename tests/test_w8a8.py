@@ -236,3 +236,21 @@ class TestTPTransforms:
             np.asarray(w8.dequantize(jnp.float32)),
             atol=1e-6,
         )
+
+
+class TestK384:
+    def test_kernel_supports_tp8_row_parallel_k(self, rng):
+        """tp=8 row-parallel shards of Flux hidden=3072 have K_local=384 —
+        the w8a8 kernel must take them (K granule 128; the Q8_0 kernel's
+        256-multiple scale-block constraint does not apply)."""
+        assert qm.supported_w8a8(64, 384, 128)
+        assert not qm.supported(64, 384, 128)
+        m, k, n = 64, 384, 128
+        t8t = _make_qweight(rng, n, k)
+        w8 = ggml.to_w8a8({"w": t8t})["w"]
+        x = rng.standard_normal((m, k)).astype(np.float32)
+        out = np.asarray(
+            qm.w8a8_matmul(jnp.asarray(x), w8.qt, w8.col_scales,
+                           out_dtype=jnp.float32)
+        )
+        np.testing.assert_allclose(out, _exact_w8a8(x, w8), rtol=1e-5, atol=1e-5)
