@@ -165,3 +165,28 @@ def test_checkpoint_cache_keyed_by_embedding_directory(monkeypatch, tmp_path):
     ldr.load_checkpoint(str(ckpt), embedding_directory="B")  # different set
     assert calls == ["A", "B"]
     loader_mod.get_model_cache().clear()
+
+
+def test_model_cache_evicts_other_variants(tmp_path):
+    """One resident DiT per unet path: loading a new variant (w8a8 / TP
+    mode toggles) drops the other variants of the SAME file while leaving
+    other paths untouched."""
+    from lightdiffusion_next_tpu.pipelines.loader import ModelCache
+
+    p1 = tmp_path / "a.gguf"
+    p1.write_bytes(b"x")
+    p2 = tmp_path / "b.safetensors"
+    p2.write_bytes(b"y")
+    cache = ModelCache()
+    cache.put(str(p1), "plain")
+    cache.put(str(p1), "spmd-model", variant="mesh(1, 8):spmd")
+    cache.put(str(p2), "other")
+
+    cache.evict_other_variants(str(p1), keep_variant=":w8a8")
+    assert cache.get(str(p1)) is None
+    assert cache.get(str(p1), variant="mesh(1, 8):spmd") is None
+    assert cache.get(str(p2)) == "other"
+
+    cache.put(str(p1), "w8a8-model", variant=":w8a8")
+    cache.evict_other_variants(str(p1), keep_variant=":w8a8")
+    assert cache.get(str(p1), variant=":w8a8") == "w8a8-model"
