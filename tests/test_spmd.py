@@ -301,3 +301,74 @@ def test_spmd_dp_tp_batch_sharded(rng):
     x3, t3, ctx3, y3 = _inputs(rng, b=3)
     with pytest.raises(ValueError, match="not divisible"):
         apply_fn(local_view(params), x3, t3, ctx3, y3)
+
+
+def test_spmd_ksample_matches_single_device(rng):
+    """Sampler-level parity: a full quantized ksample (euler + FBCache —
+    the real Flux pipeline configuration) through the shard_map TP model
+    reproduces the single-device result, exercising the runner cache,
+    scan segments and the hook's explicit state channel."""
+    from lightdiffusion_next_tpu.models import base as base_mod
+    from lightdiffusion_next_tpu.sampling import cfg as cfg_mod
+    from lightdiffusion_next_tpu.sampling import fbcache as fb_mod
+    from lightdiffusion_next_tpu.sampling import ksampler as ks
+    from lightdiffusion_next_tpu.sampling import model_sampling as ms_mod
+    from lightdiffusion_next_tpu.utils import latent as latent_mod
+
+    mesh = _mesh()
+    sd = flux_mod.init_params(CFG, seed=10)
+    fbc = fb_mod.FBCacheConfig(0.12)
+    pos = cfg_mod.CondInput(
+        cross_attn=jnp.asarray(
+            rng.standard_normal((1, 6, CFG.context_in_dim)) * 0.3, jnp.float32
+        ),
+        pooled=jnp.asarray(
+            rng.standard_normal((1, CFG.vec_in_dim)) * 0.3, jnp.float32
+        ),
+        guidance=3.5,
+    )
+    latent = jnp.zeros((1, 8, 8, CFG.in_channels), jnp.float32)
+
+    def run(model):
+        return np.asarray(
+            ks.ksample(
+                model, seed=7, steps=3, cfg_scale=1.0,
+                sampler_name="euler", scheduler="beta",
+                positive=pos, negative=None, latent_image=latent,
+            ).latent
+        )
+
+    def quant(sdict):
+        out = {}
+        for k, v in sdict.items():
+            v = np.asarray(v, np.float32)
+            if (
+                v.ndim == 2
+                and v.shape[1] % 32 == 0
+                and shard_rules.flux_param_spec(k)
+                != jax.sharding.PartitionSpec()
+            ):
+                q, s = ggml.quantize_q8_0(v)
+                out[k] = ggml.transpose_for_matmul(
+                    ggml.QTensor8(jnp.asarray(q), jnp.asarray(s), v.shape)
+                )
+            else:
+                out[k] = jnp.asarray(v, jnp.float32)
+        return out
+
+    def model_for(apply_fn, params, cfg):
+        return base_mod.DiffusionModel(
+            apply_fn=apply_fn, params=params,
+            model_sampling=ms_mod.ModelSamplingFlux(),
+            latent_format=latent_mod.FLUX1, config=cfg, model_type="flux",
+            model_options={"fbcache": fbc},
+        )
+
+    base = run(model_for(flux_mod.make_apply_fn(CFG), quant(sd), CFG))
+
+    params, fcfg = _shard(dict(sd), CFG, mesh, quantize=True)
+    apply_fn, local_view = spmd_mod.make_spmd_apply_fn(fcfg, mesh)
+    spmd_model = model_for(apply_fn, local_view(params), fcfg)
+    with mesh:
+        out = run(spmd_model)
+    np.testing.assert_allclose(out, base, atol=1e-3)
