@@ -254,3 +254,21 @@ class TestK384:
                            out_dtype=jnp.float32)
         )
         np.testing.assert_allclose(out, _exact_w8a8(x, w8), rtol=1e-5, atol=1e-5)
+
+
+class TestBf16MxuFallback:
+    def test_int8_mxu_false_matches_integer_oracle(self, rng):
+        """The A/B fallback (int8 blocks cast to bf16, f32 accumulator)
+        stays within f32-accumulation rounding of the exact integer path
+        at test K (partial sums far below 2^24 -> near-exact)."""
+        m, k, n = 16, 256, 128
+        t8t = _make_qweight(rng, n, k)
+        w8 = ggml.to_w8a8({"w": t8t})["w"]
+        x = rng.standard_normal((m, k)).astype(np.float32)
+        out = np.asarray(
+            qm.w8a8_matmul_2d(
+                jnp.asarray(x), w8.qt, w8.col_scales,
+                out_dtype=jnp.float32, interpret=True, int8_mxu=False,
+            )
+        )
+        np.testing.assert_allclose(out, _exact_w8a8(x, w8), rtol=1e-4, atol=1e-4)
