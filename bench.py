@@ -26,9 +26,41 @@ import sys
 import time
 
 
+def _probe_devices(timeout_s: float = 180.0):
+    """Fail fast (clear message, nonzero exit) when the device backend is
+    unreachable — over the axon relay a dead pool otherwise hangs
+    ``jax.devices()`` indefinitely and the bench looks stalled."""
+    import threading
+
+    result = {}
+
+    def probe():
+        try:
+            import jax
+
+            result["devices"] = jax.devices()
+        except Exception as e:  # pragma: no cover - backend-dependent
+            result["error"] = repr(e)
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if t.is_alive() or "error" in result:
+        msg = result.get("error", f"no response in {timeout_s:.0f}s")
+        print(
+            json.dumps(
+                {"metric": "sd15_txt2img_1024px_bf16_batch1_it_per_s",
+                 "error": f"device backend unreachable: {msg}"}
+            ),
+            file=sys.stderr,
+        )
+        sys.exit(2)
+
+
 def main():
     import dataclasses
 
+    _probe_devices()
     import jax
     import jax.numpy as jnp
     import numpy as np
