@@ -115,6 +115,9 @@ def upload(P, param_dtype):
 
 
 def main():
+    import bench as _bench
+
+    _bench._probe_devices()
     import jax.numpy as jnp
 
     from lightdiffusion_next_tpu import config as _config

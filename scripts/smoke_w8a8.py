@@ -30,6 +30,9 @@ SHAPES = [
 
 
 def main():
+    import bench as _bench
+
+    _bench._probe_devices()
     import jax
     import jax.numpy as jnp
 
