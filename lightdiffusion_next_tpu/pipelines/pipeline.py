@@ -501,9 +501,20 @@ def _get_flux_models(
         if spmd:
             from lightdiffusion_next_tpu.parallel import spmd as spmd_mod
 
-            model = spmd_mod.to_spmd_model(model, mesh)
-            if w8a8:
-                model = model.with_params(ggml.to_w8a8(model.params))
+            try:
+                model = spmd_mod.to_spmd_model(model, mesh)
+                if w8a8:
+                    model = model.with_params(ggml.to_w8a8(model.params))
+            except ValueError as e:
+                # e.g. num_heads not divisible by the model axis (24 heads
+                # on a 16-way mesh): keep serving on the GSPMD path rather
+                # than failing the generation
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "LDT_FLUX_TP=spmd unavailable (%s); falling back to "
+                    "GSPMD TP", e,
+                )
         model = model.with_options(fbcache=fb_mod.FBCacheConfig(0.120))
         cache.put(unet_path, model, variant=variant)
 
