@@ -37,9 +37,9 @@ def test_flux_t5_tokenize_hard_errors_without_assets(monkeypatch, tmp_path):
     assert len(row) == 256  # degraded path still shaped correctly
 
 
-def test_flux_models_cached_across_calls(monkeypatch, tmp_path):
-    """Second _get_flux_models call must hit the ModelCache and load NOTHING
-    from disk (the round-1 build re-read the 12B GGUF per image)."""
+def _fake_flux_world(monkeypatch, tmp_path):
+    """Stub every disk/model constructor _get_flux_models touches; returns
+    (paths, calls) with per-constructor call counters."""
     from lightdiffusion_next_tpu.models import vae as vae_mod
     from lightdiffusion_next_tpu.models.clip import t5 as t5_mod
     from lightdiffusion_next_tpu.models.clip import text_encoder as te
@@ -93,6 +93,13 @@ def test_flux_models_cached_across_calls(monkeypatch, tmp_path):
         te, "SDClipModel",
         lambda sd: calls.__setitem__("clip", calls["clip"] + 1) or "CLIP",
     )
+    return paths, calls
+
+
+def test_flux_models_cached_across_calls(monkeypatch, tmp_path):
+    """Second _get_flux_models call must hit the ModelCache and load NOTHING
+    from disk (the round-1 build re-read the 12B GGUF per image)."""
+    paths, calls = _fake_flux_world(monkeypatch, tmp_path)
 
     cache = loader.get_model_cache()
     cache.clear()
@@ -107,5 +114,42 @@ def test_flux_models_cached_across_calls(monkeypatch, tmp_path):
         pl._get_flux_models(*args)
         assert calls["disk"] == disk_after_first, "second call hit the disk"
         assert calls["unet"] == 1 and calls["t5"] == 1 and calls["clip"] == 1
+    finally:
+        cache.clear()
+
+
+def test_flux_spmd_wrap_failure_falls_back_to_gspmd(
+    monkeypatch, tmp_path, caplog
+):
+    """When the shard_map wrap is unavailable (to_spmd_model raises, e.g.
+    num_heads not divisible by the model axis), _get_flux_models must keep
+    serving on the GSPMD TP path with a warning instead of failing the
+    generation (pipeline.py fallback)."""
+    import logging
+
+    from lightdiffusion_next_tpu.parallel import spmd as spmd_mod
+
+    paths, calls = _fake_flux_world(monkeypatch, tmp_path)
+
+    def broken_wrap(model, mesh):
+        raise ValueError("num_heads 24 not divisible by tp=16")
+
+    monkeypatch.setattr(spmd_mod, "to_spmd_model", broken_wrap)
+
+    class FakeMesh:
+        shape = {"data": 1, "model": 16}
+
+    cache = loader.get_model_cache()
+    cache.clear()
+    try:
+        args = (
+            paths["unet.gguf"], paths["t5.gguf"],
+            paths["clip_l.safetensors"], paths["ae.safetensors"],
+        )
+        with caplog.at_level(logging.WARNING):
+            model, *_ = pl._get_flux_models(*args, mesh=FakeMesh(), spmd=True)
+        assert model is not None
+        assert calls["unet"] == 1
+        assert any("falling back" in r.message for r in caplog.records)
     finally:
         cache.clear()
