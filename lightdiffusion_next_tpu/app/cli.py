@@ -49,6 +49,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Flux: requantize Q8_0 matmul weights per-column and "
                         "run int8x int8 MXU matmuls (faster, slightly coarser "
                         "quantization; no reference analogue)")
+    p.add_argument("--sage-attention", action="store_true",
+                   help="run long-sequence attention as int8 (SageAttention-"
+                        "style: mean-centered K/V, per-token int8 Q/K, int8 "
+                        "P.V) — 2x MXU rate at SD1.5 head dims; no reference "
+                        "analogue)")
     return p
 
 
@@ -56,12 +61,17 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     from lightdiffusion_next_tpu.pipelines.pipeline import pipeline
 
-    if args.w8a8:
+    if args.w8a8 or args.sage_attention:
         import dataclasses as _dc
 
         from lightdiffusion_next_tpu import config as _config
 
-        _config.set_config(_dc.replace(_config.get_config(), w8a8=True))
+        _config.set_config(_dc.replace(
+            _config.get_config(),
+            w8a8=args.w8a8 or _config.get_config().w8a8,
+            sage_attention=args.sage_attention
+            or _config.get_config().sage_attention,
+        ))
 
     progress_callback = None
     if args.preview:

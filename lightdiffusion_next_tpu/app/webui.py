@@ -43,6 +43,7 @@ DEFAULT_SETTINGS = {
     "keep_models_loaded": True,
     "enable_preview": True,
     "w8a8": False,
+    "sage_attention": False,
 }
 
 
@@ -106,14 +107,20 @@ def generate_images_with_preview(
 
         get_model_cache().set_keep_models_loaded(keep_loaded)
 
-        if "w8a8" in kwargs:  # int8-MXU Flux compute (this framework's own)
+        if "w8a8" in kwargs or "sage_attention" in kwargs:
+            # int8-MXU compute toggles (this framework's own)
             import dataclasses as _dc
 
             from lightdiffusion_next_tpu import config as _config
 
-            _config.set_config(
-                _dc.replace(_config.get_config(), w8a8=bool(kwargs.pop("w8a8")))
-            )
+            cfg = _config.get_config()
+            _config.set_config(_dc.replace(
+                cfg,
+                w8a8=bool(kwargs.pop("w8a8", cfg.w8a8)),
+                sage_attention=bool(
+                    kwargs.pop("sage_attention", cfg.sage_attention)
+                ),
+            ))
 
         img2img_enabled = bool(kwargs.pop("img2img_enabled", False))
         if img2img_enabled:
@@ -335,6 +342,12 @@ def build_app():
                         info="int8-MXU matmuls; faster, slightly coarser "
                              "quantization",
                     )
+                    sage_attn = gr.Checkbox(
+                        value=s["sage_attention"],
+                        label="Int8 attention",
+                        info="SageAttention-style int8 QK/PV; 2x MXU rate "
+                             "at SD1.5 head dims",
+                    )
                 with gr.Row():
                     img2img = gr.Checkbox(
                         value=s["img2img_enabled"], label="Image to image"
@@ -400,7 +413,7 @@ def build_app():
         def on_generate(
             prompt, negative, width, height, num_images, batch_size, hires,
             adet, enh, speed, hdr, realistic, flux, reuse, keep, prev,
-            use_w8a8, i2i_enabled, i2i_image, ms_preset,
+            use_w8a8, use_sage, i2i_enabled, i2i_image, ms_preset,
             ms_enabled, ms_intermittent, ms_factor, ms_start, ms_end,
         ):
             ms_kwargs = multiscale_kwargs(
@@ -433,6 +446,7 @@ def build_app():
                     "keep_models_loaded": bool(keep),
                     "enable_preview": bool(prev),
                     "w8a8": bool(use_w8a8),
+                    "sage_attention": bool(use_sage),
                 }
             )
             paths, state = [], "starting"
@@ -450,6 +464,7 @@ def build_app():
                 keep_models_loaded=bool(keep),
                 enable_preview=bool(prev),
                 w8a8=bool(use_w8a8),
+                sage_attention=bool(use_sage),
                 img2img_enabled=bool(i2i_enabled),
                 img2img_image=i2i_image,
                 prio_speed=speed,
@@ -468,7 +483,7 @@ def build_app():
             on_generate,
             [prompt, negative, width, height, num_images, batch_size, hires,
              adet, enh, speed, hdr, realistic, flux, reuse_seed, keep_loaded,
-             preview_on, w8a8, img2img, img2img_image, ms_preset,
+             preview_on, w8a8, sage_attn, img2img, img2img_image, ms_preset,
              ms_enabled, ms_intermittent, ms_factor, ms_start, ms_end],
             [gallery, status, history, history_paths],
         )

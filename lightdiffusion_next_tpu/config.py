@@ -160,6 +160,13 @@ class RuntimeConfig:
     w8a8: bool = dataclasses.field(
         default_factory=lambda: os.environ.get("LDT_W8A8", "") == "1"
     )
+    # Int8 flash attention (ops/sage_attention.py): quantize both attention
+    # matmuls to the MXU's s8 path (2x bf16 MAC rate — halves the
+    # lane-padding cycle bill at SD1.5 head dims). Opt-in pending on-chip
+    # speed + drift measurement. Env default LDT_SAGE_ATTN=1.
+    sage_attention: bool = dataclasses.field(
+        default_factory=lambda: os.environ.get("LDT_SAGE_ATTN", "") == "1"
+    )
 
     def __post_init__(self):
         if self.attention_backend not in _VALID_ATTENTION:

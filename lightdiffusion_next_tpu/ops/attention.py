@@ -56,6 +56,18 @@ def sdpa(q, k, v, mask: Optional[jax.Array] = None):
     return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
 
 
+def _flash_kernel():
+    """The active long-sequence Pallas kernel: bf16 flash attention, or the
+    int8 variant when RuntimeConfig.sage_attention is on (opt-in)."""
+    if _config.get_config().sage_attention:
+        from lightdiffusion_next_tpu.ops import sage_attention as sa
+
+        return sa.sage_attention
+    from lightdiffusion_next_tpu.ops import flash_attention as fa
+
+    return fa.flash_attention
+
+
 def attention_pallas(q, k, v, heads: int, mask: Optional[jax.Array] = None):
     """Pallas flash-attention path; falls back to XLA when unavailable
     (CPU tests, tiny/ragged shapes, or masked attention)."""
@@ -63,7 +75,7 @@ def attention_pallas(q, k, v, heads: int, mask: Optional[jax.Array] = None):
 
     q4, k4, v4 = (_unfold_heads(t, heads) for t in (q, k, v))
     if mask is None and fa.supported(q4, k4, v4):
-        return _fold_heads(fa.flash_attention(q4, k4, v4))
+        return _fold_heads(_flash_kernel()(q4, k4, v4))
     return _fold_heads(sdpa(q4, k4, v4, mask=mask))
 
 
@@ -83,7 +95,7 @@ def attention_heads(q, k, v, mask: Optional[jax.Array] = None):
 
     backend = _config.get_config().resolve_attention_backend()
     if backend == "pallas" and mask is None and fa.supported(q, k, v):
-        return _fold_heads(fa.flash_attention(q, k, v))
+        return _fold_heads(_flash_kernel()(q, k, v))
     return _fold_heads(sdpa(q, k, v, mask=mask))
 
 
