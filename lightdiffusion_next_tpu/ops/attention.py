@@ -100,10 +100,24 @@ def attention_heads(q, k, v, mask: Optional[jax.Array] = None):
 
 
 def vae_attention_core(q, k, v):
-    """q,k,v: (B, H, W, C) -> attention over H*W tokens, single head."""
+    """q,k,v: (B, H, W, C) -> attention over H*W tokens, single head.
+
+    Long sequences route through the Pallas flash kernel: the VAE
+    mid-block attends over every latent pixel, and at a 1024² decode
+    (128² = 16 384 tokens, C=512) plain sdpa materializes a 1 GiB f32
+    logits matrix per image — at 2048² hires it is what used to force
+    the tiled-decode OOM fallback. (Parity point: the reference
+    dispatches VAE spatial attention the same way it does sequence
+    attention, AttentionMethods.py:143-197.)"""
+    from lightdiffusion_next_tpu.ops import flash_attention as fa
+
     b, h, w, c = q.shape
     qf = q.reshape(b, 1, h * w, c)
     kf = k.reshape(b, 1, h * w, c)
     vf = v.reshape(b, 1, h * w, c)
-    out = sdpa(qf, kf, vf)
+    backend = _config.get_config().resolve_attention_backend()
+    if backend == "pallas" and fa.supported(qf, kf, vf):
+        out = fa.flash_attention(qf, kf, vf)
+    else:
+        out = sdpa(qf, kf, vf)
     return out.reshape(b, h, w, c)

@@ -110,3 +110,38 @@ def test_vae_attention_core(rng):
     flat = q.reshape(1, 1, 16, 8)
     oracle = np.asarray(attn.sdpa(flat, flat, flat)).reshape(1, 4, 4, 8)
     np.testing.assert_allclose(np.asarray(out), oracle, atol=1e-6)
+
+
+def test_vae_attention_long_sequence_flash_path(rng):
+    """Long latents (a 1024² decode attends over 16 384 tokens) must route
+    through the flash kernel under the pallas backend — plain sdpa would
+    materialize the full L² logits matrix in HBM — and match it."""
+    import dataclasses
+
+    from lightdiffusion_next_tpu import config as _config
+
+    x = rng.standard_normal((1, 32, 32, 64)).astype(np.float32)
+    q = jnp.asarray(x)
+    oracle = np.asarray(attn.vae_attention_core(q, q, q))  # cpu -> sdpa
+
+    called = {"flash": 0}
+    real = fa.flash_attention
+
+    def spy(qf, kf, vf, **kw):
+        called["flash"] += 1
+        return real(qf, kf, vf, **kw)
+
+    old = _config.get_config()
+    try:
+        _config.set_config(
+            dataclasses.replace(old, attention_backend="pallas")
+        )
+        fa.flash_attention, saved = spy, real
+        try:
+            ours = np.asarray(attn.vae_attention_core(q, q, q))
+        finally:
+            fa.flash_attention = saved
+    finally:
+        _config.set_config(old)
+    assert called["flash"] == 1
+    np.testing.assert_allclose(ours, oracle, atol=2e-5)
