@@ -146,6 +146,45 @@ def test_dispatch_uses_sage_only_when_enabled(rng, monkeypatch):
         _config.set_config(old)
 
 
+def test_sage_traces_inside_jitted_scan(rng):
+    """The sampler loops are lax.scan bodies under an outer jit — the int8
+    kernel (nested jit + quantization prologue) must trace there and match
+    the eager XLA path step for step."""
+    import jax
+    from jax import lax
+
+    b, l, h, d = 1, 512, 2, 40
+    x0 = jnp.asarray(rng.standard_normal((b, l, h * d)), dtype=jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, l, h * d)), dtype=jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, l, h * d)), dtype=jnp.float32)
+
+    old = _config.get_config()
+    try:
+        _config.set_config(
+            dataclasses.replace(
+                old, attention_backend="pallas", sage_attention=True
+            )
+        )
+
+        @jax.jit
+        def run(x, k, v):
+            def body(c, _):
+                return attn.attention(c, k, v, heads=h), ()
+
+            y, _ = lax.scan(body, x, None, length=2)
+            return y
+
+        ours = np.asarray(run(x0, k, v))
+    finally:
+        _config.set_config(old)
+
+    ref = x0
+    for _ in range(2):
+        ref = attn.attention_xla(ref, k, v, heads=h)
+    assert np.isfinite(ours).all()
+    assert _rel_rmse(ours, np.asarray(ref)) < 0.08  # two quantized steps
+
+
 def test_sharp_attention_stays_accurate(rng):
     """Near-one-hot rows (post-training attention is sharp): the int8 P
     quantization must not wash out the dominant key."""
