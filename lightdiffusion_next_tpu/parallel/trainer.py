@@ -6,6 +6,9 @@ the multichip dry-run validates: one jitted train step over a
 ("data","model") mesh with Megatron-sharded Flux params, batch sharded over
 "data", loss/grads psum'd by XLA. Train state checkpoints/resumes through
 orbax with shardings preserved (save_checkpoint/restore_checkpoint).
+Input batches should come through parallel.data.PrefetchLoader
+(prefetch_to_mesh) so the next batch's host->device transfer overlaps the
+current step's compute.
 """
 
 from __future__ import annotations
