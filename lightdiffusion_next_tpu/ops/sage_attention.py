@@ -52,7 +52,7 @@ NEG_INF = -1e30
 
 def _kernel(
     q_ref, k_ref, v_ref, sq_ref, sk_ref, sv_ref,
-    o_ref, m_ref, l_ref, acc_ref, *, kv_len, int8_mxu,
+    o_ref, m_ref, l_ref, acc_ref, *, kv_len, int8_mxu, pv_int8,
 ):
     ki = pl.program_id(2)
     nk = pl.num_programs(2)
@@ -91,22 +91,32 @@ def _kernel(
     alpha = jnp.exp(m_prev - m_new)
     l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
 
-    # quantize the softmax block for the second int8 contraction; p is in
-    # [0, 1] so a fixed 127 scale loses nothing to range
-    pq = jnp.round(p * 127.0).astype(jnp.int8)
-    if int8_mxu:
-        pv = jax.lax.dot_general(
-            pq, v_ref[0],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        ).astype(jnp.float32)
+    if pv_int8:
+        # quantize the softmax block for the second int8 contraction; p is
+        # in [0, 1] so a fixed 127 scale loses nothing to range
+        pq = jnp.round(p * 127.0).astype(jnp.int8)
+        if int8_mxu:
+            pv = jax.lax.dot_general(
+                pq, v_ref[0],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32)
+        else:
+            pv = jax.lax.dot_general(
+                pq.astype(jnp.bfloat16), v_ref[0].astype(jnp.bfloat16),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        pv = pv * (sv_ref[0] * (1.0 / 127.0))
     else:
+        # quality variant: P.V at the bf16 rate on UNQUANTIZED bf16 V
+        # (v_ref holds bf16, sv is ones) — only QK^T is int8
         pv = jax.lax.dot_general(
-            pq.astype(jnp.bfloat16), v_ref[0].astype(jnp.bfloat16),
+            p.astype(v_ref.dtype), v_ref[0],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-    acc_ref[:] = acc_ref[:] * alpha + pv * (sv_ref[0] * (1.0 / 127.0))
+    acc_ref[:] = acc_ref[:] * alpha + pv
     m_ref[:] = m_new
 
     @pl.when(ki == nk - 1)
@@ -131,16 +141,21 @@ def _int8_block(length: int, preferred: int) -> int:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block_q", "block_k", "int8_mxu")
+    jax.jit, static_argnames=("block_q", "block_k", "int8_mxu", "pv_int8")
 )
 def sage_attention(
-    q, k, v, block_q: int = 512, block_k: int = 1024, int8_mxu: bool = True
+    q, k, v, block_q: int = 512, block_k: int = 1024,
+    int8_mxu: bool = True, pv_int8: bool = True,
 ):
     """q: (B, H, Lq, D), k/v: (B, H, Lk, D) -> (B, H, Lq, D) in q.dtype.
 
     Same blocking/padding contract as flash_attention; all quantization
     prep (centering, per-token/per-channel scales) is one fused XLA pass
-    over Q/K/V — O(L*D) traffic next to the O(L^2) kernel."""
+    over Q/K/V — O(L*D) traffic next to the O(L^2) kernel.
+
+    ``pv_int8=False`` is the QUALITY fallback (SageAttention-v1 style):
+    only QK^T is int8; P.V contracts unquantized bf16 V at the bf16 rate
+    — half the cycle win, none of the P/V rounding."""
     b, h, lq, d = q.shape
     lk = k.shape[2]
     scale = 1.0 / math.sqrt(d)
@@ -157,10 +172,16 @@ def sage_attention(
 
     qq, sq = _quant_rows(qf)
     kq, sk = _quant_rows(kf)
-    # V per channel: absmax over tokens
-    v_absmax = jnp.max(jnp.abs(vf), axis=2, keepdims=True)
-    sv = jnp.maximum(v_absmax, 1e-12) * (1.0 / 127.0)
-    vq = jnp.clip(jnp.round(vf / sv), -127.0, 127.0).astype(jnp.int8)
+    if pv_int8:
+        # V per channel: absmax over tokens
+        v_absmax = jnp.max(jnp.abs(vf), axis=2, keepdims=True)
+        sv = jnp.maximum(v_absmax, 1e-12) * (1.0 / 127.0)
+        vq = jnp.clip(jnp.round(vf / sv), -127.0, 127.0).astype(jnp.int8)
+    else:
+        # quality variant: V rides into the kernel unquantized (bf16);
+        # the kernel ignores sv on this path
+        vq = vf.astype(jnp.bfloat16)
+        sv = jnp.ones((b, h, 1, d), jnp.float32)
 
     sq = sq * scale  # fold 1/sqrt(d) into the per-row Q scale
 
@@ -195,7 +216,9 @@ def sage_attention(
     interpret = jax.default_backend() == "cpu"
 
     out = pl.pallas_call(
-        functools.partial(_kernel, kv_len=lk, int8_mxu=int8_mxu),
+        functools.partial(
+            _kernel, kv_len=lk, int8_mxu=int8_mxu, pv_int8=pv_int8
+        ),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_q, dp), lambda i, j, kk: (i, j, 0),

@@ -79,12 +79,19 @@ def main():
                 a, b2, c,
             )
         )
+        f_sage_pvbf16 = jax.jit(
+            lambda a, b2, c: chain_fn(
+                lambda x, y, z: sa.sage_attention(x, y, z, pv_int8=False),
+                a, b2, c,
+            )
+        )
 
         results = {}
         for vname, f in [
             ("flash-bf16", f_flash),
             ("sage-int8mxu", f_sage),
             ("sage-bf16mxu", f_sage_bf16),
+            ("sage-pv-bf16", f_sage_pvbf16),  # quality variant: QK int8 only
         ]:
             try:
                 y = jax.block_until_ready(f(q, k, v))

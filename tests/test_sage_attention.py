@@ -146,6 +146,21 @@ def test_dispatch_uses_sage_only_when_enabled(rng, monkeypatch):
         _config.set_config(old)
 
 
+def test_pv_bf16_quality_variant(rng):
+    """pv_int8=False (QK int8 only, unquantized bf16 P.V) must be at least
+    as accurate as the full-int8 kernel and close to the f32 reference."""
+    q, k, v = _rand_qkv(rng, 1, 2, 256, 256, 40)
+    oracle = attn.sdpa(q, k, v)
+    full = sa.sage_attention(q, k, v, block_q=128, block_k=128)
+    quality = sa.sage_attention(
+        q, k, v, block_q=128, block_k=128, pv_int8=False
+    )
+    e_full = _rel_rmse(full, oracle)
+    e_quality = _rel_rmse(quality, oracle)
+    assert e_quality < 0.05
+    assert e_quality <= e_full + 1e-3  # dropping P/V rounding can't hurt
+
+
 def test_sage_traces_inside_jitted_scan(rng):
     """The sampler loops are lax.scan bodies under an outer jit — the int8
     kernel (nested jit + quantization prologue) must trace there and match
