@@ -54,6 +54,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "style: mean-centered K/V, per-token int8 Q/K, int8 "
                         "P.V) — 2x MXU rate at SD1.5 head dims; no reference "
                         "analogue)")
+    p.add_argument("--flux-scan", action="store_true",
+                   help="Flux: scan over stacked DiT blocks instead of "
+                        "unrolling 57 blocks of HLO — ~15x faster uncached "
+                        "compile; single-device only (no reference analogue)")
     return p
 
 
@@ -61,7 +65,7 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     from lightdiffusion_next_tpu.pipelines.pipeline import pipeline
 
-    if args.w8a8 or args.sage_attention:
+    if args.w8a8 or args.sage_attention or args.flux_scan:
         import dataclasses as _dc
 
         from lightdiffusion_next_tpu import config as _config
@@ -71,6 +75,7 @@ def main(argv=None) -> int:
             w8a8=args.w8a8 or _config.get_config().w8a8,
             sage_attention=args.sage_attention
             or _config.get_config().sage_attention,
+            flux_scan=args.flux_scan or _config.get_config().flux_scan,
         ))
 
     progress_callback = None

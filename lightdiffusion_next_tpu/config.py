@@ -167,6 +167,16 @@ class RuntimeConfig:
     sage_attention: bool = dataclasses.field(
         default_factory=lambda: os.environ.get("LDT_SAGE_ATTN", "") == "1"
     )
+    # Flux scan-over-blocks: stack the 19+38 identical DiT blocks' params
+    # along a depth axis and lax.scan two block bodies instead of unrolling
+    # 57 blocks of HLO — ~15x smaller program, cutting the 430-1400 s
+    # uncached XLA compile at production shapes to a fraction. Quantized
+    # weights stream from the stacked arrays via Pallas scalar prefetch
+    # (no per-iteration slice copies). Single-device only (TP layouts keep
+    # the unrolled forward); opt-in via LDT_FLUX_SCAN=1 or CLI --flux-scan.
+    flux_scan: bool = dataclasses.field(
+        default_factory=lambda: os.environ.get("LDT_FLUX_SCAN", "") == "1"
+    )
 
     def __post_init__(self):
         if self.attention_backend not in _VALID_ATTENTION:

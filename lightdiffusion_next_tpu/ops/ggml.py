@@ -277,6 +277,208 @@ class QTensor8W:
         return cls(qt, col_scales, shape, tp)
 
 
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class StackedQTensor8T:
+    """D same-shaped QTensor8T weights stacked along a leading depth axis
+    for the Flux scan-over-blocks mode (models.flux stack_block_params).
+
+    The stacked codes stay resident in HBM; ``at_index(idx)`` (idx a traced
+    scan counter) returns a per-iteration view whose fused_matmul streams
+    tiles of block ``idx`` straight out of the stack via Pallas scalar
+    prefetch (ops.quant_matmul.quant_matmul_stacked) — no (K, N) slice is
+    ever materialized. tp layouts never stack (scan mode is single-device)."""
+
+    qt3: Any  # int8 (D, K, N)
+    scales3: Any  # f32 (D, K/32, N)
+    shape: Tuple[int, ...]  # per-block logical torch-layout (out=N, in=K)
+
+    @property
+    def depth(self) -> int:
+        return self.qt3.shape[0]
+
+    def at_index(self, idx):
+        return _StackedSlice8T(self, idx)
+
+    def tree_flatten(self):
+        return (self.qt3, self.scales3), self.shape
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        qt3, scales3 = children
+        return cls(qt3, scales3, aux)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class StackedQTensor8W:
+    """Stacked per-column int8 (W8A8) weights — the scan-mode counterpart
+    of QTensor8W (see StackedQTensor8T)."""
+
+    qt3: Any  # int8 (D, K, N)
+    col_scales3: Any  # f32 (D, 1, N)
+    shape: Tuple[int, ...]  # per-block logical (out=N, in=K)
+
+    @property
+    def depth(self) -> int:
+        return self.qt3.shape[0]
+
+    def at_index(self, idx):
+        return _StackedSlice8W(self, idx)
+
+    def tree_flatten(self):
+        return (self.qt3, self.col_scales3), self.shape
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        qt3, col_scales3 = children
+        return cls(qt3, col_scales3, aux)
+
+
+class _StackedSlice8T:
+    """Per-scan-iteration view of one block of a StackedQTensor8T; quacks
+    like QTensor8T for ops.nn.linear (fused_matmul / dequantize / shape).
+    NOT a pytree — created inside the scan body from closure constants."""
+
+    __slots__ = ("stack", "idx")
+
+    def __init__(self, stack: StackedQTensor8T, idx):
+        self.stack = stack
+        self.idx = idx
+
+    @property
+    def shape(self) -> Tuple[int, ...]:
+        return self.stack.shape
+
+    @property
+    def ndim(self) -> int:
+        return len(self.stack.shape)
+
+    def astype(self, dtype):  # dtype of the DEQUANTIZED output
+        return self
+
+    def _sliced(self):
+        qt = jax.lax.dynamic_index_in_dim(
+            self.stack.qt3, self.idx, 0, keepdims=False
+        )
+        scales = jax.lax.dynamic_index_in_dim(
+            self.stack.scales3, self.idx, 0, keepdims=False
+        )
+        return qt, scales
+
+    def dequantize(self, dtype=jnp.bfloat16):
+        qt, scales = self._sliced()
+        k, n = qt.shape
+        w_t = qt.astype(jnp.float32).reshape(k // 32, 32, n) * scales[:, None, :]
+        return w_t.reshape(k, n).T.astype(dtype)
+
+    def fused_matmul(self, x, out_dtype=None):
+        from lightdiffusion_next_tpu.ops import quant_matmul as qm
+
+        d, k, n = self.stack.qt3.shape
+        m = 1
+        for s in x.shape[:-1]:
+            m *= s
+        if qm.supported(m, k, n):
+            return qm.quant_matmul_stacked(
+                x, self.stack.qt3, self.stack.scales3, self.idx, out_dtype
+            )
+        w = self.dequantize(x.dtype)
+        return jax.lax.dot_general(
+            x,
+            w,
+            dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
+            preferred_element_type=x.dtype,
+        )
+
+
+class _StackedSlice8W:
+    """W8A8 counterpart of _StackedSlice8T."""
+
+    __slots__ = ("stack", "idx")
+
+    def __init__(self, stack: StackedQTensor8W, idx):
+        self.stack = stack
+        self.idx = idx
+
+    @property
+    def shape(self) -> Tuple[int, ...]:
+        return self.stack.shape
+
+    @property
+    def ndim(self) -> int:
+        return len(self.stack.shape)
+
+    def astype(self, dtype):  # dtype of the DEQUANTIZED output
+        return self
+
+    def dequantize(self, dtype=jnp.bfloat16):
+        qt = jax.lax.dynamic_index_in_dim(
+            self.stack.qt3, self.idx, 0, keepdims=False
+        )
+        cs = jax.lax.dynamic_index_in_dim(
+            self.stack.col_scales3, self.idx, 0, keepdims=False
+        )
+        return (qt.astype(jnp.float32) * cs).T.astype(dtype)
+
+    def fused_matmul(self, x, out_dtype=None):
+        from lightdiffusion_next_tpu.ops import quant_matmul as qm
+
+        d, k, n = self.stack.qt3.shape
+        m = 1
+        for s in x.shape[:-1]:
+            m *= s
+        if qm.supported_w8a8(m, k, n):
+            return qm.w8a8_matmul_stacked(
+                x, self.stack.qt3, self.stack.col_scales3, self.idx, out_dtype
+            )
+        w = self.dequantize(x.dtype)
+        return jax.lax.dot_general(
+            x,
+            w,
+            dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
+            preferred_element_type=x.dtype,
+        )
+
+
+def stack_leaves(leaves):
+    """Stack D per-block leaves (one key across every block) into the scan
+    -mode stacked form: QTensor8T -> StackedQTensor8T, QTensor8W ->
+    StackedQTensor8W, dense arrays -> a (D, ...) array. All leaves must be
+    the same kind and per-block shape; QTensorLoRA (compute-time LoRA) and
+    tp-flagged leaves refuse to stack — callers fall back to the unrolled
+    forward for those models."""
+    first = leaves[0]
+    if isinstance(first, QTensorLoRA):
+        raise ValueError("LoRA-patched weights cannot be stacked for scan mode")
+    if isinstance(first, QTensor8T):
+        if any(not isinstance(l, QTensor8T) or l.shape != first.shape
+               or l.tp for l in leaves):
+            raise ValueError("non-uniform or tp-sharded QTensor8T group")
+        return StackedQTensor8T(
+            qt3=jnp.stack([l.qt for l in leaves]),
+            scales3=jnp.stack([l.scales_t for l in leaves]),
+            shape=first.shape,
+        )
+    if isinstance(first, QTensor8W):
+        if any(not isinstance(l, QTensor8W) or l.shape != first.shape
+               or l.tp for l in leaves):
+            raise ValueError("non-uniform or tp-sharded QTensor8W group")
+        return StackedQTensor8W(
+            qt3=jnp.stack([l.qt for l in leaves]),
+            col_scales3=jnp.stack([l.col_scales for l in leaves]),
+            shape=first.shape,
+        )
+    if is_quantized(first):
+        raise ValueError(
+            f"cannot stack {type(first).__name__} leaves (fused layout only)"
+        )
+    arrs = [jnp.asarray(l) for l in leaves]
+    if any(a.shape != arrs[0].shape or a.dtype != arrs[0].dtype for a in arrs):
+        raise ValueError("non-uniform dense leaf group")
+    return jnp.stack(arrs)
+
+
 def _check_not_silently_sharded(arr, kind: str) -> None:
     """Backstop for the explicit ``tp`` flag: a CONCRETE multi-device
     array reaching a single-device kernel path is a wiring bug (the

@@ -131,6 +131,65 @@ def _kernel_w8a8(
         ).astype(out_dtype)
 
 
+def _kernel_stacked(idx_ref, x_ref, q_ref, s_ref, o_ref, acc_ref, *, n_k: int,
+                    out_dtype):
+    """Scan-over-blocks variant of ``_kernel``: the weight lives STACKED in
+    HBM as (D, K, N) int8 / (D, K/32, N) f32 and the scalar-prefetch block
+    index steers the BlockSpec index_map straight at block ``idx`` — the
+    per-iteration (K, N) slice copy a ``lax.scan``-carried xs weight would
+    cost (read + write + re-read of the full 12 GB checkpoint per step)
+    never materializes. idx_ref is consumed by the index_maps only."""
+    del idx_ref
+    kk = pl.program_id(2)
+
+    @pl.when(kk == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    w = _dequant(q_ref[0], s_ref[0], x_ref.dtype)
+    acc_ref[...] += jnp.dot(
+        x_ref[...], w, preferred_element_type=jnp.float32
+    )
+
+    @pl.when(kk == n_k - 1)
+    def _():
+        o_ref[...] = acc_ref[...].astype(out_dtype)
+
+
+def _kernel_w8a8_stacked(
+    idx_ref, x_ref, q_ref, sx_ref, cs_ref, o_ref, acc_ref, *, n_k: int,
+    out_dtype, int8_mxu: bool
+):
+    """Scan-over-blocks variant of ``_kernel_w8a8`` (see _kernel_stacked)."""
+    del idx_ref
+    kk = pl.program_id(2)
+
+    @pl.when(kk == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    if int8_mxu:
+        acc_ref[...] += jax.lax.dot_general(
+            x_ref[...],
+            q_ref[0],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+    else:
+        acc_ref[...] += jax.lax.dot_general(
+            x_ref[...].astype(jnp.bfloat16),
+            q_ref[0].astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(acc_ref.dtype)
+
+    @pl.when(kk == n_k - 1)
+    def _():
+        o_ref[...] = (
+            acc_ref[...].astype(jnp.float32) * sx_ref[...] * cs_ref[0]
+        ).astype(out_dtype)
+
+
 def _pick_tile(dim: int, preferred: int, granule: int) -> int:
     """Largest tile <= preferred that divides dim and is a multiple of
     ``granule`` (dim is already a multiple of granule)."""
@@ -385,6 +444,90 @@ def quant_matmul(x, qt, scales_t, out_dtype=None, interpret=None):
     return y.reshape(lead + (y.shape[-1],))
 
 
+def _quant_matmul_stacked_2d(
+    x,
+    qt3,
+    scales3,
+    idx,
+    out_dtype=jnp.bfloat16,
+    interpret=False,
+    tile_m=None,
+    tile_k=None,
+    tile_n=None,
+):
+    """x (M, K) x block ``idx`` of a STACKED quantized weight — qt3 int8
+    (D, K, N), scales3 f32 (D, K/32, N), idx int32 scalar (traced; the
+    scan-over-blocks loop counter) -> (M, N) in ``out_dtype``.
+
+    Same grid/tiling as ``_quant_matmul_2d``; the block index rides Pallas
+    scalar prefetch into the weight/scales index_maps so tiles stream from
+    the stacked array in place."""
+    m, k = x.shape
+    d, k2, n = qt3.shape
+    assert k == k2, (x.shape, qt3.shape)
+    assert scales3.shape == (d, k // QBLOCK, n), scales3.shape
+
+    pad = (-m) % 8
+    if pad:
+        x = jnp.pad(x, ((0, pad), (0, 0)))
+    mp = m + pad
+    tm = _pick_tile(mp, tile_m or 2304, 8)
+    tk = _pick_tile(k, tile_k or 512, 256)
+    n_k = k // tk
+    if tile_n is not None:
+        tn = _pick_tile(n, tile_n, 128)
+    else:
+        xb = jnp.dtype(x.dtype).itemsize
+        ob = jnp.dtype(out_dtype).itemsize
+        tn = _pick_tn(n, 1024, tm, tk, xb, ob)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(mp // tm, n // tn, n_k),
+        in_specs=[
+            pl.BlockSpec((tm, tk), lambda i, j, kk, blk: (i, kk)),
+            pl.BlockSpec((1, tk, tn), lambda i, j, kk, blk: (blk[0], kk, j)),
+            pl.BlockSpec(
+                (1, tk // QBLOCK, tn), lambda i, j, kk, blk: (blk[0], kk, j)
+            ),
+        ],
+        out_specs=pl.BlockSpec((tm, tn), lambda i, j, kk, blk: (i, j)),
+        scratch_shapes=[pltpu.VMEM((tm, tn), jnp.float32)],
+    )
+    out = pl.pallas_call(
+        functools.partial(_kernel_stacked, n_k=n_k, out_dtype=out_dtype),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((mp, n), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * k * n,
+            bytes_accessed=mp * k * 2 + k * n + (k // QBLOCK) * n * 4 + mp * n * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(jnp.asarray(idx, jnp.int32).reshape(1), x, qt3, scales3)
+    return out[:m] if mp != m else out
+
+
+def quant_matmul_stacked(x, qt3, scales3, idx, out_dtype=None, interpret=None):
+    """Batched wrapper: x (..., K) x stacked-weight block ``idx`` -> (..., N).
+    Always called from inside an outer trace (the flux block scan), so no
+    standalone self-jit exists — the outer ldt_jit carries the scoped-vmem
+    option (see quant_matmul_2d's discipline note)."""
+    out_dtype = out_dtype or x.dtype
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    lead = x.shape[:-1]
+    k = x.shape[-1]
+    y = _quant_matmul_stacked_2d(
+        x.reshape(-1, k), qt3, scales3, idx,
+        out_dtype=out_dtype, interpret=interpret,
+    )
+    return y.reshape(lead + (y.shape[-1],))
+
+
 # ---------------------------------------------------------------------------
 # W8A8: int8 activations x int8 weights on the MXU int8 path
 # ---------------------------------------------------------------------------
@@ -541,5 +684,91 @@ def w8a8_matmul(x, qt, col_scales, out_dtype=None, interpret=None):
     k = x.shape[-1]
     y = w8a8_matmul_2d(
         x.reshape(-1, k), qt, col_scales, out_dtype=out_dtype, interpret=interpret
+    )
+    return y.reshape(lead + (y.shape[-1],))
+
+
+def _w8a8_matmul_stacked_2d(
+    x,
+    qt3,
+    col_scales3,
+    idx,
+    out_dtype=jnp.bfloat16,
+    interpret=False,
+    tile_m=None,
+    tile_k=None,
+    tile_n=None,
+    int8_mxu=True,
+):
+    """W8A8 scan-over-blocks entry: x (M, K) x block ``idx`` of qt3 int8
+    (D, K, N) with col_scales3 f32 (D, 1, N) -> (M, N). See
+    _quant_matmul_stacked_2d for the scalar-prefetch rationale."""
+    m, k = x.shape
+    d, k2, n = qt3.shape
+    assert k == k2, (x.shape, qt3.shape)
+    assert col_scales3.shape == (d, 1, n), col_scales3.shape
+
+    xq, sx = quantize_rows(x)
+    pad = (-m) % 32
+    if pad:
+        xq = jnp.pad(xq, ((0, pad), (0, 0)))
+        sx = jnp.pad(sx, ((0, pad), (0, 0)))
+    mp = m + pad
+    tm = _pick_tile(mp, tile_m or 2176, 32)
+    tk = _pick_tile(k, tile_k or 512, 128)
+    n_k = k // tk
+    ob = jnp.dtype(out_dtype).itemsize
+    tn = (
+        _pick_tile(n, tile_n, 128)
+        if tile_n is not None
+        else _pick_tn_w8a8(n, 1024, tm, tk, ob)
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(mp // tm, n // tn, n_k),
+        in_specs=[
+            pl.BlockSpec((tm, tk), lambda i, j, kk, blk: (i, kk)),
+            pl.BlockSpec((1, tk, tn), lambda i, j, kk, blk: (blk[0], kk, j)),
+            pl.BlockSpec((tm, 1), lambda i, j, kk, blk: (i, 0)),
+            pl.BlockSpec((1, 1, tn), lambda i, j, kk, blk: (blk[0], 0, j)),
+        ],
+        out_specs=pl.BlockSpec((tm, tn), lambda i, j, kk, blk: (i, j)),
+        scratch_shapes=[
+            pltpu.VMEM((tm, tn), jnp.int32 if int8_mxu else jnp.float32)
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel_w8a8_stacked, n_k=n_k, out_dtype=out_dtype,
+            int8_mxu=int8_mxu,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((mp, n), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * k * n,
+            bytes_accessed=mp * k + k * n + n * 4 + mp * 4 + mp * n * ob,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(jnp.asarray(idx, jnp.int32).reshape(1), xq, qt3, sx, col_scales3)
+    return out[:m] if mp != m else out
+
+
+def w8a8_matmul_stacked(
+    x, qt3, col_scales3, idx, out_dtype=None, interpret=None, int8_mxu=True
+):
+    """Batched wrapper: x (..., K) x stacked W8A8 block ``idx`` -> (..., N)."""
+    out_dtype = out_dtype or x.dtype
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    lead = x.shape[:-1]
+    k = x.shape[-1]
+    y = _w8a8_matmul_stacked_2d(
+        x.reshape(-1, k), qt3, col_scales3, idx,
+        out_dtype=out_dtype, interpret=interpret, int8_mxu=int8_mxu,
     )
     return y.reshape(lead + (y.shape[-1],))

@@ -62,7 +62,8 @@ def load_checkpoint_guess_config(
 
 
 def load_diffusion_model_gguf(
-    path: str, mesh=None, w8a8: Optional[bool] = None
+    path: str, mesh=None, w8a8: Optional[bool] = None,
+    scan_blocks: Optional[bool] = None,
 ) -> base_mod.DiffusionModel:
     """Flux GGUF -> quantized DiffusionModel (UnetLoaderGGUF parity).
 
@@ -73,7 +74,12 @@ def load_diffusion_model_gguf(
 
     ``w8a8`` (default: config.w8a8) requantizes the fused matmul weights
     per-column on device after upload for the int8-MXU compute path
-    (ops.ggml.QTensor8W)."""
+    (ops.ggml.QTensor8W).
+
+    ``scan_blocks`` (default: config.flux_scan) stacks the DiT block params
+    for the scan-over-blocks forward (models.flux.stack_block_params) —
+    ~15x less HLO to compile. Single-device only; ignored (with a log)
+    when a mesh is given."""
     from lightdiffusion_next_tpu.ops import ggml
 
     cfgv = _config.get_config()
@@ -109,6 +115,21 @@ def load_diffusion_model_gguf(
                 "keeping Q8_0 block-scale weights"
             )
         params = ggml.to_w8a8(params)
+
+    if scan_blocks is None:
+        scan_blocks = cfgv.flux_scan
+    if scan_blocks:
+        if mesh is not None:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "flux_scan is single-device; keeping the unrolled forward "
+                "for the tensor-parallel load"
+            )
+        else:
+            # stack AFTER the w8a8 conversion so the stacked leaves carry
+            # the final quantization form (StackedQTensor8W vs 8T)
+            params = flux_mod.stack_block_params(params, fcfg)
 
     return base_mod.DiffusionModel(
         apply_fn=flux_mod.make_apply_fn(fcfg),

@@ -488,6 +488,9 @@ def _get_flux_models(
     w8a8 = _config.get_config().w8a8
     if w8a8:
         variant += ":w8a8"
+    scan_blocks = _config.get_config().flux_scan and mesh is None
+    if scan_blocks:
+        variant += ":scan"
     model = cache.get(unet_path, variant=variant)
     if model is None:
         # one resident DiT at a time: a second 12B variant (w8a8 toggle /
@@ -496,7 +499,8 @@ def _get_flux_models(
         # under spmd the w8a8 conversion happens AFTER the local-view wrap
         # (the loader skips tp=True leaves by design)
         model = loader.load_diffusion_model_gguf(
-            unet_path, mesh=mesh, w8a8=w8a8 and not spmd
+            unet_path, mesh=mesh, w8a8=w8a8 and not spmd,
+            scan_blocks=scan_blocks,
         )
         if spmd:
             from lightdiffusion_next_tpu.parallel import spmd as spmd_mod

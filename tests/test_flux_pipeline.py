@@ -58,9 +58,10 @@ def _fake_flux_world(monkeypatch, tmp_path):
         def with_options(self, **k):
             return self
 
-    def fake_load_gguf(path, mesh=None, w8a8=None):
+    def fake_load_gguf(path, mesh=None, w8a8=None, scan_blocks=None):
         calls["unet"] += 1
         calls["disk"] += 1
+        calls["scan_blocks"] = scan_blocks
         return FakeModel()
 
     def fake_load_torch(path):
@@ -115,6 +116,33 @@ def test_flux_models_cached_across_calls(monkeypatch, tmp_path):
         assert calls["disk"] == disk_after_first, "second call hit the disk"
         assert calls["unet"] == 1 and calls["t5"] == 1 and calls["clip"] == 1
     finally:
+        cache.clear()
+
+
+def test_flux_scan_variant_keys_cache_and_reaches_loader(monkeypatch, tmp_path):
+    """config.flux_scan must flow into the GGUF loader (scan_blocks=True)
+    and key a DISTINCT ModelCache variant from the unrolled resident."""
+    import dataclasses as _dc
+
+    from lightdiffusion_next_tpu import config as _config
+
+    paths, calls = _fake_flux_world(monkeypatch, tmp_path)
+    cache = loader.get_model_cache()
+    cache.clear()
+    old = _config.get_config()
+    try:
+        args = (
+            paths["unet.gguf"], paths["t5.gguf"],
+            paths["clip_l.safetensors"], paths["ae.safetensors"],
+        )
+        pl._get_flux_models(*args)
+        assert calls["scan_blocks"] is False
+        _config.set_config(_dc.replace(old, flux_scan=True))
+        pl._get_flux_models(*args)
+        assert calls["scan_blocks"] is True
+        assert calls["unet"] == 2, "scan variant must not reuse the unrolled resident"
+    finally:
+        _config.set_config(old)
         cache.clear()
 
 
