@@ -169,11 +169,13 @@ class RuntimeConfig:
     )
     # Flux scan-over-blocks: stack the 19+38 identical DiT blocks' params
     # along a depth axis and lax.scan two block bodies instead of unrolling
-    # 57 blocks of HLO — ~15x smaller program, cutting the 430-1400 s
+    # 57 blocks of HLO — 7.2x smaller program (measured at production
+    # shapes, scripts/measure_flux_hlo.py), cutting the 430-1400 s
     # uncached XLA compile at production shapes to a fraction. Quantized
     # weights stream from the stacked arrays via Pallas scalar prefetch
-    # (no per-iteration slice copies). Single-device only (TP layouts keep
-    # the unrolled forward); opt-in via LDT_FLUX_SCAN=1 or CLI --flux-scan.
+    # (no per-iteration slice copies). Applies single-device and under
+    # LDT_FLUX_TP=spmd (stacked local shards scan per device); GSPMD TP
+    # keeps the unrolled forward. Opt-in via LDT_FLUX_SCAN=1 / --flux-scan.
     flux_scan: bool = dataclasses.field(
         default_factory=lambda: os.environ.get("LDT_FLUX_SCAN", "") == "1"
     )

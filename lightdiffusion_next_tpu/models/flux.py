@@ -271,7 +271,8 @@ def stack_block_params(params: Dict, cfg: FluxConfig) -> Dict:
 
     Why: the unrolled forward emits ~12 linears x 57 blocks of HLO, which
     costs 430-1400 s of uncached XLA compile at production shapes over the
-    TPU tunnel. Scanning two stacked bodies shrinks the program ~15x; the
+    TPU tunnel. Scanning two stacked bodies shrinks the program 7.2x
+    (measured at 1024px Q8_0 — scripts/measure_flux_hlo.py); the
     quantized weights stream from the stacked arrays via Pallas scalar
     prefetch so the scan costs no per-iteration weight copy.
 
@@ -393,7 +394,7 @@ def apply_flux(
         def run_rest(img):
             """Scan-over-blocks run_rest (same contract as the unrolled
             one below): remaining double blocks then all single blocks as
-            two lax.scan bodies — ~15x less HLO than 57 unrolled blocks."""
+            two lax.scan bodies — ~7x less HLO than 57 unrolled blocks."""
             def dbody(carry, idx):
                 im, tx = carry
                 im, tx = _double_block(

@@ -287,11 +287,19 @@ class StackedQTensor8T:
     scan counter) returns a per-iteration view whose fused_matmul streams
     tiles of block ``idx`` straight out of the stack via Pallas scalar
     prefetch (ops.quant_matmul.quant_matmul_stacked) — no (K, N) slice is
-    ever materialized. tp layouts never stack (scan mode is single-device)."""
+    ever materialized.
+
+    ``tp`` mirrors QTensor8T.tp: True for GLOBALLY SHARDED stacks (built by
+    parallel.spmd.stack_tp_block_params over a mesh — the slice view then
+    bypasses the single-device kernel for GSPMD-partitionable dequant+dot);
+    the shard_map local view rewraps with tp=False so the fused kernel runs
+    per shard. models.flux.stack_block_params (single-device) always
+    produces tp=False."""
 
     qt3: Any  # int8 (D, K, N)
     scales3: Any  # f32 (D, K/32, N)
     shape: Tuple[int, ...]  # per-block logical torch-layout (out=N, in=K)
+    tp: bool = False
 
     @property
     def depth(self) -> int:
@@ -301,23 +309,25 @@ class StackedQTensor8T:
         return _StackedSlice8T(self, idx)
 
     def tree_flatten(self):
-        return (self.qt3, self.scales3), self.shape
+        return (self.qt3, self.scales3), (self.shape, self.tp)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         qt3, scales3 = children
-        return cls(qt3, scales3, aux)
+        shape, tp = aux
+        return cls(qt3, scales3, shape, tp)
 
 
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class StackedQTensor8W:
     """Stacked per-column int8 (W8A8) weights — the scan-mode counterpart
-    of QTensor8W (see StackedQTensor8T)."""
+    of QTensor8W (see StackedQTensor8T, incl. the ``tp`` semantics)."""
 
     qt3: Any  # int8 (D, K, N)
     col_scales3: Any  # f32 (D, 1, N)
     shape: Tuple[int, ...]  # per-block logical (out=N, in=K)
+    tp: bool = False
 
     @property
     def depth(self) -> int:
@@ -327,12 +337,13 @@ class StackedQTensor8W:
         return _StackedSlice8W(self, idx)
 
     def tree_flatten(self):
-        return (self.qt3, self.col_scales3), self.shape
+        return (self.qt3, self.col_scales3), (self.shape, self.tp)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         qt3, col_scales3 = children
-        return cls(qt3, col_scales3, aux)
+        shape, tp = aux
+        return cls(qt3, col_scales3, shape, tp)
 
 
 class _StackedSlice8T:
@@ -379,7 +390,7 @@ class _StackedSlice8T:
         m = 1
         for s in x.shape[:-1]:
             m *= s
-        if qm.supported(m, k, n):
+        if not self.stack.tp and qm.supported(m, k, n):
             return qm.quant_matmul_stacked(
                 x, self.stack.qt3, self.stack.scales3, self.idx, out_dtype
             )
@@ -428,7 +439,7 @@ class _StackedSlice8W:
         m = 1
         for s in x.shape[:-1]:
             m *= s
-        if qm.supported_w8a8(m, k, n):
+        if not self.stack.tp and qm.supported_w8a8(m, k, n):
             return qm.w8a8_matmul_stacked(
                 x, self.stack.qt3, self.stack.col_scales3, self.idx, out_dtype
             )
@@ -519,6 +530,34 @@ def _jitted_requant_col(donate: bool):
     return jax.jit(requant, donate_argnums=(0,) if donate else ())
 
 
+@functools.lru_cache(maxsize=2)
+def _jitted_requant_col_stacked(donate: bool):
+    """Per-block (leading depth axis) W8A8 requant for stacked scan-mode
+    weights: (D, K, N) codes + (D, K/32, N) scales -> (D, K, N) int8 +
+    (D, 1, N) col scales. The column max is taken WITHIN each block —
+    identical codes to requantizing the D blocks one by one."""
+
+    def requant3(qt3, scales3):
+        d, k, n = qt3.shape
+
+        def one(args):
+            qt, st = args
+            w = qt.astype(jnp.float32).reshape(k // 32, 32, n) * st[:, None, :]
+            w = w.reshape(k, n)
+            cs = jnp.maximum(
+                jnp.max(jnp.abs(w), axis=0, keepdims=True), 1e-12
+            ) * (1.0 / 127.0)
+            codes = jnp.clip(jnp.round(w / cs), -127.0, 127.0).astype(jnp.int8)
+            return codes, cs
+
+        # lax.map (not vmap): the f32 dequant temp stays ONE block (~150 MB
+        # at Flux shapes), not D blocks (~5.7 GB — would OOM a 16 GB chip
+        # that already holds the 12 GB stacked codes).
+        return jax.lax.map(one, (qt3, scales3))
+
+    return jax.jit(requant3, donate_argnums=(0,) if donate else ())
+
+
 def to_w8a8(params: Dict[str, Any]) -> Dict[str, Any]:
     """Map every fused-layout QTensor8T leaf of a flat param dict to its
     per-column QTensor8W form (one jitted device pass per unique shape —
@@ -530,17 +569,31 @@ def to_w8a8(params: Dict[str, Any]) -> Dict[str, Any]:
     temp, not a second 12 GB code generation); callers must treat the
     input dict as dead after this returns. tp=True leaves pass through
     unconverted: the sharded path never takes the int8 kernel, so
-    conversion would cost per-column rounding for zero compute gain."""
+    conversion would cost per-column rounding for zero compute gain.
+
+    Scan-over-blocks dicts convert too: StackedQTensor8T leaves (nested
+    under the ``__double_stack__``/``__single_stack__`` sub-dicts) requant
+    per block via a vmapped pass -> StackedQTensor8W, so the spmd x scan
+    flow (parallel.spmd.to_spmd_model(scan_blocks=True) then to_w8a8 on
+    the local view) keeps the stacked layout."""
     from lightdiffusion_next_tpu import config as _config
 
     requant = _jitted_requant_col(_config.is_tpu())
+    requant3 = _jitted_requant_col_stacked(_config.is_tpu())
 
     def convert(v):
+        if isinstance(v, dict):
+            return {k: convert(x) for k, x in v.items()}
         if isinstance(v, QTensorLoRA):
             return QTensorLoRA(base=convert(v.base), up=v.up, down=v.down)
         if isinstance(v, QTensor8T) and not v.tp:
             codes, cs = requant(v.qt, v.scales_t)
             return QTensor8W(qt=codes, col_scales=cs, shape=v.shape, tp=v.tp)
+        if isinstance(v, StackedQTensor8T) and not v.tp:
+            codes, cs = requant3(v.qt3, v.scales3)
+            return StackedQTensor8W(
+                qt3=codes, col_scales3=cs, shape=v.shape, tp=v.tp
+            )
         return v
 
     return {k: convert(v) for k, v in params.items()}

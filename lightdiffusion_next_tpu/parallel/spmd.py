@@ -88,9 +88,66 @@ def _leaf_specs(key: str, leaf):
     return spec
 
 
+def _qt_spec(spec):
+    """Physical (K, N) partition spec for a logically (out=N, in=K)-spec'd
+    quantized weight (the fused layout stores codes transposed)."""
+    if spec == P("model", None):
+        return P(None, "model")
+    if spec == P(None, "model"):
+        return P("model", None)
+    return P()
+
+
+def _lead(spec) -> P:
+    """Prefix a PartitionSpec with the (replicated) stack depth axis."""
+    return P(*((None,) + tuple(spec)))
+
+
+def _stack_rep_key(stack_key: str, rel: str) -> str:
+    """Representative flat param key for a stacked family member, e.g.
+    ('__double_stack__', 'img_attn.qkv.weight') ->
+    'double_blocks.0.img_attn.qkv.weight' — flux_param_spec is keyed by
+    flat names and every block shares one spec."""
+    head = ("double_blocks.0."
+            if stack_key == flux_mod.DOUBLE_STACK_KEY else "single_blocks.0.")
+    return head + rel
+
+
+def _stacked_leaf_specs(rep_key: str, leaf):
+    """_leaf_specs for scan-mode stacked leaves: the per-block spec with a
+    replicated leading depth axis."""
+    spec = shard_rules.flux_param_spec(rep_key)
+    if isinstance(leaf, ggml.StackedQTensor8T):
+        qs = _lead(_qt_spec(spec))
+        return ggml.StackedQTensor8T(
+            qt3=qs, scales3=qs, shape=leaf.shape, tp=False
+        )
+    if isinstance(leaf, ggml.StackedQTensor8W):
+        if spec == P("model", None):  # column-parallel
+            qs, cs = _lead(P(None, "model")), _lead(P(None, "model"))
+        elif spec == P(None, "model"):  # row-parallel
+            qs, cs = _lead(P("model", None)), P()
+        else:
+            qs, cs = P(), P()
+        return ggml.StackedQTensor8W(
+            qt3=qs, col_scales3=cs, shape=leaf.shape, tp=False
+        )
+    return _lead(spec)
+
+
 def flux_tp_in_specs(params: Dict) -> Dict:
-    """shard_map in_specs pytree for a TP-laid-out Flux param dict."""
-    return {k: _leaf_specs(k, v) for k, v in params.items()}
+    """shard_map in_specs pytree for a TP-laid-out Flux param dict
+    (scan-mode stacked sub-dicts included)."""
+    out = {}
+    for k, v in params.items():
+        if k in (flux_mod.DOUBLE_STACK_KEY, flux_mod.SINGLE_STACK_KEY):
+            out[k] = {
+                rel: _stacked_leaf_specs(_stack_rep_key(k, rel), leaf)
+                for rel, leaf in v.items()
+            }
+        else:
+            out[k] = _leaf_specs(k, v)
+    return out
 
 
 def _local_view(params: Dict, tp: int) -> Dict:
@@ -106,7 +163,11 @@ def _local_view(params: Dict, tp: int) -> Dict:
             return ggml.QTensorLoRA(
                 base=conv(key, v.base), up=v.up, down=v.down
             )
-        if isinstance(v, (ggml.QTensor8T, ggml.QTensor8W)):
+        if isinstance(
+            v,
+            (ggml.QTensor8T, ggml.QTensor8W,
+             ggml.StackedQTensor8T, ggml.StackedQTensor8W),
+        ):
             out_d, in_d = v.shape
             if spec == P("model", None):
                 shape = (out_d // tp, in_d)
@@ -117,7 +178,16 @@ def _local_view(params: Dict, tp: int) -> Dict:
             return dataclasses.replace(v, shape=shape, tp=False)
         return v
 
-    return {k: conv(k, v) for k, v in params.items()}
+    out = {}
+    for k, v in params.items():
+        if k in (flux_mod.DOUBLE_STACK_KEY, flux_mod.SINGLE_STACK_KEY):
+            out[k] = {
+                rel: conv(_stack_rep_key(k, rel), leaf)
+                for rel, leaf in v.items()
+            }
+        else:
+            out[k] = conv(k, v)
+    return out
 
 
 def make_spmd_apply_fn(cfg: flux_mod.FluxConfig, mesh: Mesh, axis: str = "model"):
@@ -205,13 +275,120 @@ def make_spmd_apply_fn(cfg: flux_mod.FluxConfig, mesh: Mesh, axis: str = "model"
     return apply_fn, partial(_local_view, tp=tp)
 
 
-def to_spmd_model(model, mesh: Mesh, axis: str = "model"):
+def stack_tp_block_params(params: Dict, cfg, mesh: Mesh) -> Dict:
+    """models.flux.stack_block_params for GLOBALLY SHARDED TP params: every
+    ``double_blocks.{i}.K`` / ``single_blocks.{i}.K`` family stacks along a
+    replicated leading depth axis with the per-block Megatron sharding
+    preserved on the trailing dims (explicit out_shardings — each device
+    stacks its own shards; no resharding traffic). Quantized leaves come
+    out tp=True (GSPMD-safe dequant+dot until the shard_map local view
+    rewraps them tp=False for the fused kernels).
+
+    Raises ValueError for families that cannot stack (LoRA patches, ragged
+    or non-uniform groups) — callers keep those models unrolled."""
+    from jax.sharding import NamedSharding
+
+    depths = {
+        "double_blocks": cfg.depth,
+        "single_blocks": cfg.depth_single_blocks,
+    }
+    out: Dict = {}
+    per: Dict[str, Dict[str, Dict[int, object]]] = {g: {} for g in depths}
+    for k, v in params.items():
+        head, _, rest = k.partition(".")
+        if head in depths and rest:
+            idx_s, _, rel = rest.partition(".")
+            if idx_s.isdigit() and rel:
+                per[head].setdefault(rel, {})[int(idx_s)] = v
+                continue
+        out[k] = v
+
+    def stack_arrays(arrs, spec):
+        sh = NamedSharding(mesh, _lead(spec))
+        return jax.jit(
+            lambda *xs: jnp.stack(xs), out_shardings=sh
+        )(*arrs)
+
+    def stack_family(rep_key: str, leaves):
+        first = leaves[0]
+        if isinstance(first, ggml.QTensorLoRA):
+            raise ValueError(
+                "LoRA-patched weights cannot be stacked for scan mode"
+            )
+        spec = shard_rules.flux_param_spec(rep_key)
+        if isinstance(first, ggml.QTensor8T):
+            if any(not isinstance(l, ggml.QTensor8T) or l.shape != first.shape
+                   for l in leaves):
+                raise ValueError(f"non-uniform QTensor8T family {rep_key}")
+            qs = _qt_spec(spec)
+            return ggml.StackedQTensor8T(
+                qt3=stack_arrays([l.qt for l in leaves], qs),
+                scales3=stack_arrays([l.scales_t for l in leaves], qs),
+                shape=first.shape,
+                tp=True,
+            )
+        if isinstance(first, ggml.QTensor8W):
+            if any(not isinstance(l, ggml.QTensor8W) or l.shape != first.shape
+                   for l in leaves):
+                raise ValueError(f"non-uniform QTensor8W family {rep_key}")
+            qs = _qt_spec(spec)
+            cs = P(None, "model") if spec == P("model", None) else P()
+            return ggml.StackedQTensor8W(
+                qt3=stack_arrays([l.qt for l in leaves], qs),
+                col_scales3=stack_arrays([l.col_scales for l in leaves], cs),
+                shape=first.shape,
+                tp=True,
+            )
+        if ggml.is_quantized(first):
+            raise ValueError(
+                f"cannot stack {type(first).__name__} leaves for {rep_key}"
+            )
+        if any(getattr(l, "shape", None) != first.shape for l in leaves):
+            raise ValueError(f"non-uniform dense family {rep_key}")
+        return stack_arrays(leaves, spec)
+
+    for head, fams in per.items():
+        depth = depths[head]
+        key = (flux_mod.DOUBLE_STACK_KEY if head == "double_blocks"
+               else flux_mod.SINGLE_STACK_KEY)
+        stacked = {}
+        for rel, by_idx in fams.items():
+            if sorted(by_idx) != list(range(depth)):
+                raise ValueError(
+                    f"{head}.*.{rel}: blocks {sorted(by_idx)} != 0..{depth - 1}"
+                )
+            stacked[rel] = stack_family(
+                _stack_rep_key(key, rel), [by_idx[i] for i in range(depth)]
+            )
+        out[key] = stacked
+    return out
+
+
+def to_spmd_model(model, mesh: Mesh, axis: str = "model",
+                  scan_blocks: bool = False):
     """Rewrap a TP-loaded DiffusionModel (GSPMD semantics) as a shard_map
-    TP model: same sharded param arrays, fused-kernel compute path."""
+    TP model: same sharded param arrays, fused-kernel compute path.
+
+    ``scan_blocks`` stacks the DiT block params first
+    (stack_tp_block_params) so the shard_map body runs the scan-over-blocks
+    forward — the same ~7x compile-size cut as single-device --flux-scan,
+    per shard. Falls back to the unrolled spmd forward (with a log) when
+    the params cannot stack (e.g. LoRA-patched blocks)."""
     apply_fn, local_view = make_spmd_apply_fn(model.config, mesh, axis)
+    params = model.params
+    if scan_blocks:
+        try:
+            params = stack_tp_block_params(params, model.config, mesh)
+        except ValueError as e:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "flux_scan unavailable under spmd (%s); keeping the "
+                "unrolled shard_map forward", e,
+            )
     # uid=None mints a fresh trace identity: the runner caches key compiled
     # programs by uid, and the spmd apply_fn is a different program than
     # the GSPMD one this model was loaded with
     return dataclasses.replace(
-        model, apply_fn=apply_fn, params=local_view(model.params), uid=None
+        model, apply_fn=apply_fn, params=local_view(params), uid=None
     )

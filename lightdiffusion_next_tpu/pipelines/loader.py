@@ -78,7 +78,8 @@ def load_diffusion_model_gguf(
 
     ``scan_blocks`` (default: config.flux_scan) stacks the DiT block params
     for the scan-over-blocks forward (models.flux.stack_block_params) —
-    ~15x less HLO to compile. Single-device only; ignored (with a log)
+    7.2x less HLO to compile. Single-device only at the loader level;
+    ignored (with a log)
     when a mesh is given."""
     from lightdiffusion_next_tpu.ops import ggml
 
@@ -123,8 +124,9 @@ def load_diffusion_model_gguf(
             import logging
 
             logging.getLogger(__name__).warning(
-                "flux_scan is single-device; keeping the unrolled forward "
-                "for the tensor-parallel load"
+                "flux_scan does not apply to a GSPMD tensor-parallel load; "
+                "keeping the unrolled forward (use LDT_FLUX_TP=spmd — "
+                "parallel.spmd.to_spmd_model stacks the sharded blocks)"
             )
         else:
             # stack AFTER the w8a8 conversion so the stacked leaves carry

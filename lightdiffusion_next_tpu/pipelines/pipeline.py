@@ -488,7 +488,10 @@ def _get_flux_models(
     w8a8 = _config.get_config().w8a8
     if w8a8:
         variant += ":w8a8"
-    scan_blocks = _config.get_config().flux_scan and mesh is None
+    # scan-over-blocks composes with single-device AND shard_map TP (the
+    # stacked local shards scan per device); GSPMD TP keeps the unrolled
+    # forward (its tp leaves bypass the scalar-prefetch kernels anyway)
+    scan_blocks = _config.get_config().flux_scan and (mesh is None or spmd)
     if scan_blocks:
         variant += ":scan"
     model = cache.get(unet_path, variant=variant)
@@ -500,13 +503,15 @@ def _get_flux_models(
         # (the loader skips tp=True leaves by design)
         model = loader.load_diffusion_model_gguf(
             unet_path, mesh=mesh, w8a8=w8a8 and not spmd,
-            scan_blocks=scan_blocks,
+            scan_blocks=scan_blocks and mesh is None,
         )
         if spmd:
             from lightdiffusion_next_tpu.parallel import spmd as spmd_mod
 
             try:
-                model = spmd_mod.to_spmd_model(model, mesh)
+                model = spmd_mod.to_spmd_model(
+                    model, mesh, scan_blocks=scan_blocks
+                )
                 if w8a8:
                     model = model.with_params(ggml.to_w8a8(model.params))
             except ValueError as e:

@@ -26,6 +26,11 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
+
+# abstract lowering needs no device — and the sandbox's sitecustomize
+# re-adds the axon platform over JAX_PLATFORMS=cpu (a dead relay then
+# hangs backend init), so force CPU in-process
+jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 
 from lightdiffusion_next_tpu.models import flux as flux_mod
@@ -138,7 +143,7 @@ def _abstract_stack(params, cfg):
     return out
 
 
-def _lower(cfg, params, x, t, ctx, y):
+def _lower(cfg, params, x, t, ctx, y, tag):
     fn = jax.jit(
         lambda p, xx, tt, cc, yy: flux_mod.apply_flux(
             p, xx, tt, cc, yy, cfg=cfg
@@ -148,11 +153,13 @@ def _lower(cfg, params, x, t, ctx, y):
     lowered = fn.lower(params, x, t, ctx, y)
     trace_s = time.perf_counter() - t0
     text = lowered.as_text()
-    return {
+    res = {
         "trace_lower_s": round(trace_s, 2),
         "stablehlo_bytes": len(text),
         "stablehlo_lines": text.count("\n"),
     }
+    print(f"# {tag}: {json.dumps(res)}", flush=True)
+    return res
 
 
 def main():
@@ -172,8 +179,8 @@ def main():
     params = _abstract_params(cfg, args.quant)
     res = {"quant": args.quant, "height": args.height,
            "img_tokens": (h // 2) ** 2, "txt_tokens": args.txt}
-    res["unrolled"] = _lower(cfg, params, x, t, ctx, y)
-    res["scan"] = _lower(cfg, _abstract_stack(params, cfg), x, t, ctx, y)
+    res["scan"] = _lower(cfg, _abstract_stack(params, cfg), x, t, ctx, y, "scan")
+    res["unrolled"] = _lower(cfg, params, x, t, ctx, y, "unrolled")
     res["hlo_size_ratio"] = round(
         res["unrolled"]["stablehlo_bytes"] / res["scan"]["stablehlo_bytes"], 1
     )

@@ -159,7 +159,7 @@ def test_flux_spmd_wrap_failure_falls_back_to_gspmd(
 
     paths, calls = _fake_flux_world(monkeypatch, tmp_path)
 
-    def broken_wrap(model, mesh):
+    def broken_wrap(model, mesh, scan_blocks=False):
         raise ValueError("num_heads 24 not divisible by tp=16")
 
     monkeypatch.setattr(spmd_mod, "to_spmd_model", broken_wrap)
