@@ -44,6 +44,7 @@ DEFAULT_SETTINGS = {
     "enable_preview": True,
     "w8a8": False,
     "sage_attention": False,
+    "flux_scan": False,
 }
 
 
@@ -107,8 +108,9 @@ def generate_images_with_preview(
 
         get_model_cache().set_keep_models_loaded(keep_loaded)
 
-        if "w8a8" in kwargs or "sage_attention" in kwargs:
-            # int8-MXU compute toggles (this framework's own)
+        if "w8a8" in kwargs or "sage_attention" in kwargs \
+                or "flux_scan" in kwargs:
+            # int8-MXU compute / scan-forward toggles (this framework's own)
             import dataclasses as _dc
 
             from lightdiffusion_next_tpu import config as _config
@@ -120,6 +122,7 @@ def generate_images_with_preview(
                 sage_attention=bool(
                     kwargs.pop("sage_attention", cfg.sage_attention)
                 ),
+                flux_scan=bool(kwargs.pop("flux_scan", cfg.flux_scan)),
             ))
 
         img2img_enabled = bool(kwargs.pop("img2img_enabled", False))
@@ -348,6 +351,12 @@ def build_app():
                         info="SageAttention-style int8 QK/PV; 2x MXU rate "
                              "at SD1.5 head dims",
                     )
+                    flux_scan = gr.Checkbox(
+                        value=s["flux_scan"],
+                        label="Flux scan-over-blocks",
+                        info="7.2x smaller program for cold-start compiles "
+                             "(single chip / spmd TP)",
+                    )
                 with gr.Row():
                     img2img = gr.Checkbox(
                         value=s["img2img_enabled"], label="Image to image"
@@ -413,7 +422,7 @@ def build_app():
         def on_generate(
             prompt, negative, width, height, num_images, batch_size, hires,
             adet, enh, speed, hdr, realistic, flux, reuse, keep, prev,
-            use_w8a8, use_sage, i2i_enabled, i2i_image, ms_preset,
+            use_w8a8, use_sage, use_flux_scan, i2i_enabled, i2i_image, ms_preset,
             ms_enabled, ms_intermittent, ms_factor, ms_start, ms_end,
         ):
             ms_kwargs = multiscale_kwargs(
@@ -447,6 +456,7 @@ def build_app():
                     "enable_preview": bool(prev),
                     "w8a8": bool(use_w8a8),
                     "sage_attention": bool(use_sage),
+                    "flux_scan": bool(use_flux_scan),
                 }
             )
             paths, state = [], "starting"
@@ -465,6 +475,7 @@ def build_app():
                 enable_preview=bool(prev),
                 w8a8=bool(use_w8a8),
                 sage_attention=bool(use_sage),
+                flux_scan=bool(use_flux_scan),
                 img2img_enabled=bool(i2i_enabled),
                 img2img_image=i2i_image,
                 prio_speed=speed,
@@ -483,7 +494,8 @@ def build_app():
             on_generate,
             [prompt, negative, width, height, num_images, batch_size, hires,
              adet, enh, speed, hdr, realistic, flux, reuse_seed, keep_loaded,
-             preview_on, w8a8, sage_attn, img2img, img2img_image, ms_preset,
+             preview_on, w8a8, sage_attn, flux_scan, img2img, img2img_image,
+             ms_preset,
              ms_enabled, ms_intermittent, ms_factor, ms_start, ms_end],
             [gallery, status, history, history_paths],
         )

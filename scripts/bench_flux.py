@@ -180,6 +180,20 @@ def main():
         )
         print(f"w8a8 requant: {time.perf_counter()-t0:.1f}s", flush=True)
 
+    # --flux-scan: stacked-block scan forward — compare the "compile+first
+    # run" line vs the unrolled default for the cold-compile delta (clear
+    # the persistent XLA cache first or the comparison is meaningless)
+    use_scan = "--flux-scan" in sys.argv
+    if use_scan:
+        t0 = time.perf_counter()
+        params = flux_mod.stack_block_params(params, fcfg)
+        import jax as _jax
+
+        _jax.block_until_ready(
+            params[flux_mod.DOUBLE_STACK_KEY]["img_attn.qkv.weight"].qt3
+        )
+        print(f"block stacking: {time.perf_counter()-t0:.1f}s", flush=True)
+
     def apply_fn(p, x, t, context, y=None, guidance=None,
                  first_block_hook=None, **_):
         return flux_mod.apply_flux(
@@ -286,6 +300,7 @@ def main():
                 "metric": f"flux_dev_q8_txt2img_1024px_{n_steps}step_s_per_image"
                 + ("" if use_fbcache else "_nofbcache")
                 + ("_w8a8" if use_w8a8 else "")
+                + ("_scan" if use_scan else "")
                 + (f"_batch{batch}" if batch != 1 else "")
                 + ("_preview" if callback is not None else ""),
                 "value": round(dt / batch, 3),
