@@ -56,9 +56,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "analogue)")
     p.add_argument("--flux-scan", action="store_true",
                    help="Flux: scan over stacked DiT blocks instead of "
-                        "unrolling 57 blocks of HLO — 7.2x smaller program, "
-                        "compile; single device or LDT_FLUX_TP=spmd "
-                        "(GSPMD TP keeps the unroll; no reference analogue)")
+                        "unrolling 57 blocks of HLO — 7.2x smaller program "
+                        "for cold-start compiles; single device or "
+                        "LDT_FLUX_TP=spmd (GSPMD TP keeps the unroll; no "
+                        "reference analogue)")
     return p
 
 

@@ -263,6 +263,38 @@ class _StackView:
         return _StackView(self.params, self.idx, self.prefix + sub)
 
 
+def group_block_params(
+    params: Dict, cfg: FluxConfig
+) -> Tuple[Dict, Dict[str, Dict[str, list]]]:
+    """Split a flat Flux param dict into (non_block, families) where
+    ``families[head][rel]`` is the depth-ordered leaf list of one
+    ``{head}.{i}.{rel}`` family. Shared by the single-device and the
+    tensor-parallel (parallel.spmd.stack_tp_block_params) stackers.
+    Raises ValueError for ragged families (missing/extra block indices)."""
+    out: Dict[str, Any] = {}
+    depths = {"double_blocks": cfg.depth, "single_blocks": cfg.depth_single_blocks}
+    per_key: Dict[str, Dict[str, Dict[int, Any]]] = {g: {} for g in depths}
+    for k, v in params.items():
+        head, _, rest = k.partition(".")
+        if head in depths and rest:
+            idx_s, _, rel = rest.partition(".")
+            if idx_s.isdigit() and rel:
+                per_key[head].setdefault(rel, {})[int(idx_s)] = v
+                continue
+        out[k] = v
+    fams: Dict[str, Dict[str, list]] = {}
+    for head, groups in per_key.items():
+        depth = depths[head]
+        fams[head] = {}
+        for rel, by_idx in groups.items():
+            if sorted(by_idx) != list(range(depth)):
+                raise ValueError(
+                    f"{head}.*.{rel}: blocks {sorted(by_idx)} != 0..{depth - 1}"
+                )
+            fams[head][rel] = [by_idx[i] for i in range(depth)]
+    return out, fams
+
+
 def stack_block_params(params: Dict, cfg: FluxConfig) -> Dict:
     """Re-group a flat Flux param dict for the scan-over-blocks forward:
     every ``double_blocks.{i}.K`` / ``single_blocks.{i}.K`` family is
@@ -276,33 +308,37 @@ def stack_block_params(params: Dict, cfg: FluxConfig) -> Dict:
     quantized weights stream from the stacked arrays via Pallas scalar
     prefetch so the scan costs no per-iteration weight copy.
 
-    Raises ValueError for layouts that cannot scan (tp-sharded leaves,
-    per-block LoRA patches, ragged block families) — callers keep those
-    models on the unrolled forward."""
+    CONSUMES ``params`` (same contract as ops.ggml.to_w8a8): every family
+    is validated up front, then the input dict is cleared and families
+    stack one at a time, awaiting each stack before dropping the source
+    leaves — peak extra device memory is ONE family's stack (~1.8 GB at
+    Flux 12B scale), not a second 13 GB generation next to the 13-GB
+    resident on a 16 GB chip. Callers must treat the input dict as dead.
+
+    Raises ValueError BEFORE consuming anything for layouts that cannot
+    scan (tp-sharded leaves, per-block LoRA patches, ragged block
+    families) — callers keep those models on the unrolled forward."""
     if cfg.tp_layout or cfg.tp_axis is not None:
         raise ValueError("scan mode is single-device; tp layouts do not stack")
     from lightdiffusion_next_tpu.ops import ggml
 
-    out: Dict[str, Any] = {}
-    depths = {"double_blocks": cfg.depth, "single_blocks": cfg.depth_single_blocks}
-    per_key: Dict[str, Dict[str, Dict[int, Any]]] = {g: {} for g in depths}
-    for k, v in params.items():
-        head, _, rest = k.partition(".")
-        if head in depths and rest:
-            idx_s, _, rel = rest.partition(".")
-            if idx_s.isdigit() and rel:
-                per_key[head].setdefault(rel, {})[int(idx_s)] = v
-                continue
-        out[k] = v
-    for head, fams in per_key.items():
-        depth = depths[head]
+    out, fams = group_block_params(params, cfg)
+    for head in fams:
+        for rel, leaves in fams[head].items():
+            ggml.check_stackable(leaves)  # validate-all-first: a failure
+            # mid-stack after the dict is consumed would strand the caller
+    params.clear()
+    for head, groups in fams.items():
         stacked = {}
-        for rel, by_idx in fams.items():
-            if sorted(by_idx) != list(range(depth)):
-                raise ValueError(
-                    f"{head}.*.{rel}: blocks {sorted(by_idx)} != 0..{depth - 1}"
-                )
-            stacked[rel] = ggml.stack_leaves([by_idx[i] for i in range(depth)])
+        for rel in list(groups):
+            leaves = groups.pop(rel)
+            s = ggml.stack_leaves(leaves)
+            del leaves
+            # await before releasing the sources: enqueued-but-unexecuted
+            # stacks pin their input buffers, so without this every family
+            # would be in flight at once and peak memory doubles anyway
+            jax.block_until_ready(s)
+            stacked[rel] = s
         out[DOUBLE_STACK_KEY if head == "double_blocks" else SINGLE_STACK_KEY] = (
             stacked
         )

@@ -126,6 +126,17 @@ def apply_lora(
 
         patches = tp_layout.to_tp_layout_patches(patches, model_cfg)
 
+    from lightdiffusion_next_tpu.models import flux as flux_mod
+
+    if flux_mod.is_stacked(params):
+        # scan-mode dicts have no flat double_blocks.*/single_blocks.* keys;
+        # the skip-missing loop below would silently drop every block patch
+        # and generate as if the LoRA were not loaded
+        raise ValueError(
+            "cannot apply LoRA to a scan-mode (stacked) Flux model — load "
+            "with flux_scan disabled, or apply the LoRA before stacking"
+        )
+
     out = dict(params)
     for key, (up, down, alpha) in patches.items():
         if key not in out:

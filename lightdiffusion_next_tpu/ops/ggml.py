@@ -391,6 +391,7 @@ class _StackedSlice8T:
         for s in x.shape[:-1]:
             m *= s
         if not self.stack.tp and qm.supported(m, k, n):
+            _check_not_silently_sharded(self.stack.qt3, "StackedQTensor8T")
             return qm.quant_matmul_stacked(
                 x, self.stack.qt3, self.stack.scales3, self.idx, out_dtype
             )
@@ -440,6 +441,7 @@ class _StackedSlice8W:
         for s in x.shape[:-1]:
             m *= s
         if not self.stack.tp and qm.supported_w8a8(m, k, n):
+            _check_not_silently_sharded(self.stack.qt3, "StackedQTensor8W")
             return qm.w8a8_matmul_stacked(
                 x, self.stack.qt3, self.stack.col_scales3, self.idx, out_dtype
             )
@@ -452,6 +454,35 @@ class _StackedSlice8W:
         )
 
 
+def check_stackable(leaves, allow_tp: bool = False) -> None:
+    """Raise ValueError unless ``leaves`` is a uniform, stackable family
+    (see stack_leaves). Split out so stackers can validate EVERY family
+    before consuming the source dict — a mid-stack failure after partial
+    consumption would strand the caller with neither layout."""
+    first = leaves[0]
+    if isinstance(first, QTensorLoRA):
+        raise ValueError("LoRA-patched weights cannot be stacked for scan mode")
+    if isinstance(first, (QTensor8T, QTensor8W)):
+        kind = type(first)
+        if any(not isinstance(l, kind) or l.shape != first.shape
+               or (l.tp and not allow_tp) for l in leaves):
+            raise ValueError(
+                f"non-uniform or tp-sharded {kind.__name__} group"
+            )
+        return
+    if is_quantized(first):
+        raise ValueError(
+            f"cannot stack {type(first).__name__} leaves (fused layout only)"
+        )
+    shape = np.shape(first)
+    dtype = getattr(first, "dtype", None)
+    if any(
+        np.shape(l) != shape or getattr(l, "dtype", None) != dtype
+        for l in leaves
+    ):
+        raise ValueError("non-uniform dense leaf group")
+
+
 def stack_leaves(leaves):
     """Stack D per-block leaves (one key across every block) into the scan
     -mode stacked form: QTensor8T -> StackedQTensor8T, QTensor8W ->
@@ -459,35 +490,21 @@ def stack_leaves(leaves):
     the same kind and per-block shape; QTensorLoRA (compute-time LoRA) and
     tp-flagged leaves refuse to stack — callers fall back to the unrolled
     forward for those models."""
+    check_stackable(leaves)
     first = leaves[0]
-    if isinstance(first, QTensorLoRA):
-        raise ValueError("LoRA-patched weights cannot be stacked for scan mode")
     if isinstance(first, QTensor8T):
-        if any(not isinstance(l, QTensor8T) or l.shape != first.shape
-               or l.tp for l in leaves):
-            raise ValueError("non-uniform or tp-sharded QTensor8T group")
         return StackedQTensor8T(
             qt3=jnp.stack([l.qt for l in leaves]),
             scales3=jnp.stack([l.scales_t for l in leaves]),
             shape=first.shape,
         )
     if isinstance(first, QTensor8W):
-        if any(not isinstance(l, QTensor8W) or l.shape != first.shape
-               or l.tp for l in leaves):
-            raise ValueError("non-uniform or tp-sharded QTensor8W group")
         return StackedQTensor8W(
             qt3=jnp.stack([l.qt for l in leaves]),
             col_scales3=jnp.stack([l.col_scales for l in leaves]),
             shape=first.shape,
         )
-    if is_quantized(first):
-        raise ValueError(
-            f"cannot stack {type(first).__name__} leaves (fused layout only)"
-        )
-    arrs = [jnp.asarray(l) for l in leaves]
-    if any(a.shape != arrs[0].shape or a.dtype != arrs[0].dtype for a in arrs):
-        raise ValueError("non-uniform dense leaf group")
-    return jnp.stack(arrs)
+    return jnp.stack([jnp.asarray(l) for l in leaves])
 
 
 def _check_not_silently_sharded(arr, kind: str) -> None:

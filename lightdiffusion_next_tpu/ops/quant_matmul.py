@@ -511,17 +511,34 @@ def _quant_matmul_stacked_2d(
     return out[:m] if mp != m else out
 
 
+@functools.lru_cache(maxsize=1)
+def _jitted_quant_matmul_stacked_2d():
+    """Standalone-call jit of the stacked entry, carrying the scoped-vmem
+    compiler option (see _jitted_quant_matmul_2d). The scan-body calls are
+    always inside an outer trace and never reach this; the UNROLLED block 0
+    of an eagerly-called apply_flux on stacked params does."""
+    from lightdiffusion_next_tpu import config as _config
+
+    return _config.ldt_jit(
+        _quant_matmul_stacked_2d,
+        static_argnames=("out_dtype", "interpret", "tile_m", "tile_k",
+                         "tile_n"),
+    )
+
+
 def quant_matmul_stacked(x, qt3, scales3, idx, out_dtype=None, interpret=None):
     """Batched wrapper: x (..., K) x stacked-weight block ``idx`` -> (..., N).
-    Always called from inside an outer trace (the flux block scan), so no
-    standalone self-jit exists — the outer ldt_jit carries the scoped-vmem
-    option (see quant_matmul_2d's discipline note)."""
+    Scan-body calls run inside the outer ldt_jit (which carries the
+    scoped-vmem option); a standalone call (eager apply_flux — the
+    static-index block 0) self-jits with the option, like quant_matmul_2d."""
     out_dtype = out_dtype or x.dtype
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     lead = x.shape[:-1]
     k = x.shape[-1]
-    y = _quant_matmul_stacked_2d(
+    entry = _quant_matmul_stacked_2d if _tracing() \
+        else _jitted_quant_matmul_stacked_2d()
+    y = entry(
         x.reshape(-1, k), qt3, scales3, idx,
         out_dtype=out_dtype, interpret=interpret,
     )
@@ -758,16 +775,32 @@ def _w8a8_matmul_stacked_2d(
     return out[:m] if mp != m else out
 
 
+@functools.lru_cache(maxsize=1)
+def _jitted_w8a8_matmul_stacked_2d():
+    """Standalone-call jit with the scoped-vmem option (see
+    _jitted_quant_matmul_stacked_2d)."""
+    from lightdiffusion_next_tpu import config as _config
+
+    return _config.ldt_jit(
+        _w8a8_matmul_stacked_2d,
+        static_argnames=("out_dtype", "interpret", "tile_m", "tile_k",
+                         "tile_n", "int8_mxu"),
+    )
+
+
 def w8a8_matmul_stacked(
     x, qt3, col_scales3, idx, out_dtype=None, interpret=None, int8_mxu=True
 ):
-    """Batched wrapper: x (..., K) x stacked W8A8 block ``idx`` -> (..., N)."""
+    """Batched wrapper: x (..., K) x stacked W8A8 block ``idx`` -> (..., N).
+    Same outer-jit discipline as quant_matmul_stacked."""
     out_dtype = out_dtype or x.dtype
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     lead = x.shape[:-1]
     k = x.shape[-1]
-    y = _w8a8_matmul_stacked_2d(
+    entry = _w8a8_matmul_stacked_2d if _tracing() \
+        else _jitted_w8a8_matmul_stacked_2d()
+    y = entry(
         x.reshape(-1, k), qt3, col_scales3, idx,
         out_dtype=out_dtype, interpret=interpret, int8_mxu=int8_mxu,
     )

@@ -45,6 +45,23 @@ from lightdiffusion_next_tpu.ops import ggml
 from lightdiffusion_next_tpu.parallel import sharding as shard_rules
 
 
+def _qt_spec(spec):
+    """Physical (K, N) partition spec for a logically (out=N, in=K)-spec'd
+    quantized weight (the fused layout stores codes transposed)."""
+    if spec == P("model", None):
+        return P(None, "model")
+    if spec == P(None, "model"):
+        return P("model", None)
+    return P()
+
+
+def _cs_spec(spec):
+    """Partition spec for W8A8 (1, N) col_scales given the logical weight
+    spec: sharded with the out dim when column-parallel, replicated when
+    row-parallel (every shard applies the same full-N scales after psum)."""
+    return P(None, "model") if spec == P("model", None) else P()
+
+
 def _leaf_specs(key: str, leaf):
     """Per-leaf PartitionSpecs for one param entry, in the pytree
     structure of the leaf itself (so the resulting dict is a valid
@@ -68,34 +85,14 @@ def _leaf_specs(key: str, leaf):
             base=_leaf_specs(key, leaf.base), up=up_s, down=down_s
         )
     if isinstance(leaf, ggml.QTensor8W):
-        if spec == P("model", None):  # column-parallel: out dim sharded
-            qs, cs = P(None, "model"), P(None, "model")
-        elif spec == P(None, "model"):  # row-parallel: in dim sharded
-            qs, cs = P("model", None), P()
-        else:
-            qs, cs = P(), P()
         return ggml.QTensor8W(
-            qt=qs, col_scales=cs, shape=leaf.shape, tp=False
+            qt=_qt_spec(spec), col_scales=_cs_spec(spec),
+            shape=leaf.shape, tp=False,
         )
     if isinstance(leaf, ggml.QTensor8T):
-        if spec == P("model", None):
-            qs = P(None, "model")
-        elif spec == P(None, "model"):
-            qs = P("model", None)
-        else:
-            qs = P()
+        qs = _qt_spec(spec)
         return ggml.QTensor8T(qt=qs, scales_t=qs, shape=leaf.shape, tp=False)
     return spec
-
-
-def _qt_spec(spec):
-    """Physical (K, N) partition spec for a logically (out=N, in=K)-spec'd
-    quantized weight (the fused layout stores codes transposed)."""
-    if spec == P("model", None):
-        return P(None, "model")
-    if spec == P(None, "model"):
-        return P("model", None)
-    return P()
 
 
 def _lead(spec) -> P:
@@ -123,14 +120,12 @@ def _stacked_leaf_specs(rep_key: str, leaf):
             qt3=qs, scales3=qs, shape=leaf.shape, tp=False
         )
     if isinstance(leaf, ggml.StackedQTensor8W):
-        if spec == P("model", None):  # column-parallel
-            qs, cs = _lead(P(None, "model")), _lead(P(None, "model"))
-        elif spec == P(None, "model"):  # row-parallel
-            qs, cs = _lead(P("model", None)), P()
-        else:
-            qs, cs = P(), P()
+        cs = _cs_spec(spec)
         return ggml.StackedQTensor8W(
-            qt3=qs, col_scales3=cs, shape=leaf.shape, tp=False
+            qt3=_lead(_qt_spec(spec)),
+            col_scales3=_lead(cs) if len(cs) else P(),
+            shape=leaf.shape,
+            tp=False,
         )
     return _lead(spec)
 
@@ -284,24 +279,22 @@ def stack_tp_block_params(params: Dict, cfg, mesh: Mesh) -> Dict:
     out tp=True (GSPMD-safe dequant+dot until the shard_map local view
     rewraps them tp=False for the fused kernels).
 
-    Raises ValueError for families that cannot stack (LoRA patches, ragged
-    or non-uniform groups) — callers keep those models unrolled."""
+    CONSUMES ``params`` like models.flux.stack_block_params: every family
+    is validated up front (so a failure leaves the caller's dict intact),
+    then the dict is cleared and families stack one at a time, awaiting
+    each stack before releasing its source shards — peak extra device
+    memory is one family's stack per device, not a second full generation.
+
+    Raises ValueError BEFORE consuming for families that cannot stack
+    (LoRA patches, ragged or non-uniform groups) — callers keep those
+    models unrolled."""
     from jax.sharding import NamedSharding
 
-    depths = {
-        "double_blocks": cfg.depth,
-        "single_blocks": cfg.depth_single_blocks,
-    }
-    out: Dict = {}
-    per: Dict[str, Dict[str, Dict[int, object]]] = {g: {} for g in depths}
-    for k, v in params.items():
-        head, _, rest = k.partition(".")
-        if head in depths and rest:
-            idx_s, _, rel = rest.partition(".")
-            if idx_s.isdigit() and rel:
-                per[head].setdefault(rel, {})[int(idx_s)] = v
-                continue
-        out[k] = v
+    out, fams = flux_mod.group_block_params(params, cfg)
+    for head in fams:
+        for leaves in fams[head].values():
+            ggml.check_stackable(leaves, allow_tp=True)
+    params.clear()
 
     def stack_arrays(arrs, spec):
         sh = NamedSharding(mesh, _lead(spec))
@@ -311,15 +304,8 @@ def stack_tp_block_params(params: Dict, cfg, mesh: Mesh) -> Dict:
 
     def stack_family(rep_key: str, leaves):
         first = leaves[0]
-        if isinstance(first, ggml.QTensorLoRA):
-            raise ValueError(
-                "LoRA-patched weights cannot be stacked for scan mode"
-            )
         spec = shard_rules.flux_param_spec(rep_key)
         if isinstance(first, ggml.QTensor8T):
-            if any(not isinstance(l, ggml.QTensor8T) or l.shape != first.shape
-                   for l in leaves):
-                raise ValueError(f"non-uniform QTensor8T family {rep_key}")
             qs = _qt_spec(spec)
             return ggml.StackedQTensor8T(
                 qt3=stack_arrays([l.qt for l in leaves], qs),
@@ -328,38 +314,27 @@ def stack_tp_block_params(params: Dict, cfg, mesh: Mesh) -> Dict:
                 tp=True,
             )
         if isinstance(first, ggml.QTensor8W):
-            if any(not isinstance(l, ggml.QTensor8W) or l.shape != first.shape
-                   for l in leaves):
-                raise ValueError(f"non-uniform QTensor8W family {rep_key}")
-            qs = _qt_spec(spec)
-            cs = P(None, "model") if spec == P("model", None) else P()
             return ggml.StackedQTensor8W(
-                qt3=stack_arrays([l.qt for l in leaves], qs),
-                col_scales3=stack_arrays([l.col_scales for l in leaves], cs),
+                qt3=stack_arrays([l.qt for l in leaves], _qt_spec(spec)),
+                col_scales3=stack_arrays(
+                    [l.col_scales for l in leaves], _cs_spec(spec)
+                ),
                 shape=first.shape,
                 tp=True,
             )
-        if ggml.is_quantized(first):
-            raise ValueError(
-                f"cannot stack {type(first).__name__} leaves for {rep_key}"
-            )
-        if any(getattr(l, "shape", None) != first.shape for l in leaves):
-            raise ValueError(f"non-uniform dense family {rep_key}")
         return stack_arrays(leaves, spec)
 
-    for head, fams in per.items():
-        depth = depths[head]
+    for head, groups in fams.items():
         key = (flux_mod.DOUBLE_STACK_KEY if head == "double_blocks"
                else flux_mod.SINGLE_STACK_KEY)
         stacked = {}
-        for rel, by_idx in fams.items():
-            if sorted(by_idx) != list(range(depth)):
-                raise ValueError(
-                    f"{head}.*.{rel}: blocks {sorted(by_idx)} != 0..{depth - 1}"
-                )
-            stacked[rel] = stack_family(
-                _stack_rep_key(key, rel), [by_idx[i] for i in range(depth)]
-            )
+        for rel in list(groups):
+            leaves = groups.pop(rel)
+            s = stack_family(_stack_rep_key(key, rel), leaves)
+            del leaves
+            # await before releasing the sources (see stack_block_params)
+            jax.block_until_ready(s)
+            stacked[rel] = s
         out[key] = stacked
     return out
 
@@ -372,8 +347,11 @@ def to_spmd_model(model, mesh: Mesh, axis: str = "model",
     ``scan_blocks`` stacks the DiT block params first
     (stack_tp_block_params) so the shard_map body runs the scan-over-blocks
     forward — the same ~7x compile-size cut as single-device --flux-scan,
-    per shard. Falls back to the unrolled spmd forward (with a log) when
-    the params cannot stack (e.g. LoRA-patched blocks)."""
+    per shard. On success the INPUT model's param dict is consumed
+    (stack_tp_block_params donation semantics) — treat ``model`` as dead
+    and use the returned one. Falls back to the unrolled spmd forward
+    (with a log, input intact) when the params cannot stack (e.g.
+    LoRA-patched blocks)."""
     apply_fn, local_view = make_spmd_apply_fn(model.config, mesh, axis)
     params = model.params
     if scan_blocks:

@@ -131,7 +131,18 @@ def load_diffusion_model_gguf(
         else:
             # stack AFTER the w8a8 conversion so the stacked leaves carry
             # the final quantization form (StackedQTensor8W vs 8T)
-            params = flux_mod.stack_block_params(params, fcfg)
+            try:
+                params = flux_mod.stack_block_params(params, fcfg)
+            except ValueError as e:
+                # e.g. a checkpoint with non-uniform block families; keep
+                # serving on the unrolled forward (stack_block_params
+                # validates before consuming, so params is intact here)
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "flux_scan unavailable for this checkpoint (%s); "
+                    "keeping the unrolled forward", e,
+                )
 
     return base_mod.DiffusionModel(
         apply_fn=flux_mod.make_apply_fn(fcfg),

@@ -492,6 +492,13 @@ def _get_flux_models(
     # stacked local shards scan per device); GSPMD TP keeps the unrolled
     # forward (its tp leaves bypass the scalar-prefetch kernels anyway)
     scan_blocks = _config.get_config().flux_scan and (mesh is None or spmd)
+    if _config.get_config().flux_scan and not scan_blocks:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "flux_scan has no effect under GSPMD tensor parallelism; "
+            "set LDT_FLUX_TP=spmd to scan stacked shards per device"
+        )
     if scan_blocks:
         variant += ":scan"
     model = cache.get(unet_path, variant=variant)

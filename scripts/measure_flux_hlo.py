@@ -4,8 +4,9 @@ Lowers the FULL FLUX_DEV forward (19+38 blocks, hidden=3072, 1024px ->
 4352 joint tokens) twice — unrolled vs scan-over-stacked-blocks — from
 ABSTRACT params (jax.ShapeDtypeStruct leaves; no 12 GB of weights, no
 device) and reports trace+lower wall time and StableHLO module size.
-This pins the ~15x program-size claim (ARCHITECTURE.md §5b-ii) at the
-real shapes, which the tiny-config test (tests/test_flux_scan.py
+This pins the program-size claim (ARCHITECTURE.md §5b-ii; measured 7.2x
+smaller StableHLO for Q8_0, 7.6x w8a8, 5.7x dense) at the real shapes,
+which the tiny-config test (tests/test_flux_scan.py
 test_scan_program_size_constant_in_depth) cannot.
 
 Usage:  python scripts/measure_flux_hlo.py [--quant q8|w8a8|dense]

@@ -122,7 +122,9 @@ def test_scan_first_block_hook_boundary(rng):
     params = {
         k: jnp.asarray(v) for k, v in flux_mod.init_params(TINY, seed=3).items()
     }
-    stacked = flux_mod.stack_block_params(params, TINY)
+    # stack a COPY: stack_block_params consumes its input dict (donation
+    # semantics) and the unrolled oracle below still needs the flat keys
+    stacked = flux_mod.stack_block_params(dict(params), TINY)
     x, t, ctx, y = _inputs(rng)
 
     seen = {}
@@ -192,6 +194,83 @@ def test_stack_refuses_tp_and_lora():
     )
     with pytest.raises(ValueError, match="LoRA"):
         ggml.stack_leaves([lora, lora])
+
+
+def test_stack_consumes_input_dict():
+    """Donation semantics: the input dict is cleared as families stack, so
+    the caller cannot keep a second full-footprint reference alive (the
+    13-GB-next-to-13-GB load OOM class)."""
+    params = {
+        k: jnp.asarray(v) for k, v in flux_mod.init_params(TINY, seed=9).items()
+    }
+    stacked = flux_mod.stack_block_params(params, TINY)
+    assert params == {}
+    assert flux_mod.is_stacked(stacked)
+
+
+def test_stack_validates_before_consuming():
+    """A non-uniform family must raise BEFORE the input dict is touched —
+    the loader's warn-and-fallback path keeps serving the unrolled dict."""
+    params = {
+        k: jnp.asarray(v) for k, v in flux_mod.init_params(TINY, seed=10).items()
+    }
+    # corrupt one block's weight shape -> non-uniform dense family
+    bad = params["double_blocks.1.img_attn.proj.weight"]
+    params["double_blocks.1.img_attn.proj.weight"] = bad[:, : bad.shape[1] // 2]
+    n_keys = len(params)
+    with pytest.raises(ValueError, match="non-uniform"):
+        flux_mod.stack_block_params(params, TINY)
+    assert len(params) == n_keys, "failed stacking must not consume"
+
+
+def test_lora_refuses_stacked_params():
+    """apply_lora on a scan-mode dict must be a loud error, not a silent
+    no-op (patch keys are flat double_blocks.* names the stacked dict no
+    longer contains)."""
+    from lightdiffusion_next_tpu.models import lora as lora_mod
+
+    params = {
+        k: jnp.asarray(v) for k, v in flux_mod.init_params(TINY, seed=11).items()
+    }
+    stacked = flux_mod.stack_block_params(params, TINY)
+    H = TINY.hidden_size
+    patches = {
+        "double_blocks.0.img_attn.qkv.weight": (
+            np.zeros((3 * H, 2), np.float32), np.zeros((2, H), np.float32),
+            2.0,
+        )
+    }
+    with pytest.raises(ValueError, match="scan-mode"):
+        lora_mod.apply_lora(stacked, patches)
+
+
+def test_loader_scan_falls_back_on_unstackable_checkpoint(
+    tmp_path, rng, caplog, monkeypatch
+):
+    """A checkpoint whose families cannot stack must load unrolled with a
+    warning, not fail the generation (loader warn-and-fallback parity with
+    spmd.to_spmd_model)."""
+    import logging
+
+    from lightdiffusion_next_tpu.pipelines import loader
+
+    params = flux_mod.init_params(TINY, seed=12)
+    params = {k: v for k, v in params.items() if not k.startswith("guidance_in")}
+    path = str(tmp_path / "tiny_flux_badscan.gguf")
+    ggml.write_gguf(path, params, arch="flux", quantize=("qkv.weight",))
+
+    def boom(p, cfg):
+        raise ValueError("synthetic unstackable family")
+
+    monkeypatch.setattr(flux_mod, "stack_block_params", boom)
+    with caplog.at_level(logging.WARNING):
+        model = loader.load_diffusion_model_gguf(path, scan_blocks=True)
+    assert not flux_mod.is_stacked(model.params)
+    assert "unrolled" in caplog.text
+
+    x, t, ctx, y = _inputs(rng, cfg=model.config)
+    out = np.asarray(model.apply_fn(model.params, x, t, ctx, y))
+    assert np.isfinite(out).all()
 
 
 def test_loader_scan_blocks_matches_unrolled(tmp_path, rng):
