@@ -57,6 +57,12 @@ class FluxConfig:
     # fused int8/w8a8 Pallas kernels run per shard. None = single-device
     # or GSPMD semantics (no explicit collectives).
     tp_axis: Optional[str] = None
+    # jax.checkpoint the scan-over-blocks bodies: the TRAINING memory lever
+    # (save per-block carries, recompute block internals on backward at one
+    # extra forward of FLOPs). Only meaningful with stacked params
+    # (parallel.trainer build_sharded_trainer(scan_blocks=True, remat=True));
+    # inference ignores it (no backward pass to save residuals for).
+    remat_blocks: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -430,12 +436,28 @@ def apply_flux(
         def run_rest(img):
             """Scan-over-blocks run_rest (same contract as the unrolled
             one below): remaining double blocks then all single blocks as
-            two lax.scan bodies — ~7x less HLO than 57 unrolled blocks."""
-            def dbody(carry, idx):
-                im, tx = carry
-                im, tx = _double_block(
+            two lax.scan bodies — ~7x less HLO than 57 unrolled blocks.
+            With cfg.remat_blocks each body is jax.checkpoint'ed: training
+            saves only the per-block carries and recomputes block internals
+            on the backward pass (activation memory O(depth·tokens·hidden)
+            -> O(tokens·hidden) per stream at one extra forward of FLOPs —
+            the standard big-model trade; no effect on inference)."""
+            def dblk(im, tx, idx):
+                return _double_block(
                     _StackView(dstack, idx), im, tx, vec, pe, cfg
                 )
+
+            def sblk(x_, idx):
+                return _single_block(_StackView(sstack, idx), x_, vec, pe, cfg)
+
+            if cfg.remat_blocks:
+                # prevent_cse=False is safe (and faster) inside scan bodies
+                dblk = jax.checkpoint(dblk, prevent_cse=False)
+                sblk = jax.checkpoint(sblk, prevent_cse=False)
+
+            def dbody(carry, idx):
+                im, tx = carry
+                im, tx = dblk(im, tx, idx)
                 return (im, tx), None
 
             (img_, txt_), _ = jax.lax.scan(
@@ -444,7 +466,7 @@ def apply_flux(
             xx = jnp.concatenate([txt_, img_], axis=1)
 
             def sbody(x_, idx):
-                return _single_block(_StackView(sstack, idx), x_, vec, pe, cfg), None
+                return sblk(x_, idx), None
 
             xx, _ = jax.lax.scan(
                 sbody, xx, jnp.arange(cfg.depth_single_blocks)

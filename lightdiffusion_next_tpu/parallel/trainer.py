@@ -61,12 +61,33 @@ def build_sharded_trainer(
     n_model: int,
     cfg: flux_mod.FluxConfig,
     devices=None,
+    scan_blocks: bool = False,
+    remat: bool = False,
 ):
-    """Construct (mesh, sharded params/opt_state, jitted step, batch_fn)."""
+    """Construct (mesh, sharded params/opt_state, jitted step, batch_fn).
+
+    ``scan_blocks`` stacks the block params (parallel.spmd
+    stack_tp_block_params — Megatron shardings preserved under a replicated
+    depth axis) so the train step compiles two scanned block bodies instead
+    of a depth-unrolled graph; gradients and adamw moments follow the
+    stacked pytree, and checkpoints round-trip in the stacked layout.
+    ``remat`` (requires scan_blocks) jax.checkpoints each block body:
+    activation memory drops from O(depth) to O(1) blocks per stream at one
+    extra forward of FLOPs — the lever that fits long-token training on a
+    16 GB chip."""
+    import dataclasses
+
+    if remat and not scan_blocks:
+        raise ValueError("remat=True requires scan_blocks=True")
     mesh = make_mesh(n_data, n_model, devices=devices)
     params = flux_mod.init_params(cfg, seed=0, dtype=jnp.float32)
     pshard = shard_rules.flux_param_shardings(params, mesh)
     params = shard_rules.shard_params(params, pshard)
+    if scan_blocks:
+        from lightdiffusion_next_tpu.parallel import spmd as spmd_mod
+
+        params = spmd_mod.stack_tp_block_params(params, cfg, mesh)
+        cfg = dataclasses.replace(cfg, remat_blocks=remat)
 
     optimizer, step = make_train_step(cfg)
     opt_state = optimizer.init(params)  # moment shardings follow the params
