@@ -104,6 +104,72 @@ def _t5_attention(p: nn.ParamView, x, bias, heads: int):
     return nn.linear(out, p("o.weight"))
 
 
+def _t5_block(p: "nn.ParamView", x, bias, cfg: T5Config):
+    """One T5 encoder block (attention + gated-gelu FF with pre-RMSNorm
+    residuals) — shared by the unrolled loop and the scan body."""
+    h = nn.rms_norm(x, p("layer.0.layer_norm.weight"))
+    x = x + _t5_attention(
+        p.scope("layer.0.SelfAttention."), h, bias, cfg.num_heads
+    )
+    h = nn.rms_norm(x, p("layer.1.layer_norm.weight"))
+    hg = nn.gelu(
+        nn.linear(h, p("layer.1.DenseReluDense.wi_0.weight")), approximate=True
+    )
+    hl = nn.linear(h, p("layer.1.DenseReluDense.wi_1.weight"))
+    return x + nn.linear(hg * hl, p("layer.1.DenseReluDense.wo.weight"))
+
+
+T5_STACK_KEY = "__t5_block_stack__"
+_BIAS_REL = "layer.0.SelfAttention.relative_attention_bias.weight"
+
+
+def is_stacked(params: Dict) -> bool:
+    return T5_STACK_KEY in params
+
+
+def stack_t5_block_params(params: Dict, cfg: T5Config) -> Dict:
+    """Scan-over-blocks re-grouping for the T5 encoder: every
+    ``encoder.block.{i}.{rel}`` family stacks along a leading depth axis
+    under ``__t5_block_stack__`` (same machinery as the Flux stacker —
+    ops.ggml.stack_leaves, Pallas scalar-prefetch streaming for quantized
+    leaves). The block-0-only relative_attention_bias embedding stays at
+    its flat key (it is read once before the stack loop, not per block).
+
+    CONSUMES ``params`` (validate-first donation semantics, see
+    models.flux.stack_block_params); raises ValueError before consuming
+    for non-uniform/ragged families."""
+    from lightdiffusion_next_tpu.ops import ggml
+
+    out: Dict = {}
+    fams: Dict[str, Dict[int, object]] = {}
+    pre = "encoder.block."
+    for k, v in params.items():
+        if k.startswith(pre):
+            idx_s, _, rel = k[len(pre):].partition(".")
+            if idx_s.isdigit() and rel and rel != _BIAS_REL:
+                fams.setdefault(rel, {})[int(idx_s)] = v
+                continue
+        out[k] = v
+    for rel, by_idx in fams.items():
+        if sorted(by_idx) != list(range(cfg.num_layers)):
+            raise ValueError(
+                f"encoder.block.*.{rel}: blocks {sorted(by_idx)} != "
+                f"0..{cfg.num_layers - 1}"
+            )
+        ggml.check_stackable([by_idx[i] for i in range(cfg.num_layers)])
+    params.clear()
+    stacked = {}
+    for rel in list(fams):
+        by_idx = fams.pop(rel)
+        leaves = [by_idx.pop(i) for i in range(cfg.num_layers)]
+        s = ggml.stack_leaves(leaves)
+        del leaves
+        jax.block_until_ready(s)  # bound peak memory to one family's stack
+        stacked[rel] = s
+    out[T5_STACK_KEY] = stacked
+    return out
+
+
 def apply_t5(params, tokens, attention_mask=None, **kw):
     """Jitted T5 encode — see _apply_t5. The jit is created lazily so it
     carries config.jit_compiler_options() (the raised scoped-vmem limit):
@@ -168,18 +234,33 @@ def _apply_t5(
         intermediate_output = cfg.num_layers + intermediate_output
 
     intermediate = None
-    for i in range(cfg.num_layers):
-        p = nn.ParamView(params, f"encoder.block.{i}.")
-        h = nn.rms_norm(x, p("layer.0.layer_norm.weight"))
-        x = x + _t5_attention(p.scope("layer.0.SelfAttention."), h, bias, cfg.num_heads)
-        h = nn.rms_norm(x, p("layer.1.layer_norm.weight"))
-        hg = nn.gelu(
-            nn.linear(h, p("layer.1.DenseReluDense.wi_0.weight")), approximate=True
-        )
-        hl = nn.linear(h, p("layer.1.DenseReluDense.wi_1.weight"))
-        x = x + nn.linear(hg * hl, p("layer.1.DenseReluDense.wo.weight"))
-        if intermediate_output is not None and i == intermediate_output:
+    if is_stacked(params):
+        # scan-over-blocks (stack_t5_block_params): one block body instead
+        # of num_layers unrolled — same compile-size lever as the Flux
+        # --flux-scan forward. intermediate_output is STATIC, so the scan
+        # splits there (segment ends are trace-time constants).
+        stack = params[T5_STACK_KEY]
+
+        def body(x_, idx):
+            return _t5_block(nn.StackView(stack, idx), x_, bias, cfg), None
+
+        def run(x_, lo: int, hi: int):
+            if hi <= lo:
+                return x_
+            return jax.lax.scan(body, x_, jnp.arange(lo, hi))[0]
+
+        if intermediate_output is None:
+            x = run(x, 0, cfg.num_layers)
+        else:
+            x = run(x, 0, intermediate_output + 1)
             intermediate = x
+            x = run(x, intermediate_output + 1, cfg.num_layers)
+    else:
+        for i in range(cfg.num_layers):
+            p = nn.ParamView(params, f"encoder.block.{i}.")
+            x = _t5_block(p, x, bias, cfg)
+            if intermediate_output is not None and i == intermediate_output:
+                intermediate = x
     x = nn.rms_norm(x, params["encoder.final_layer_norm.weight"])
     if intermediate is not None and final_layer_norm_intermediate:
         intermediate = nn.rms_norm(
@@ -223,6 +304,7 @@ class T5XXLModel:
         cfg: T5Config = T5_XXL,
         dtype=jnp.float32,
         compute_dtype=None,
+        scan_blocks: bool = False,
     ):
         from lightdiffusion_next_tpu.utils import state_dict as sd_utils
 
@@ -232,6 +314,18 @@ class T5XXLModel:
         plain = {k: v for k, v in params.items() if isinstance(v, np.ndarray)}
         rest = {k: v for k, v in params.items() if k not in plain}
         self.params = {**sd_utils.device_put_params(plain, dtype), **rest}
+        if scan_blocks:
+            # AFTER the device upload so the stacks build on device; falls
+            # back to the unrolled layout for unstackable checkpoints
+            try:
+                self.params = stack_t5_block_params(self.params, cfg)
+            except ValueError as e:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "t5 scan-over-blocks unavailable (%s); keeping the "
+                    "unrolled encoder", e,
+                )
         self.compute_dtype = compute_dtype or dtype
         self.special_tokens = {"end": 1, "pad": 0}
 

@@ -233,40 +233,9 @@ DOUBLE_STACK_KEY = "__double_stack__"
 SINGLE_STACK_KEY = "__single_stack__"
 
 
-class _StackView:
-    """ParamView-compatible view over a STACKED block-param dict at block
-    ``idx`` (a traced scan counter, or a static int for the unrolled block
-    0). Quantized stacked leaves return scalar-prefetch slice views (the
-    fused kernels read block ``idx``'s tiles in place — ops.ggml
-    StackedQTensor8T/W); dense stacked leaves (biases, norm scales,
-    modulation weights of unquantized checkpoints) gather row ``idx``."""
-
-    __slots__ = ("params", "idx", "prefix")
-
-    def __init__(self, params: Dict, idx, prefix: str = ""):
-        self.params = params
-        self.idx = idx
-        self.prefix = prefix
-
-    def _slice(self, leaf):
-        if hasattr(leaf, "at_index"):
-            return leaf.at_index(self.idx)
-        if isinstance(self.idx, int):
-            return leaf[self.idx]
-        return jax.lax.dynamic_index_in_dim(leaf, self.idx, 0, keepdims=False)
-
-    def __call__(self, key: str):
-        return self._slice(self.params[self.prefix + key])
-
-    def get(self, key: str, default=None):
-        leaf = self.params.get(self.prefix + key)
-        return default if leaf is None else self._slice(leaf)
-
-    def has(self, key: str) -> bool:
-        return (self.prefix + key) in self.params
-
-    def scope(self, sub: str) -> "_StackView":
-        return _StackView(self.params, self.idx, self.prefix + sub)
+# ParamView-compatible per-iteration view of a stacked block-param dict —
+# shared with the T5 scan (models/clip/t5.py); lives next to ParamView.
+_StackView = nn.StackView
 
 
 def group_block_params(

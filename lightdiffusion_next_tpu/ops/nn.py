@@ -202,3 +202,40 @@ class ParamView:
 
     def keys(self):
         return [k for k in self.params if k.startswith(self.prefix)]
+
+
+class StackView:
+    """ParamView-compatible view over a STACKED block-param dict at block
+    ``idx`` (a traced scan counter, or a static int for an unrolled block).
+    Quantized stacked leaves return scalar-prefetch slice views (the fused
+    kernels read block ``idx``'s tiles in place — ops.ggml
+    StackedQTensor8T/W ``at_index``); dense stacked leaves (biases, norm
+    scales, dense-checkpoint weights) gather row ``idx``. Used by the
+    scan-over-blocks forwards (models/flux.py, models/clip/t5.py)."""
+
+    __slots__ = ("params", "idx", "prefix")
+
+    def __init__(self, params: dict, idx, prefix: str = ""):
+        self.params = params
+        self.idx = idx
+        self.prefix = prefix
+
+    def _slice(self, leaf):
+        if hasattr(leaf, "at_index"):
+            return leaf.at_index(self.idx)
+        if isinstance(self.idx, int):
+            return leaf[self.idx]
+        return jax.lax.dynamic_index_in_dim(leaf, self.idx, 0, keepdims=False)
+
+    def __call__(self, key: str):
+        return self._slice(self.params[self.prefix + key])
+
+    def get(self, key: str, default=None):
+        leaf = self.params.get(self.prefix + key)
+        return default if leaf is None else self._slice(leaf)
+
+    def has(self, key: str) -> bool:
+        return (self.prefix + key) in self.params
+
+    def scope(self, sub: str) -> "StackView":
+        return StackView(self.params, self.idx, self.prefix + sub)

@@ -540,17 +540,23 @@ def _get_flux_models(
         vae = vae_mod.VAE(ae_sd, cfg=vae_mod.detect_vae_config(ae_sd))
         cache.put(ae_path, vae)
 
-    t5_model = cache.get(t5_path)
+    # the scan toggle re-layouts T5 too (24 identical encoder blocks);
+    # variant-keyed so a toggle flip never reuses the other layout
+    t5_scan = _config.get_config().flux_scan
+    t5_variant = "scan" if t5_scan else ""
+    t5_model = cache.get(t5_path, variant=t5_variant)
     if t5_model is None:
         import jax.numpy as jnp
 
+        cache.evict_other_variants(t5_path, keep_variant=t5_variant)
         t5_params = ggml.to_device_quantized(ggml.gguf_clip_loader(t5_path))
         t5_model = t5_mod.T5XXLModel(
             t5_params,
             cfg=t5_mod.detect_config(t5_params),
             compute_dtype=jnp.bfloat16,
+            scan_blocks=t5_scan,
         )
-        cache.put(t5_path, t5_model)
+        cache.put(t5_path, t5_model, variant=t5_variant)
 
     clip_model = cache.get(clip_l_path)
     if clip_model is None:

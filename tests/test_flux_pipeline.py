@@ -86,9 +86,11 @@ def _fake_flux_world(monkeypatch, tmp_path):
     monkeypatch.setattr(ggml, "to_device_quantized", lambda sd: sd)
     monkeypatch.setattr(
         t5_mod, "T5XXLModel",
-        lambda params, cfg=None, compute_dtype=None: calls.__setitem__(
-            "t5", calls["t5"] + 1
-        ) or "T5",
+        lambda params, cfg=None, compute_dtype=None, scan_blocks=False: (
+            calls.__setitem__("t5", calls["t5"] + 1)
+            or calls.__setitem__("t5_scan", scan_blocks)
+            or "T5"
+        ),
     )
     monkeypatch.setattr(
         te, "SDClipModel",
@@ -137,10 +139,13 @@ def test_flux_scan_variant_keys_cache_and_reaches_loader(monkeypatch, tmp_path):
         )
         pl._get_flux_models(*args)
         assert calls["scan_blocks"] is False
+        assert calls["t5_scan"] is False
         _config.set_config(_dc.replace(old, flux_scan=True))
         pl._get_flux_models(*args)
         assert calls["scan_blocks"] is True
+        assert calls["t5_scan"] is True, "flux_scan must re-layout T5 too"
         assert calls["unet"] == 2, "scan variant must not reuse the unrolled resident"
+        assert calls["t5"] == 2, "T5 scan variant must not reuse the unrolled resident"
     finally:
         _config.set_config(old)
         cache.clear()

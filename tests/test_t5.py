@@ -96,3 +96,69 @@ def test_t5_attention_mask(rng):
     np.testing.assert_allclose(
         np.asarray(full[0, 0]), np.asarray(full2[0, 0]), atol=1e-5
     )
+
+
+def test_t5_scan_matches_unrolled(rng):
+    """Scan-over-blocks T5 (stack_t5_block_params): same values as the
+    unrolled encoder, dense and Q8_0-quantized, with the block-0 relative
+    bias staying flat."""
+    from lightdiffusion_next_tpu.ops import ggml
+
+    P = {k: jnp.asarray(v) for k, v in t5.init_params(TINY, seed=2).items()}
+    tokens = jnp.asarray(rng.integers(0, 100, (2, 8)).astype(np.int32))
+    base, _, _ = t5.apply_t5(P, tokens, cfg=TINY)
+
+    stacked = t5.stack_t5_block_params(dict(P), TINY)
+    assert t5.is_stacked(stacked)
+    assert (
+        "encoder.block.0.layer.0.SelfAttention.relative_attention_bias.weight"
+        in stacked
+    )
+    out, _, _ = t5.apply_t5(stacked, tokens, cfg=TINY)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(base), atol=1e-5)
+
+    # quantized: d_model 32-multiple weights -> QTensor8T -> stacked
+    qP = {}
+    for k, v in t5.init_params(TINY, seed=3).items():
+        v = np.asarray(v, np.float32)
+        if v.ndim == 2 and "block" in k and v.shape[1] % 32 == 0 and \
+                not k.endswith("relative_attention_bias.weight"):
+            q, s = ggml.quantize_q8_0(v)
+            qP[k] = ggml.transpose_for_matmul(
+                ggml.QTensor8(jnp.asarray(q), jnp.asarray(s), v.shape)
+            )
+        else:
+            qP[k] = jnp.asarray(v)
+    qbase, _, _ = t5.apply_t5(qP, tokens, cfg=TINY)
+    qstacked = t5.stack_t5_block_params(dict(qP), TINY)
+    assert isinstance(
+        qstacked[t5.T5_STACK_KEY]["layer.0.SelfAttention.q.weight"],
+        ggml.StackedQTensor8T,
+    )
+    qout, _, _ = t5.apply_t5(qstacked, tokens, cfg=TINY)
+    np.testing.assert_allclose(np.asarray(qout), np.asarray(qbase), atol=2e-5)
+
+
+def test_t5_scan_intermediate_output(rng):
+    """intermediate_output splits the scan at a static boundary; the
+    captured intermediate must equal the unrolled one."""
+    P = {k: jnp.asarray(v) for k, v in t5.init_params(TINY, seed=4).items()}
+    tokens = jnp.asarray(rng.integers(0, 100, (1, 7)).astype(np.int32))
+    base, bmid, _ = t5.apply_t5(P, tokens, cfg=TINY, intermediate_output=0)
+    stacked = t5.stack_t5_block_params(dict(P), TINY)
+    out, mid, _ = t5.apply_t5(stacked, tokens, cfg=TINY, intermediate_output=0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(base), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(mid), np.asarray(bmid), atol=1e-5)
+
+
+def test_t5_model_scan_option(rng):
+    """T5XXLModel(scan_blocks=True) stacks after upload and encodes
+    identically to the unrolled resident; the input dict is consumed."""
+    P = t5.init_params(TINY, seed=5)
+    rows = [[(int(t_), 1.0) for t_ in rng.integers(0, 100, (6,))]]
+    base_model = t5.T5XXLModel(dict(P), cfg=TINY)
+    out_base, _ = base_model.encode_token_weights(rows)
+    scan_model = t5.T5XXLModel(dict(P), cfg=TINY, scan_blocks=True)
+    assert t5.is_stacked(scan_model.params)
+    out_scan, _ = scan_model.encode_token_weights(rows)
+    np.testing.assert_allclose(out_scan, out_base, atol=1e-5)
