@@ -11,6 +11,10 @@ test_scan_program_size_constant_in_depth) cannot.
 
 Usage:  python scripts/measure_flux_hlo.py [--quant q8|w8a8|dense]
                                            [--height 1024] [--txt 256]
+        python scripts/measure_flux_hlo.py --model t5 [--txt 256]
+                 (T5-XXL encoder, 24 blocks at d_model=4096/d_ff=10240 —
+                  the same --flux-scan toggle stacks it; see
+                  models/clip/t5.py stack_t5_block_params)
 
 The numbers are lowering-side only; on-TPU compile time must still be
 measured over the relay (scripts/bench_flux.py --flux-scan when it's up).
@@ -144,6 +148,107 @@ def _abstract_stack(params, cfg):
     return out
 
 
+def _abstract_t5_params(cfg, quant: str):
+    """ShapeDtypeStruct tree with init_params' key map (models/clip/t5.py),
+    block matmul weights quantized the way gguf_clip_loader +
+    to_device_quantized lay them out (QTensor8T fused layout)."""
+    from lightdiffusion_next_tpu.models.clip import t5 as t5_mod
+
+    P = {}
+
+    def sds(shape, dtype=jnp.float32):
+        return jax.ShapeDtypeStruct(shape, dtype)
+
+    def lin(key, out_d, in_d):
+        if quant == "dense":
+            P[key + ".weight"] = sds((out_d, in_d))
+        else:
+            P[key + ".weight"] = ggml.QTensor8T(
+                qt=sds((in_d, out_d), jnp.int8),
+                scales_t=sds((in_d // QBLOCK, out_d), jnp.float32),
+                shape=(out_d, in_d),
+            )
+
+    P["shared.weight"] = sds((cfg.vocab_size, cfg.d_model))
+    P[
+        "encoder.block.0.layer.0.SelfAttention.relative_attention_bias.weight"
+    ] = sds((cfg.relative_num_buckets, cfg.num_heads))
+    for i in range(cfg.num_layers):
+        pre = f"encoder.block.{i}."
+        for nme in "qkvo":
+            lin(pre + f"layer.0.SelfAttention.{nme}", cfg.d_model, cfg.d_model)
+        P[pre + "layer.0.layer_norm.weight"] = sds((cfg.d_model,))
+        lin(pre + "layer.1.DenseReluDense.wi_0", cfg.d_ff, cfg.d_model)
+        lin(pre + "layer.1.DenseReluDense.wi_1", cfg.d_ff, cfg.d_model)
+        lin(pre + "layer.1.DenseReluDense.wo", cfg.d_model, cfg.d_ff)
+        P[pre + "layer.1.layer_norm.weight"] = sds((cfg.d_model,))
+    P["encoder.final_layer_norm.weight"] = sds((cfg.d_model,))
+    return P
+
+
+def _abstract_t5_stack(params, cfg):
+    """stack_t5_block_params for abstract leaves (shape-level re-group)."""
+    from lightdiffusion_next_tpu.models.clip import t5 as t5_mod
+
+    out = {}
+    fams = {}
+    pre = "encoder.block."
+    for k, v in params.items():
+        if k.startswith(pre):
+            idx_s, _, rel = k[len(pre):].partition(".")
+            if idx_s.isdigit() and rel and rel != t5_mod._BIAS_REL:
+                fams.setdefault(rel, {})[int(idx_s)] = v
+                continue
+        out[k] = v
+
+    def stk(leaf, d):
+        def s3(x):
+            return jax.ShapeDtypeStruct((d,) + x.shape, x.dtype)
+
+        if isinstance(leaf, ggml.QTensor8T):
+            return ggml.StackedQTensor8T(
+                qt3=s3(leaf.qt), scales3=s3(leaf.scales_t), shape=leaf.shape
+            )
+        return s3(leaf)
+
+    out[t5_mod.T5_STACK_KEY] = {
+        rel: stk(by[0], cfg.num_layers) for rel, by in fams.items()
+    }
+    return out
+
+
+def _lower_t5(quant: str, txt: int):
+    from lightdiffusion_next_tpu.models.clip import t5 as t5_mod
+
+    cfg = t5_mod.T5_XXL
+    tokens = jax.ShapeDtypeStruct((1, txt), jnp.int32)
+    params = _abstract_t5_params(cfg, quant)
+    res = {"model": "t5-xxl", "quant": quant, "txt_tokens": txt}
+
+    def lower(p, tag):
+        fn = jax.jit(
+            lambda pp, tt: t5_mod._apply_t5(
+                pp, tt, cfg=cfg, compute_dtype=jnp.bfloat16
+            )
+        )
+        t0 = time.perf_counter()
+        text = fn.lower(p, tokens).as_text()
+        r = {
+            "trace_lower_s": round(time.perf_counter() - t0, 2),
+            "stablehlo_bytes": len(text),
+            "stablehlo_lines": text.count("\n"),
+        }
+        print(f"# t5 {tag}: {json.dumps(r)}", flush=True)
+        return r
+
+    res["scan"] = lower(_abstract_t5_stack(params, cfg), "scan")
+    res["unrolled"] = lower(params, "unrolled")
+    res["hlo_size_ratio"] = round(
+        res["unrolled"]["stablehlo_bytes"] / res["scan"]["stablehlo_bytes"], 1
+    )
+    print(json.dumps(res))
+
+
 def _lower(cfg, params, x, t, ctx, y, tag):
     fn = jax.jit(
         lambda p, xx, tt, cc, yy: flux_mod.apply_flux(
@@ -168,7 +273,12 @@ def main():
     ap.add_argument("--quant", choices=("q8", "w8a8", "dense"), default="q8")
     ap.add_argument("--height", type=int, default=1024)
     ap.add_argument("--txt", type=int, default=256)
+    ap.add_argument("--model", choices=("flux", "t5"), default="flux")
     args = ap.parse_args()
+
+    if args.model == "t5":
+        _lower_t5(args.quant, args.txt)
+        return
 
     cfg = flux_mod.FLUX_DEV
     h = args.height // 8
