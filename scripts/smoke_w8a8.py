@@ -51,7 +51,12 @@ def main():
         t8t = ggml.transpose_for_matmul(
             ggml.QTensor8(jnp.asarray(q), jnp.asarray(s), (n, k))
         )
-        w8 = ggml.to_w8a8({"w": t8t})["w"]
+        # to_w8a8 DONATES its input's code buffer on TPU (by design — see
+        # ggml._jitted_requant_col), so convert a fresh upload and keep
+        # t8t alive for the bf16-dequant reference/timing below.
+        w8 = ggml.to_w8a8({"w": ggml.transpose_for_matmul(
+            ggml.QTensor8(jnp.asarray(q), jnp.asarray(s), (n, k))
+        )})["w"]
         x = jnp.asarray(
             rng.standard_normal((m, k)).astype(np.float32), jnp.bfloat16
         )
