@@ -195,6 +195,47 @@ class RuntimeConfig:
 _current: Optional[RuntimeConfig] = None
 
 
+def trace_token() -> tuple:
+    """Hashable token of every RuntimeConfig field that alters TRACED
+    computation without altering the traced ARGUMENTS.
+
+    jax.jit retraces when argument shapes/dtypes/pytree structure change,
+    but it cannot see globals consulted at trace time — flipping
+    ``sage_attention`` (ops/attention.py:_flash_kernel) or
+    ``attention_backend`` mid-session would silently reuse the previous
+    mode's compiled program. Every compiled-runner cache key (the denoiser
+    cache_key in sampling/cfg.py, the definition-jitted T5/VAE programs)
+    must include this token so a config flip retraces instead.
+
+    ``w8a8``/``flux_scan`` restructure the param pytree (which forces a
+    retrace on its own) but are included anyway: the invariant "the token
+    covers every trace-affecting flag" should not depend on a side effect.
+    """
+    cfg = get_config()
+    return (
+        cfg.resolve_attention_backend(),
+        cfg.sage_attention,
+        cfg.w8a8,
+        cfg.flux_scan,
+    )
+
+
+def config_jit(fn, **jit_kwargs):
+    """``ldt_jit`` whose compiled-program identity includes trace_token():
+    use for definition-time jits of functions that consult the global
+    RuntimeConfig at trace time (attention dispatch). The token rides as a
+    static argument, so same-config calls hit the jit cache as before and
+    a config flip gets a fresh trace."""
+    jitted = ldt_jit(
+        lambda _ldt_token, _a, _k: fn(*_a, **_k), static_argnums=0
+    )
+
+    def wrapper(*args, **kwargs):
+        return jitted(trace_token(), args, kwargs)
+
+    return wrapper
+
+
 def get_config() -> RuntimeConfig:
     global _current
     if _current is None:

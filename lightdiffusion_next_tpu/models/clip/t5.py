@@ -177,11 +177,17 @@ def apply_t5(params, tokens, attention_mask=None, **kw):
     against that budget, so a top-level jit compiling those kernels
     WITHOUT the option would hit a scoped-vmem OOM once the token batch
     grows past the small-tile range (M <= ~512 today)."""
-    return _jitted_apply_t5()(params, tokens, attention_mask, **kw)
+    from lightdiffusion_next_tpu import config as _config
+
+    return _jitted_apply_t5(_config.trace_token())(
+        params, tokens, attention_mask, **kw
+    )
 
 
-@functools.lru_cache(maxsize=1)
-def _jitted_apply_t5():
+@functools.lru_cache(maxsize=None)
+def _jitted_apply_t5(_trace_token=None):
+    # keyed on config.trace_token(): a mid-session attention-backend /
+    # sage flip must get a fresh jit, not the previous mode's program
     from lightdiffusion_next_tpu import config as _config
 
     return _config.ldt_jit(

@@ -188,8 +188,13 @@ class VAE:
         self.cfg = cfg
         self.dtype = dtype
         self.params = sd_utils.device_put_params(params, dtype)
-        self._decode = jax.jit(lambda p, z: apply_decoder(p, z, cfg))
-        self._encode = jax.jit(lambda p, x: apply_encoder(p, x, cfg))
+        # config_jit: the spatial-attention dispatch inside the decoder
+        # consults the global attention backend at trace time, so the
+        # compiled program's identity must include config.trace_token()
+        from lightdiffusion_next_tpu import config as _config
+
+        self._decode = _config.config_jit(lambda p, z: apply_decoder(p, z, cfg))
+        self._encode = _config.config_jit(lambda p, x: apply_encoder(p, x, cfg))
 
     # Decoder activation peak per latent pixel: 64 output pixels x 128 ch
     # x 4 B x ~handful of live buffers under XLA's scheduler. Matches the

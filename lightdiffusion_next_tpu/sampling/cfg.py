@@ -25,6 +25,8 @@ from typing import Any, Callable, Dict, Optional, Tuple
 import jax.numpy as jnp
 import numpy as np
 
+from lightdiffusion_next_tpu import config as _config
+
 
 @dataclasses.dataclass
 class CondInput:
@@ -250,5 +252,10 @@ def make_cfg_denoiser(
         id(model_wrapper) if model_wrapper is not None else None,
         id(first_block_hook) if first_block_hook is not None else None,
         id(attn1_override_factory) if attn1_override_factory is not None else None,
+        # global-config flags consulted at TRACE time (sage attention /
+        # attention backend): without this token a WebUI-style set_config
+        # flip between generations would silently reuse the previous
+        # mode's compiled runner (jit sees identical arguments)
+        _config.trace_token(),
     )
     return CFGDenoiser(fn, bundle, cache_key)

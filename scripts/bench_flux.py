@@ -212,8 +212,16 @@ def main():
     # --no-fbcache: the conservative every-step-computed bound. With random
     # weights the residual barely moves between steps, so the default-cache
     # number over-hits vs real checkpoints; report both.
+    # --force-fbcache-hits: threshold=inf -> every step after the first is
+    # a HIT, bounding the best case the 0.12 threshold can deliver and
+    # measuring the lax.cond skip branch's real cost on silicon (SURVEY
+    # hard part #3: the perf win exists only if the skip branch is
+    # genuinely cheap; reference semantics first_block_cache.py:106-148).
     use_fbcache = "--no-fbcache" not in sys.argv
-    if use_fbcache:
+    force_hits = "--force-fbcache-hits" in sys.argv
+    if force_hits:
+        model = model.with_options(fbcache=fb_mod.FBCacheConfig(float("inf")))
+    elif use_fbcache:
         model = model.with_options(fbcache=fb_mod.FBCacheConfig(0.120))
 
     n_steps = 20
@@ -298,7 +306,8 @@ def main():
         json.dumps(
             {
                 "metric": f"flux_dev_q8_txt2img_1024px_{n_steps}step_s_per_image"
-                + ("" if use_fbcache else "_nofbcache")
+                + ("_forcedhits" if force_hits else
+                   ("" if use_fbcache else "_nofbcache"))
                 + ("_w8a8" if use_w8a8 else "")
                 + ("_scan" if use_scan else "")
                 + (f"_batch{batch}" if batch != 1 else "")

@@ -48,15 +48,16 @@ def main():
     for m, k, n in SHAPES:
         w = (rng.standard_normal((n, k)).astype(np.float32) * k**-0.5)
         q, s = ggml.quantize_q8_0(w)
-        t8t = ggml.transpose_for_matmul(
-            ggml.QTensor8(jnp.asarray(q), jnp.asarray(s), (n, k))
-        )
+        def make_t8t(q=q, s=s, n=n, k=k):
+            return ggml.transpose_for_matmul(
+                ggml.QTensor8(jnp.asarray(q), jnp.asarray(s), (n, k))
+            )
+
+        t8t = make_t8t()
         # to_w8a8 DONATES its input's code buffer on TPU (by design — see
         # ggml._jitted_requant_col), so convert a fresh upload and keep
         # t8t alive for the bf16-dequant reference/timing below.
-        w8 = ggml.to_w8a8({"w": ggml.transpose_for_matmul(
-            ggml.QTensor8(jnp.asarray(q), jnp.asarray(s), (n, k))
-        )})["w"]
+        w8 = ggml.to_w8a8({"w": make_t8t()})["w"]
         x = jnp.asarray(
             rng.standard_normal((m, k)).astype(np.float32), jnp.bfloat16
         )
