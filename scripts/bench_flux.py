@@ -165,6 +165,15 @@ def main():
     del host
     print(f"upload: {time.perf_counter()-t0:.1f}s", flush=True)
 
+    # --sage-attention: int8 flash attention for the joint-sequence attn
+    # (ops/sage_attention.py) — set via config BEFORE any runner is built;
+    # the trace token carries it into the compiled-runner identity
+    use_sage = "--sage-attention" in sys.argv
+    if use_sage:
+        import dataclasses as _dc
+
+        _config.set_config(_dc.replace(cfgv, sage_attention=True))
+
     # --w8a8: per-column weight requantization + int8 MXU matmuls
     # (ops.ggml.QTensor8W / ops.quant_matmul.w8a8_matmul)
     use_w8a8 = "--w8a8" in sys.argv
@@ -309,6 +318,7 @@ def main():
                 + ("_forcedhits" if force_hits else
                    ("" if use_fbcache else "_nofbcache"))
                 + ("_w8a8" if use_w8a8 else "")
+                + ("_sage" if use_sage else "")
                 + ("_scan" if use_scan else "")
                 + (f"_batch{batch}" if batch != 1 else "")
                 + ("_preview" if callback is not None else ""),
