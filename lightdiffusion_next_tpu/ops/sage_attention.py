@@ -133,11 +133,17 @@ def _quant_rows(x):
     return codes, s
 
 
-def _int8_block(length: int, preferred: int) -> int:
+def _int8_block(length: int, preferred: int, lane: int = 32) -> int:
     """Exact-divisor block like flash_attention._exact_block, but int8
-    VMEM tiles want a 32-row sublane granule (bf16's is 16)."""
+    VMEM tiles want a 32-row sublane granule (bf16's is 16). The K block
+    additionally rides the LANE dim of the per-token K-scale row vector
+    (sk BlockSpec (1, 1, block_k)), where Mosaic requires a multiple of
+    128 — pass lane=128 for it. Flux's joint 4352 sequence has no such
+    divisor near 1024 (4352 = 2^8*17), so K falls back to the
+    pad-and-mask path there (lkp 4352->5120) while Q keeps its exact 544
+    tiling."""
     b = _fa._exact_block(length, preferred)
-    return b if b % 32 == 0 else 0
+    return b if b % max(32, lane) == 0 else 0
 
 
 @functools.partial(
@@ -187,7 +193,9 @@ def sage_attention(
 
     dp = _fa._round_up(d, 128)
     block_q = _int8_block(lq, block_q) or min(block_q, _fa._round_up(lq, 128))
-    block_k = _int8_block(lk, block_k) or min(block_k, _fa._round_up(lk, 128))
+    block_k = _int8_block(lk, block_k, lane=128) or min(
+        block_k, _fa._round_up(lk, 128)
+    )
     lqp = _fa._round_up(lq, block_q)
     lkp = _fa._round_up(lk, block_k)
 

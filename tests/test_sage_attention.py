@@ -209,3 +209,21 @@ def test_sharp_attention_stays_accurate(rng):
     ours = sa.sage_attention(q, k, v, block_q=128, block_k=128)
     oracle = attn.sdpa(q, k, v)
     assert _rel_rmse(ours, oracle) < 0.05
+
+
+def test_flux_joint_length_block_fallback(rng):
+    """Regression: Flux's 4352-token joint sequence (2^8*17) has an exact
+    divisor near 1024 (1088) that is NOT a multiple of 128 — the K-scale
+    row vector's BlockSpec (1, 1, block_k) then fails Mosaic's lane rule
+    and the kernel refused to lower on-chip (round-4 smoke). The K block
+    must reject such divisors (lane=128) and take the pad-and-mask path
+    while Q keeps its exact tiling. 544 = 2^5*17 reproduces the structure
+    at interpret-mode-friendly size."""
+    assert sa._int8_block(4352, 1024, lane=128) == 0  # 1088 rejected
+    assert sa._int8_block(4352, 512) == 544  # q keeps the exact tile
+    q, k, v = _rand_qkv(rng, 1, 2, 544, 544, 128)
+    ours = sa.sage_attention(q, k, v)
+    oracle = attn.sdpa(q, k, v)
+    assert _rel_rmse(ours, oracle) < 0.05
+    quality = sa.sage_attention(q, k, v, pv_int8=False)
+    assert _rel_rmse(quality, oracle) < 0.05

@@ -372,3 +372,117 @@ def test_spmd_ksample_matches_single_device(rng):
     with mesh:
         out = run(spmd_model)
     np.testing.assert_allclose(out, base, atol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# sage (int8) attention composition — round-3 verdict weak #3: sage routes
+# through the global dispatch, so under TP each shard's LOCAL head count and
+# the full joint sequence hit the Pallas kernel; nothing pinned that. These
+# run at >=512 joint tokens so fa.supported() actually dispatches the kernel
+# (the rest of this file's shapes sit below the gate and take sdpa).
+
+
+def _sage_cfg_ctx():
+    """Context manager flipping RuntimeConfig to the int8-attention serving
+    configuration (pallas backend + sage) and restoring on exit."""
+    import contextlib
+
+    from lightdiffusion_next_tpu import config as _config
+
+    @contextlib.contextmanager
+    def ctx():
+        old = _config.get_config()
+        _config.set_config(
+            dataclasses.replace(
+                old, attention_backend="pallas", sage_attention=True
+            )
+        )
+        try:
+            yield
+        finally:
+            _config.set_config(old)
+
+    return ctx()
+
+
+def _long_inputs(rng, b=1, hw=48, txt=8):
+    """hw=48 -> 24^2 = 576 image tokens (+8 text = 584 joint), above the
+    512-token flash/sage dispatch gate."""
+    return _inputs(rng, b=b, hw=hw, txt=txt)
+
+
+def test_spmd_sage_matches_single_device(rng):
+    """Int8 attention under shard_map TP: each shard runs the sage Pallas
+    kernel at LOCAL head count (2 of 4 at tp=2) over the full 584-token
+    joint sequence. Per-(b,h) quantization scales make head sharding
+    math-preserving, so the psum-completed output must match the
+    single-device sage forward."""
+    mesh = _mesh()
+    sd = flux_mod.init_params(CFG, seed=11)
+    x, t, ctx, y = _long_inputs(rng)
+
+    with _sage_cfg_ctx():
+        base = _single_device_oracle(sd, x, t, ctx, y)
+        params, fcfg = _shard(dict(sd), CFG, mesh)
+        apply_fn, local_view = spmd_mod.make_spmd_apply_fn(fcfg, mesh)
+        with mesh:
+            out = np.asarray(jax.jit(apply_fn)(local_view(params), x, t, ctx, y))
+    np.testing.assert_allclose(out, base, atol=3e-3)
+
+    # drift vs the bf16 path stays quantization-level, not garbage — and is
+    # NONZERO, proving the int8 kernel actually dispatched (a silent sdpa
+    # fallback would make every assertion above pass vacuously)
+    ref = _single_device_oracle(sd, x, t, ctx, y)
+    denom = np.sqrt((ref**2).mean()) + 1e-12
+    drift = np.sqrt(((out - ref) ** 2).mean()) / denom
+    assert 1e-6 < drift < 0.06, drift
+
+
+def test_spmd_sage_quantized_weights(rng):
+    """sage x Q8_0 x shard_map — the full int8 serving stack: fused dequant
+    matmuls per shard AND int8 attention per shard, vs the single-device
+    quantized sage forward."""
+    mesh = _mesh()
+    sd = flux_mod.init_params(CFG, seed=12)
+    x, t, ctx, y = _long_inputs(rng)
+
+    with _sage_cfg_ctx():
+        base = _single_device_oracle(sd, x, t, ctx, y, quantize=True)
+        params, fcfg = _shard(dict(sd), CFG, mesh, quantize=True)
+        apply_fn, local_view = spmd_mod.make_spmd_apply_fn(fcfg, mesh)
+        with mesh:
+            out = np.asarray(jax.jit(apply_fn)(local_view(params), x, t, ctx, y))
+    np.testing.assert_allclose(out, base, atol=3e-3)
+
+
+def test_gspmd_sage_matches_single_device(rng):
+    """sage x GSPMD TP (the shard_flux_model path): activations carry
+    head-dim shardings through the Pallas dispatch and XLA partitions the
+    kernel; the result must match the single-device sage forward."""
+    from lightdiffusion_next_tpu.models import base as base_mod
+    from lightdiffusion_next_tpu.parallel import inference as par_inf
+    from lightdiffusion_next_tpu.sampling import model_sampling as ms_mod
+    from lightdiffusion_next_tpu.utils import latent as latent_mod
+
+    mesh = _mesh()
+    sd = flux_mod.init_params(CFG, seed=13)
+    x, t, ctx, y = _long_inputs(rng)
+
+    with _sage_cfg_ctx():
+        base = _single_device_oracle(sd, x, t, ctx, y)
+        model = base_mod.DiffusionModel(
+            apply_fn=flux_mod.make_apply_fn(CFG),
+            params={k: jnp.asarray(np.asarray(v, np.float32)) for k, v in sd.items()},
+            model_sampling=ms_mod.ModelSamplingFlux(),
+            latent_format=latent_mod.FLUX1,
+            config=CFG,
+            model_type="flux",
+        )
+        tp = par_inf.shard_flux_model(model, mesh)
+        with mesh:
+            out = np.asarray(
+                jax.jit(lambda p, xx, tt, cc, yy: tp.apply_fn(p, xx, tt, cc, yy))(
+                    tp.params, x, t, ctx, y
+                )
+            )
+    np.testing.assert_allclose(out, base, atol=3e-3)
