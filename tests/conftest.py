@@ -23,8 +23,30 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+import pathlib  # noqa: E402
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+# tests/slow_tests.txt lists every test whose call time exceeds ~10 s on
+# the CI CPU (regenerated from --durations=0 output); they are auto-marked
+# `slow` here so `-m "not slow"` gives a <5-minute iteration gate while the
+# unfiltered suite stays the full matrix of record.
+_SLOW = set()
+for _line in (
+    (pathlib.Path(__file__).parent / "slow_tests.txt").read_text().splitlines()
+):
+    _line = _line.strip()
+    if _line and not _line.startswith("#"):
+        _SLOW.add(_line)
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        name = getattr(item, "originalname", None) or item.name
+        key = f"{pathlib.Path(item.fspath).name}::{name}"
+        if key in _SLOW:
+            item.add_marker(pytest.mark.slow)
 
 
 @pytest.fixture
