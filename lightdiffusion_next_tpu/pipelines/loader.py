@@ -103,7 +103,7 @@ def load_diffusion_model_gguf(
         sd, dtype=cfgv.dtypes.param_dtype, sharding_for=sharding_for
     )
     if w8a8 is None:
-        w8a8 = cfgv.w8a8
+        w8a8 = cfgv.resolve_w8a8()
     if w8a8:
         if mesh is not None:
             # tp leaves pass through to_w8a8 unconverted: the sharded

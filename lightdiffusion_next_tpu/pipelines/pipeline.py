@@ -485,7 +485,7 @@ def _get_flux_models(
     variant = "" if mesh is None else f"mesh{tuple(mesh.shape.values())}"
     if spmd:
         variant += ":spmd"
-    w8a8 = _config.get_config().w8a8
+    w8a8 = _config.get_config().resolve_w8a8()
     if w8a8:
         variant += ":w8a8"
     # scan-over-blocks composes with single-device AND shard_map TP (the

@@ -174,9 +174,15 @@ def main():
 
         _config.set_config(_dc.replace(cfgv, sage_attention=True))
 
-    # --w8a8: per-column weight requantization + int8 MXU matmuls
-    # (ops.ggml.QTensor8W / ops.quant_matmul.w8a8_matmul)
-    use_w8a8 = "--w8a8" in sys.argv
+    # --w8a8 / --no-w8a8: per-column weight requantization + int8 MXU
+    # matmuls (ops.ggml.QTensor8W / ops.quant_matmul.w8a8_matmul).
+    # Default follows RuntimeConfig "auto" (TPU on / CPU off); the metric
+    # name below carries the resolved mode either way.
+    if "--w8a8" in sys.argv and "--no-w8a8" in sys.argv:
+        raise SystemExit("--w8a8 and --no-w8a8 are mutually exclusive")
+    use_w8a8 = "--w8a8" in sys.argv or (
+        "--no-w8a8" not in sys.argv and cfgv.resolve_w8a8()
+    )
     if use_w8a8:
         from lightdiffusion_next_tpu.ops import ggml as _ggml
 
