@@ -58,6 +58,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "style: mean-centered K/V, per-token int8 Q/K, int8 "
                         "P.V). Measured 0.95-1.01x on v5e — no win there; "
                         "kept for parity experiments (no reference analogue)")
+    p.add_argument("--fused-attn", action="store_true",
+                   help="Flux: run QKNorm+RoPE+head indexing inside the "
+                        "flash attention kernel (weights permuted to the "
+                        "half-split RoPE basis at load). Single-device, "
+                        "unrolled, LoRA-free (no reference analogue)")
     p.add_argument("--flux-scan", action="store_true",
                    help="Flux: scan over stacked DiT blocks instead of "
                         "unrolling 57 blocks of HLO — 7.2x smaller program "
@@ -73,7 +78,8 @@ def main(argv=None) -> int:
 
     if args.w8a8 and args.no_w8a8:
         raise SystemExit("--w8a8 and --no-w8a8 are mutually exclusive")
-    if args.w8a8 or args.no_w8a8 or args.sage_attention or args.flux_scan:
+    if (args.w8a8 or args.no_w8a8 or args.sage_attention or args.flux_scan
+            or args.fused_attn):
         import dataclasses as _dc
 
         from lightdiffusion_next_tpu import config as _config
@@ -86,6 +92,8 @@ def main(argv=None) -> int:
             sage_attention=args.sage_attention
             or _config.get_config().sage_attention,
             flux_scan=args.flux_scan or _config.get_config().flux_scan,
+            fused_attn=args.fused_attn
+            or _config.get_config().fused_attn,
         ))
 
     progress_callback = None

@@ -184,6 +184,15 @@ class RuntimeConfig:
     flux_scan: bool = dataclasses.field(
         default_factory=lambda: os.environ.get("LDT_FLUX_SCAN", "") == "1"
     )
+    # Fused-prologue attention for Flux: QKNorm + RoPE + head indexing run
+    # inside the flash kernel off the raw qkv projection (weights permuted
+    # to the half-split RoPE basis at load — models.flux.permute_rope_basis).
+    # Removes the q/k HBM round-trips between the two pallas fusion
+    # barriers. Opt-in until its on-chip number is recorded; single-device
+    # unrolled LoRA-free Flux only. Env default LDT_FUSED_ATTN=1.
+    fused_attn: bool = dataclasses.field(
+        default_factory=lambda: os.environ.get("LDT_FUSED_ATTN", "") == "1"
+    )
 
     def __post_init__(self):
         if self.attention_backend not in _VALID_ATTENTION:
@@ -229,6 +238,7 @@ def trace_token() -> tuple:
         cfg.sage_attention,
         cfg.resolve_w8a8(),
         cfg.flux_scan,
+        cfg.fused_attn,
     )
 
 

@@ -63,6 +63,13 @@ class FluxConfig:
     # (parallel.trainer build_sharded_trainer(scan_blocks=True, remat=True));
     # inference ignores it (no backward pass to save residuals for).
     remat_blocks: bool = False
+    # Fused-prologue attention (round 4): QKNorm + RoPE + head indexing
+    # run INSIDE the flash kernel, reading the fused qkv projection
+    # directly (ops.flash_attention.fused_qkv_attention). Requires the
+    # params to be in the permuted RoPE basis (permute_rope_basis) — the
+    # loader sets this flag if and only if it permuted, so config and
+    # weights cannot disagree. Single-device, unrolled, LoRA-free only.
+    fused_attn: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -84,6 +91,124 @@ def _modulation(p: nn.ParamView, vec, n: int):
     out = nn.linear(nn.silu(vec), p("lin.weight"), p("lin.bias"))
     chunks = jnp.split(out[:, None, :], 3 * (n // 3), axis=-1)
     return chunks  # groups of (shift, scale, gate)
+
+
+def rope_pair_permutation(d: int):
+    """NEW->OLD index map turning interleaved RoPE pairs into the
+    half-split (GPT-NeoX) layout: new lane j holds old feature 2j for
+    j < d/2 and old feature 2(j-d/2)+1 above — so the rotation partner of
+    lane j is lane j+d/2 and the in-kernel shuffle is one 64-lane roll
+    (ops.flash_attention fused_qkv_attention docstring)."""
+    import numpy as np
+
+    half = d // 2
+    idx = np.empty((d,), np.int64)
+    idx[:half] = np.arange(half) * 2
+    idx[half:] = np.arange(half) * 2 + 1
+    return idx
+
+
+def _qk_out_index(out_dim: int, hidden: int, head_dim: int):
+    """Output-column permutation for a fused [q;k;v(;mlp)] projection:
+    apply the rope pair permutation within every head's 128-col segment
+    of the q and k sections; v/mlp columns stay put."""
+    import numpy as np
+
+    idx = np.arange(out_dim, dtype=np.int64)
+    pi = rope_pair_permutation(head_dim)
+    for sec in (0, hidden):  # q section, k section
+        for h0 in range(sec, sec + hidden, head_dim):
+            idx[h0 : h0 + head_dim] = h0 + pi
+    return idx
+
+
+def permute_rope_basis(params: Dict, cfg: FluxConfig) -> Dict:
+    """One-time load-side rewrite for cfg.fused_attn: permute the q/k
+    output columns of every qkv / single-block linear1 projection (plus
+    biases and QKNorm scales) into the half-split RoPE basis. Attention
+    logits are invariant (the same permutation hits q and k), v and every
+    other weight are untouched, so the model output is bit-comparable to
+    the unfused path up to the kernel's fusion reassociation.
+
+    Refuses stacked/tp/LoRA layouts — callers keep those on the unfused
+    forward. Returns a NEW dict; quantized leaves are gathered on device
+    (a few GB one-time, block weights only)."""
+    from lightdiffusion_next_tpu.ops import ggml
+
+    if cfg.tp_layout or cfg.tp_axis is not None:
+        raise ValueError("fused_attn is single-device; tp layouts don't permute")
+    if is_stacked(params):
+        raise ValueError("permute before stacking (scan mode unsupported)")
+    H = cfg.hidden_size
+    D = cfg.head_dim
+    assert D % 2 == 0
+
+    def permute_out(leaf, idx):
+        if isinstance(leaf, ggml.QTensorLoRA):
+            raise ValueError(
+                "fused_attn cannot permute LoRA-patched qkv weights; load "
+                "without --fused-attn or merge the LoRA first"
+            )
+        idxj = jnp.asarray(idx)
+        if isinstance(leaf, ggml.QTensor8T):
+            return ggml.QTensor8T(
+                qt=jnp.take(leaf.qt, idxj, axis=1),
+                scales_t=jnp.take(leaf.scales_t, idxj, axis=1),
+                shape=leaf.shape,
+            )
+        if isinstance(leaf, ggml.QTensor8W):
+            return ggml.QTensor8W(
+                qt=jnp.take(leaf.qt, idxj, axis=1),
+                col_scales=jnp.take(leaf.col_scales, idxj, axis=1),
+                shape=leaf.shape,
+            )
+        return jnp.take(jnp.asarray(leaf), idxj, axis=0)  # (out, in) dense
+
+    out = dict(params)
+    pi = jnp.asarray(rope_pair_permutation(D))
+    qkv_idx = _qk_out_index(3 * H, H, D)
+    lin1_idx = _qk_out_index(3 * H + int(H * cfg.mlp_ratio), H, D)
+
+    def do(prefix, idx):
+        wkey = prefix + ".weight"
+        out[wkey] = permute_out(params[wkey], idx)
+        bkey = prefix + ".bias"
+        if bkey in params:
+            out[bkey] = jnp.take(jnp.asarray(params[bkey]), jnp.asarray(idx))
+
+    for i in range(cfg.depth):
+        for s in ("img", "txt"):
+            do(f"double_blocks.{i}.{s}_attn.qkv", qkv_idx)
+            for nk in ("query_norm", "key_norm"):
+                key = f"double_blocks.{i}.{s}_attn.norm.{nk}.scale"
+                out[key] = jnp.take(jnp.asarray(params[key]), pi)
+    for i in range(cfg.depth_single_blocks):
+        do(f"single_blocks.{i}.linear1", lin1_idx)
+        for nk in ("query_norm", "key_norm"):
+            key = f"single_blocks.{i}.norm.{nk}.scale"
+            out[key] = jnp.take(jnp.asarray(params[key]), pi)
+    return out
+
+
+def rope_cos_sin(ids, axes_dim, theta: int = 10000):
+    """(cos, sin) for the fused-prologue kernel, half-split layout:
+    C = [cos; cos], S = [-sin; sin], each (L, sum(axes_dim)) f32. ids is
+    (B, L, n_axes); position ids are identical across the batch (zeros for
+    txt, tiled img grid — img_ids), so row 0 serves every batch entry."""
+    pos = ids[0]
+    parts_c, parts_s = [], []
+    for ax, dim in enumerate(axes_dim):
+        scale = jnp.arange(0, dim, 2, dtype=jnp.float32) / dim
+        omega = 1.0 / (theta**scale)
+        ang = pos[:, ax].astype(jnp.float32)[:, None] * omega[None]
+        parts_c.append(jnp.cos(ang))
+        parts_s.append(jnp.sin(ang))
+    c = jnp.concatenate(parts_c, axis=-1)
+    s = jnp.concatenate(parts_s, axis=-1)
+    return (
+        jnp.concatenate([c, c], axis=-1),
+        jnp.concatenate([-s, s], axis=-1),
+    )
 
 
 def _qk_norm(p: nn.ParamView, q, k):
@@ -144,20 +269,39 @@ def _double_block(p: nn.ParamView, img, txt, vec, pe, cfg: FluxConfig):
     img_qkv = nn.linear(
         img_modulated, p("img_attn.qkv.weight"), p.get("img_attn.qkv.bias")
     )
-    img_q, img_k, img_v = _split_heads(img_qkv, cfg.num_heads, cfg.tp_layout)
-    img_q, img_k = _qk_norm(p.scope("img_attn.norm."), img_q, img_k)
 
     txt_modulated = nn.layer_norm(txt, eps=1e-6) * (1 + tx1_scale) + tx1_shift
     txt_qkv = nn.linear(
         txt_modulated, p("txt_attn.qkv.weight"), p.get("txt_attn.qkv.bias")
     )
-    txt_q, txt_k, txt_v = _split_heads(txt_qkv, cfg.num_heads, cfg.tp_layout)
-    txt_q, txt_k = _qk_norm(p.scope("txt_attn.norm."), txt_q, txt_k)
 
-    q = jnp.concatenate([txt_q, img_q], axis=2)
-    k = jnp.concatenate([txt_k, img_k], axis=2)
-    v = jnp.concatenate([txt_v, img_v], axis=2)
-    attn = _attention(q, k, v, pe)
+    if cfg.fused_attn:
+        # permuted-basis params (permute_rope_basis); pe is (cos, sin).
+        # One L-axis concat replaces three head-split transposes + the
+        # norm/rope HBM round-trips (fused into the kernel prologue).
+        from lightdiffusion_next_tpu.ops import flash_attention as fa
+
+        cos, sin = pe
+        attn = fa.fused_qkv_attention(
+            jnp.concatenate([txt_qkv, img_qkv], axis=1),
+            p("img_attn.norm.query_norm.scale"),
+            p("img_attn.norm.key_norm.scale"),
+            cos, sin,
+            num_heads=cfg.num_heads,
+            txt_len=txt.shape[1],
+            txt_q_scale=p("txt_attn.norm.query_norm.scale"),
+            txt_k_scale=p("txt_attn.norm.key_norm.scale"),
+        )
+    else:
+        img_q, img_k, img_v = _split_heads(img_qkv, cfg.num_heads, cfg.tp_layout)
+        img_q, img_k = _qk_norm(p.scope("img_attn.norm."), img_q, img_k)
+        txt_q, txt_k, txt_v = _split_heads(txt_qkv, cfg.num_heads, cfg.tp_layout)
+        txt_q, txt_k = _qk_norm(p.scope("txt_attn.norm."), txt_q, txt_k)
+
+        q = jnp.concatenate([txt_q, img_q], axis=2)
+        k = jnp.concatenate([txt_k, img_k], axis=2)
+        v = jnp.concatenate([txt_v, img_v], axis=2)
+        attn = _attention(q, k, v, pe)
     txt_attn, img_attn = attn[:, : txt.shape[1]], attn[:, txt.shape[1] :]
 
     img = img + im1_gate * _row_parallel(
@@ -199,9 +343,24 @@ def _single_block(p: nn.ParamView, x, vec, pe, cfg: FluxConfig):
     else:
         proj = nn.linear(x_mod, p("linear1.weight"), p("linear1.bias"))
         qkv, mlp = proj[..., : 3 * hidden], proj[..., 3 * hidden :]
-    q, k, v = _split_heads(qkv, cfg.num_heads, cfg.tp_layout)
-    q, k = _qk_norm(p.scope("norm."), q, k)
-    attn = _attention(q, k, v, pe)
+    if cfg.fused_attn and not cfg.tp_layout:
+        # the kernel indexes q/k/v head stripes straight out of the full
+        # linear1 output (extra mlp lanes are never touched) — no qkv
+        # slice materializes and no head split/norm/rope round-trips
+        from lightdiffusion_next_tpu.ops import flash_attention as fa
+
+        cos, sin = pe
+        attn = fa.fused_qkv_attention(
+            proj,
+            p("norm.query_norm.scale"),
+            p("norm.key_norm.scale"),
+            cos, sin,
+            num_heads=cfg.num_heads,
+        )
+    else:
+        q, k, v = _split_heads(qkv, cfg.num_heads, cfg.tp_layout)
+        q, k = _qk_norm(p.scope("norm."), q, k)
+        attn = _attention(q, k, v, pe)
     if cfg.tp_layout:
         # linear2 input-split at layout time (parallel.layout): concat
         # [attn; gelu(mlp)] shards unevenly across the attn/mlp boundary
@@ -392,7 +551,10 @@ def apply_flux(
 
     txt_ids = jnp.zeros((b, txt.shape[1], 3), dtype=jnp.float32)
     ids = jnp.concatenate([txt_ids, img_ids(b, h, w, cfg.patch_size)], axis=1)
-    pe = rope_ops.embed_nd(ids, cfg.axes_dim, cfg.theta)
+    if cfg.fused_attn:
+        pe = rope_cos_sin(ids, cfg.axes_dim, cfg.theta)  # (cos, sin)
+    else:
+        pe = rope_ops.embed_nd(ids, cfg.axes_dim, cfg.theta)
 
     img_prev = img
     if is_stacked(params):

@@ -179,3 +179,205 @@ def supported(q, k, v) -> bool:
     if d > 512:
         return False
     return lq >= 512 and lk >= 512
+
+
+# ---------------------------------------------------------------------------
+# Fused-prologue variant: QKNorm + RoPE + head indexing inside the kernel
+# ---------------------------------------------------------------------------
+#
+# Round-4 device trace (ARCHITECTURE §6b-iv): after W8A8 the Flux step is
+# ~29% quant matmuls (already ~93% of the s8 MXU roofline), ~24% flash
+# attention, and ~40% elementwise/copy tail. A large share of that tail is
+# structural: pallas_call is a fusion barrier, so the unfused chain
+#   qkv matmul (pallas) -> split heads -> RMSNorm -> RoPE (XLA)
+#   -> flash kernel (pallas)
+# must materialize q and k in HBM several times between the two custom
+# calls. This variant reads the fused qkv matmul OUTPUT directly (head =
+# grid dimension indexing 128-lane blocks — no split/transpose), applies
+# QKNorm and RoPE on tiles already in VMEM, and writes the output in
+# folded (B, L, H*D) layout (no merge transpose).
+#
+# RoPE trick: Flux applies rotations to INTERLEAVED feature pairs
+# (x[2i], x[2i+1]) — a lane-stride-2 shuffle Mosaic has no cheap vector op
+# for. Attention logits are invariant to any fixed permutation of D
+# applied to BOTH q and k, so the loader permutes the q/k OUTPUT columns
+# of the qkv weights once (models.flux.permute_rope_basis: pair p -> lanes
+# (p, p+64), GPT-NeoX layout) and the kernel's rotation becomes
+#   out = x * C + roll(x, 64) * S,   C = [cos; cos], S = [-sin; sin]
+# — one pltpu.roll over the lane axis and two multiply-adds.
+
+
+def _fused_kernel(
+    qs_ref, ks_ref, tqs_ref, tks_ref, cq_ref, sq_ref, ck_ref, sk_ref,
+    q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
+    *, scale, kv_len, txt_len, block_q, block_k, eps,
+):
+    ki = pl.program_id(2)
+    nk = pl.num_programs(2)
+    ji = pl.program_id(1)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    def norm_rope(x, row0, n_rows, s_img, s_txt, cos, sin):
+        xf = x.astype(jnp.float32)
+        xf = xf * jax.lax.rsqrt(
+            jnp.mean(xf * xf, axis=-1, keepdims=True) + eps
+        )
+        if txt_len > 0:
+            row = (
+                jax.lax.broadcasted_iota(jnp.int32, (n_rows, 1), 0) + row0
+            )
+            sel = jnp.where(row < txt_len, s_txt, s_img)
+        else:
+            sel = s_img
+        xf = xf * sel
+        return xf * cos + pltpu.roll(xf, 64, 1) * sin
+
+    q = norm_rope(
+        q_ref[0], ji * block_q, block_q, qs_ref[...], tqs_ref[...],
+        cq_ref[...], sq_ref[...],
+    ).astype(q_ref.dtype)
+    k = norm_rope(
+        k_ref[0], ki * block_k, block_k, ks_ref[...], tks_ref[...],
+        ck_ref[...], sk_ref[...],
+    ).astype(k_ref.dtype)
+
+    s = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    s = s * scale
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_k
+    s = jnp.where(col < kv_len, s, NEG_INF)
+
+    m_prev = m_ref[:]
+    m_cur = jnp.max(s, axis=1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    p = jnp.exp(s - m_new)
+    alpha = jnp.exp(m_prev - m_new)
+    l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+    acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[0],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    m_ref[:] = m_new
+
+    @pl.when(ki == nk - 1)
+    def _finish():
+        o_ref[0] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_heads", "txt_len", "block_q", "block_k", "eps"),
+)
+def fused_qkv_attention(
+    qkv, q_scale, k_scale, cos, sin,
+    *, num_heads: int, txt_len: int = 0,
+    txt_q_scale=None, txt_k_scale=None,
+    block_q: int = 512, block_k: int = 1024, eps: float = 1e-6,
+):
+    """Joint attention straight off the fused qkv projection.
+
+    qkv: (B, L, >=3*H*128) with layout [q_heads | k_heads | v_heads | ...]
+        (extra trailing lanes — e.g. the single-block linear1's mlp
+        columns — are simply never indexed). q/k sections must be in the
+        PERMUTED RoPE basis (models.flux.permute_rope_basis).
+    q_scale/k_scale: (128,) f32 QKNorm scales (permuted). For a joint
+        txt+img sequence (Flux double blocks) pass the txt-stream scales
+        via txt_q_scale/txt_k_scale and the boundary via txt_len: rows
+        < txt_len use them (txt tokens sit first, models/flux.py).
+    cos/sin: (L, 128) f32 in the half-split layout C=[cos;cos],
+        S=[-sin;sin] (models.flux.rope_cos_sin).
+    Returns (B, L, H*128) — folded heads, no transpose anywhere.
+    """
+    b, l, w = qkv.shape
+    d = 128
+    h = num_heads
+    assert w >= 3 * h * d, (w, h)
+    scale = 1.0 / math.sqrt(d)
+    if txt_q_scale is None:
+        txt_q_scale = q_scale
+    if txt_k_scale is None:
+        txt_k_scale = k_scale
+
+    bq = _exact_block(l, block_q) or min(block_q, _round_up(l, 128))
+    bk = _exact_block(l, block_k) or min(block_k, _round_up(l, 128))
+    lp = _round_up(l, bq)
+    lkp = _round_up(l, bk)
+    if lp != lkp:
+        lp = lkp = _round_up(max(lp, lkp), bq * bk // math.gcd(bq, bk))
+    if lp != l:
+        qkv = jnp.pad(qkv, ((0, 0), (0, lp - l), (0, 0)))
+        cos = jnp.pad(cos, ((0, lp - l), (0, 0)))
+        sin = jnp.pad(sin, ((0, lp - l), (0, 0)))
+
+    def vec2(x):
+        return x.reshape(1, d).astype(jnp.float32)
+
+    grid = (b * h, lp // bq, lp // bk)
+    interpret = jax.default_backend() == "cpu"
+
+    out = pl.pallas_call(
+        functools.partial(
+            _fused_kernel, scale=scale, kv_len=l, txt_len=txt_len,
+            block_q=bq, block_k=bk, eps=eps,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, d), lambda i, j, kk: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i, j, kk: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i, j, kk: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i, j, kk: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bq, d), lambda i, j, kk: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bq, d), lambda i, j, kk: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, d), lambda i, j, kk: (kk, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, d), lambda i, j, kk: (kk, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, bq, d),
+                lambda i, j, kk, h=h: (i // h, j, i % h),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, bk, d),
+                lambda i, j, kk, h=h: (i // h, kk, h + i % h),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, bk, d),
+                lambda i, j, kk, h=h: (i // h, kk, 2 * h + i % h),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, bq, d),
+            lambda i, j, kk, h=h: (i // h, j, i % h),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, lp, h * d), qkv.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((bq, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * lp * lp * d,
+            bytes_accessed=2 * b * h * (lp + 2 * lp) * d,
+            transcendentals=b * h * lp * lp,
+        ),
+        interpret=interpret,
+    )(
+        vec2(q_scale), vec2(k_scale), vec2(txt_q_scale), vec2(txt_k_scale),
+        cos.astype(jnp.float32), sin.astype(jnp.float32),
+        cos.astype(jnp.float32), sin.astype(jnp.float32),
+        qkv, qkv, qkv,
+    )
+    return out[:, :l, :] if lp != l else out

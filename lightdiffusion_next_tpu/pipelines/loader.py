@@ -117,6 +117,35 @@ def load_diffusion_model_gguf(
             )
         params = ggml.to_w8a8(params)
 
+    if cfgv.fused_attn:
+        import logging
+
+        if mesh is not None:
+            logging.getLogger(__name__).warning(
+                "fused_attn is single-device; keeping the unfused "
+                "attention path on the tensor-parallel load"
+            )
+        elif scan_blocks or (scan_blocks is None and cfgv.flux_scan):
+            logging.getLogger(__name__).warning(
+                "fused_attn does not compose with flux_scan yet; keeping "
+                "the unfused attention path"
+            )
+        elif fcfg.head_dim != 128:
+            logging.getLogger(__name__).warning(
+                "fused_attn kernel is 128-lane head_dim only (got %d); "
+                "keeping the unfused attention path", fcfg.head_dim,
+            )
+        else:
+            try:
+                # after to_w8a8 so the permute hits the final leaf form
+                params = flux_mod.permute_rope_basis(params, fcfg)
+                fcfg = dataclasses.replace(fcfg, fused_attn=True)
+            except ValueError as e:
+                logging.getLogger(__name__).warning(
+                    "fused_attn unavailable for this checkpoint (%s); "
+                    "keeping the unfused attention path", e,
+                )
+
     if scan_blocks is None:
         scan_blocks = cfgv.flux_scan
     if scan_blocks:

@@ -501,6 +501,12 @@ def _get_flux_models(
         )
     if scan_blocks:
         variant += ":scan"
+    # fused-prologue attention permutes the resident weights' RoPE basis;
+    # only the single-device unrolled load actually applies it (loader
+    # gates), so only that variant is keyed
+    if (_config.get_config().fused_attn and mesh is None
+            and not scan_blocks):
+        variant += ":fusedattn"
     model = cache.get(unet_path, variant=variant)
     if model is None:
         # one resident DiT at a time: a second 12B variant (w8a8 toggle /

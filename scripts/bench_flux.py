@@ -195,10 +195,27 @@ def main():
         )
         print(f"w8a8 requant: {time.perf_counter()-t0:.1f}s", flush=True)
 
+    # --fused-attn: QKNorm+RoPE+head-indexing inside the flash kernel;
+    # weights permuted to the half-split RoPE basis one time here
+    use_fused = "--fused-attn" in sys.argv
+    if use_fused:
+        t0 = time.perf_counter()
+        fcfg = dataclasses.replace(fcfg, fused_attn=True)
+        params = flux_mod.permute_rope_basis(params, fcfg)
+        import jax as _jax
+
+        _jax.block_until_ready(
+            params["single_blocks.0.norm.query_norm.scale"]
+        )
+        print(f"rope-basis permute: {time.perf_counter()-t0:.1f}s",
+              flush=True)
+
     # --flux-scan: stacked-block scan forward — compare the "compile+first
     # run" line vs the unrolled default for the cold-compile delta (clear
     # the persistent XLA cache first or the comparison is meaningless)
     use_scan = "--flux-scan" in sys.argv
+    if use_scan and use_fused:
+        raise SystemExit("--fused-attn does not compose with --flux-scan yet")
     if use_scan:
         t0 = time.perf_counter()
         params = flux_mod.stack_block_params(params, fcfg)
@@ -326,6 +343,7 @@ def main():
                 + ("_w8a8" if use_w8a8 else "")
                 + ("_sage" if use_sage else "")
                 + ("_scan" if use_scan else "")
+                + ("_fusedattn" if use_fused else "")
                 + (f"_batch{batch}" if batch != 1 else "")
                 + ("_preview" if callback is not None else ""),
                 "value": round(dt / batch, 3),

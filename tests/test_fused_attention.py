@@ -1,0 +1,196 @@
+"""Fused-prologue attention (QKNorm + RoPE + head indexing in-kernel).
+
+Round-4 kernel: ops.flash_attention.fused_qkv_attention reads the fused
+qkv projection directly (models.flux.permute_rope_basis puts q/k in the
+half-split RoPE basis so the in-kernel rotation is one lane roll).
+Parity oracle: the unfused path (split heads -> nn.rms_norm ->
+rope_ops.apply_rope -> sdpa -> fold) on the SAME unpermuted tensors.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lightdiffusion_next_tpu.models import flux as flux_mod
+from lightdiffusion_next_tpu.ops import attention as attn_ops
+from lightdiffusion_next_tpu.ops import flash_attention as fa
+from lightdiffusion_next_tpu.ops import nn, rope as rope_ops
+
+
+def _ref_attention(q, k, v, qs, ks, ids, axes_dim, txt_len=0, tqs=None,
+                   tks=None):
+    """Unfused oracle on head-major (B, H, L, D) tensors."""
+    if txt_len:
+        qn = jnp.concatenate(
+            [
+                nn.rms_norm(q[:, :, :txt_len], tqs),
+                nn.rms_norm(q[:, :, txt_len:], qs),
+            ],
+            axis=2,
+        )
+        kn = jnp.concatenate(
+            [
+                nn.rms_norm(k[:, :, :txt_len], tks),
+                nn.rms_norm(k[:, :, txt_len:], ks),
+            ],
+            axis=2,
+        )
+    else:
+        qn = nn.rms_norm(q, qs)
+        kn = nn.rms_norm(k, ks)
+    pe = rope_ops.embed_nd(ids, axes_dim)
+    qr, kr = rope_ops.apply_rope(qn, kn, pe)
+    return attn_ops.sdpa(qr, kr, v)  # (B, H, L, D)
+
+
+def _fuse_qkv(q, k, v, pi):
+    """(B, H, L, D) q/k/v -> fused (B, L, 3*H*D) with q,k permuted."""
+    b, h, l, d = q.shape
+
+    def fold(x):
+        return x.transpose(0, 2, 1, 3).reshape(b, l, h * d)
+
+    return jnp.concatenate(
+        [fold(q[..., pi]), fold(k[..., pi]), fold(v)], axis=-1
+    )
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(7)
+
+
+def _ids(b, l, n_axes=3, seed=3):
+    r = np.random.default_rng(seed)
+    ids = r.integers(0, 32, (1, l, n_axes)).astype(np.float32)
+    return jnp.asarray(np.tile(ids, (b, 1, 1)))
+
+
+class TestFusedKernel:
+    def test_matches_unfused_single_stream(self, rng):
+        b, h, l, d = 1, 2, 256, 128
+        q, k, v = (
+            jnp.asarray(rng.standard_normal((b, h, l, d)), jnp.float32)
+            for _ in range(3)
+        )
+        qs = jnp.asarray(rng.standard_normal((d,)) * 0.2 + 1.0, jnp.float32)
+        ks = jnp.asarray(rng.standard_normal((d,)) * 0.2 + 1.0, jnp.float32)
+        ids = _ids(b, l)
+        axes = (32, 48, 48)
+
+        ref = _ref_attention(q, k, v, qs, ks, ids, axes)
+        ref_folded = ref.transpose(0, 2, 1, 3).reshape(b, l, h * d)
+
+        pi = flux_mod.rope_pair_permutation(d)
+        cos, sin = flux_mod.rope_cos_sin(ids, axes)
+        out = fa.fused_qkv_attention(
+            _fuse_qkv(q, k, v, pi), qs[pi], ks[pi], cos, sin, num_heads=h
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref_folded), rtol=2e-2, atol=2e-2
+        )
+
+    def test_matches_unfused_joint_txt_img(self, rng):
+        """Double-block shape: txt rows use their own QKNorm scales."""
+        b, h, l, d, txt_len = 1, 1, 288, 128, 32
+        q, k, v = (
+            jnp.asarray(rng.standard_normal((b, h, l, d)), jnp.float32)
+            for _ in range(3)
+        )
+        mk = lambda: jnp.asarray(
+            rng.standard_normal((d,)) * 0.2 + 1.0, jnp.float32
+        )
+        qs, ks, tqs, tks = mk(), mk(), mk(), mk()
+        ids = _ids(b, l)
+        axes = (32, 48, 48)
+
+        ref = _ref_attention(
+            q, k, v, qs, ks, ids, axes, txt_len=txt_len, tqs=tqs, tks=tks
+        )
+        ref_folded = ref.transpose(0, 2, 1, 3).reshape(b, l, h * d)
+
+        pi = flux_mod.rope_pair_permutation(d)
+        cos, sin = flux_mod.rope_cos_sin(ids, axes)
+        out = fa.fused_qkv_attention(
+            _fuse_qkv(q, k, v, pi), qs[pi], ks[pi], cos, sin,
+            num_heads=h, txt_len=txt_len,
+            txt_q_scale=tqs[pi], txt_k_scale=tks[pi],
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref_folded), rtol=2e-2, atol=2e-2
+        )
+
+    def test_extra_trailing_lanes_ignored(self, rng):
+        """single-block linear1 layout: mlp columns after v are inert."""
+        b, h, l, d = 1, 1, 256, 128
+        q, k, v = (
+            jnp.asarray(rng.standard_normal((b, h, l, d)), jnp.float32)
+            for _ in range(3)
+        )
+        qs = jnp.ones((d,), jnp.float32)
+        ks = jnp.ones((d,), jnp.float32)
+        ids = _ids(b, l)
+        axes = (32, 48, 48)
+        pi = flux_mod.rope_pair_permutation(d)
+        cos, sin = flux_mod.rope_cos_sin(ids, axes)
+        qkv = _fuse_qkv(q, k, v, pi)
+        with_mlp = jnp.concatenate(
+            [qkv, jnp.full((b, l, 256), 7.0, qkv.dtype)], axis=-1
+        )
+        a = fa.fused_qkv_attention(qkv, qs, ks, cos, sin, num_heads=h)
+        bb = fa.fused_qkv_attention(with_mlp, qs, ks, cos, sin, num_heads=h)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb))
+
+
+class TestFusedFluxForward:
+    def _tiny(self):
+        return dataclasses.replace(
+            flux_mod.FLUX_DEV,
+            hidden_size=256, num_heads=2, depth=1, depth_single_blocks=2,
+            mlp_ratio=2.0, axes_dim=(32, 48, 48), vec_in_dim=32,
+            context_in_dim=48,
+        )
+
+    def test_forward_parity_fused_vs_unfused(self, rng):
+        cfg = self._tiny()
+        params = flux_mod.init_params(cfg, seed=0)
+        b, hw = 1, 16
+        x = jnp.asarray(rng.standard_normal((b, hw, hw, 16)), jnp.float32)
+        t = jnp.asarray([0.5], jnp.float32)
+        ctx = jnp.asarray(
+            rng.standard_normal((b, 32, cfg.context_in_dim)), jnp.float32
+        )
+        y = jnp.asarray(rng.standard_normal((b, cfg.vec_in_dim)), jnp.float32)
+        g = jnp.asarray([3.0], jnp.float32)
+
+        ref = flux_mod.apply_flux(params, x, t, ctx, y, guidance=g, cfg=cfg)
+
+        fcfg = dataclasses.replace(cfg, fused_attn=True)
+        fparams = flux_mod.permute_rope_basis(params, cfg)
+        out = flux_mod.apply_flux(fparams, x, t, ctx, y, guidance=g, cfg=fcfg)
+
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=3e-2, atol=3e-2
+        )
+
+    def test_permute_refuses_tp_and_stacked(self):
+        cfg = self._tiny()
+        params = flux_mod.init_params(cfg, seed=0)
+        with pytest.raises(ValueError):
+            flux_mod.permute_rope_basis(
+                params, dataclasses.replace(cfg, tp_layout=True)
+            )
+        stacked = flux_mod.stack_block_params(dict(params), cfg)
+        with pytest.raises(ValueError):
+            flux_mod.permute_rope_basis(stacked, cfg)
+
+    def test_permutation_is_involution_on_logits(self, rng):
+        """QK^T is invariant under the shared basis permutation."""
+        d = 128
+        pi = flux_mod.rope_pair_permutation(d)
+        q = rng.standard_normal((8, d)).astype(np.float32)
+        k = rng.standard_normal((8, d)).astype(np.float32)
+        np.testing.assert_allclose(q @ k.T, q[:, pi] @ k[:, pi].T, rtol=1e-5)
