@@ -45,6 +45,7 @@ DEFAULT_SETTINGS = {
     "w8a8": None,  # None -> RuntimeConfig resolve_w8a8() (TPU on, CPU off)
     "sage_attention": False,
     "flux_scan": False,
+    "fused_attn": False,
 }
 
 
@@ -117,7 +118,7 @@ def generate_images_with_preview(
         get_model_cache().set_keep_models_loaded(keep_loaded)
 
         if "w8a8" in kwargs or "sage_attention" in kwargs \
-                or "flux_scan" in kwargs:
+                or "flux_scan" in kwargs or "fused_attn" in kwargs:
             # int8-MXU compute / scan-forward toggles (this framework's own)
             import dataclasses as _dc
 
@@ -131,6 +132,9 @@ def generate_images_with_preview(
                     kwargs.pop("sage_attention", cfg.sage_attention)
                 ),
                 flux_scan=bool(kwargs.pop("flux_scan", cfg.flux_scan)),
+                fused_attn=bool(
+                    kwargs.pop("fused_attn", cfg.fused_attn)
+                ),
             ))
 
         img2img_enabled = bool(kwargs.pop("img2img_enabled", False))
@@ -366,6 +370,12 @@ def build_app():
                         info="7.2x smaller program for cold-start compiles "
                              "(single chip / spmd TP)",
                     )
+                    fused_attn = gr.Checkbox(
+                        value=s["fused_attn"],
+                        label="Fused-prologue attention (Flux)",
+                        info="QKNorm+RoPE+head indexing in-kernel; "
+                             "single-device unrolled loads",
+                    )
                 with gr.Row():
                     img2img = gr.Checkbox(
                         value=s["img2img_enabled"], label="Image to image"
@@ -431,7 +441,8 @@ def build_app():
         def on_generate(
             prompt, negative, width, height, num_images, batch_size, hires,
             adet, enh, speed, hdr, realistic, flux, reuse, keep, prev,
-            use_w8a8, use_sage, use_flux_scan, i2i_enabled, i2i_image, ms_preset,
+            use_w8a8, use_sage, use_flux_scan, use_fused, i2i_enabled,
+            i2i_image, ms_preset,
             ms_enabled, ms_intermittent, ms_factor, ms_start, ms_end,
         ):
             ms_kwargs = multiscale_kwargs(
@@ -466,6 +477,7 @@ def build_app():
                     "w8a8": bool(use_w8a8),
                     "sage_attention": bool(use_sage),
                     "flux_scan": bool(use_flux_scan),
+                    "fused_attn": bool(use_fused),
                 }
             )
             paths, state = [], "starting"
@@ -485,6 +497,7 @@ def build_app():
                 w8a8=bool(use_w8a8),
                 sage_attention=bool(use_sage),
                 flux_scan=bool(use_flux_scan),
+                fused_attn=bool(use_fused),
                 img2img_enabled=bool(i2i_enabled),
                 img2img_image=i2i_image,
                 prio_speed=speed,
@@ -503,8 +516,8 @@ def build_app():
             on_generate,
             [prompt, negative, width, height, num_images, batch_size, hires,
              adet, enh, speed, hdr, realistic, flux, reuse_seed, keep_loaded,
-             preview_on, w8a8, sage_attn, flux_scan, img2img, img2img_image,
-             ms_preset,
+             preview_on, w8a8, sage_attn, flux_scan, fused_attn, img2img,
+             img2img_image, ms_preset,
              ms_enabled, ms_intermittent, ms_factor, ms_start, ms_end],
             [gallery, status, history, history_paths],
         )
