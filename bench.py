@@ -33,34 +33,37 @@ def _probe_devices(timeout_s: float = 180.0, wait_total_s: float = None):
     also FLAPS (observed multi-hour outages), so instead of one fail-fast
     probe the bench retries until ``LDT_BENCH_WAIT_S`` (default 30 min)
     before giving up: a transient outage at bench time then costs a wait,
-    not the round's measurement. Retry threads are daemons — a probe stuck
-    inside backend init simply gets re-checked on the shared result dict."""
+    not the round's measurement.
+
+    Probes run in SUBPROCESSES, not threads: jax backend init is guarded
+    by a process-global lock, so a probe wedged inside init during a flap
+    would block every retry thread forever even after the relay recovers
+    (observed round 4: a bench sat 30 min through a recovered relay).
+    A fresh interpreter per probe recovers the moment the relay does; the
+    parent only imports jax after a probe subprocess has succeeded."""
     import os
-    import threading
+    import subprocess
 
     if wait_total_s is None:
         wait_total_s = float(os.environ.get("LDT_BENCH_WAIT_S", "1800"))
     deadline = time.monotonic() + wait_total_s
-    result = {}
-
-    def probe():
-        try:
-            import jax
-
-            result["devices"] = jax.devices()
-        except Exception as e:  # pragma: no cover - backend-dependent
-            result["error"] = repr(e)
 
     attempt = 0
-    while "devices" not in result:
+    while True:
         attempt += 1
-        result.pop("error", None)
-        t = threading.Thread(target=probe, daemon=True)
-        t.start()
-        t.join(timeout_s)
-        if "devices" in result:
-            break
-        msg = result.get("error", f"no response in {timeout_s:.0f}s")
+        msg = None
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; assert jax.devices()"],
+                timeout=timeout_s, capture_output=True, text=True,
+            )
+            if r.returncode == 0:
+                break
+            msg = (r.stderr or "").strip().splitlines()[-1:] or ["exit != 0"]
+            msg = msg[0]
+        except subprocess.TimeoutExpired:
+            msg = f"no response in {timeout_s:.0f}s"
         if time.monotonic() >= deadline:
             print(
                 json.dumps(
