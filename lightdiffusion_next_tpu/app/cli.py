@@ -61,8 +61,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--fused-attn", action="store_true",
                    help="Flux: run QKNorm+RoPE+head indexing inside the "
                         "flash attention kernel (weights permuted to the "
-                        "half-split RoPE basis at load). Single-device, "
-                        "unrolled, LoRA-free (no reference analogue)")
+                        "half-split RoPE basis at load). Measured -16% "
+                        "s/image on TPU (the TPU default — this flag forces "
+                        "it on elsewhere); single-device, unrolled, "
+                        "LoRA-free (no reference analogue)")
+    p.add_argument("--no-fused-attn", action="store_true",
+                   help="Flux: force the unfused attention prologue even on "
+                        "TPU (overrides the fused-attn auto default)")
     p.add_argument("--flux-scan", action="store_true",
                    help="Flux: scan over stacked DiT blocks instead of "
                         "unrolling 57 blocks of HLO — 7.2x smaller program "
@@ -78,8 +83,11 @@ def main(argv=None) -> int:
 
     if args.w8a8 and args.no_w8a8:
         raise SystemExit("--w8a8 and --no-w8a8 are mutually exclusive")
+    if args.fused_attn and args.no_fused_attn:
+        raise SystemExit(
+            "--fused-attn and --no-fused-attn are mutually exclusive")
     if (args.w8a8 or args.no_w8a8 or args.sage_attention or args.flux_scan
-            or args.fused_attn):
+            or args.fused_attn or args.no_fused_attn):
         import dataclasses as _dc
 
         from lightdiffusion_next_tpu import config as _config
@@ -92,8 +100,9 @@ def main(argv=None) -> int:
             sage_attention=args.sage_attention
             or _config.get_config().sage_attention,
             flux_scan=args.flux_scan or _config.get_config().flux_scan,
-            fused_attn=args.fused_attn
-            or _config.get_config().fused_attn,
+            fused_attn=(True if args.fused_attn
+                        else False if args.no_fused_attn
+                        else _config.get_config().fused_attn),
         ))
 
     progress_callback = None

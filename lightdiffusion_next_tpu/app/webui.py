@@ -45,7 +45,7 @@ DEFAULT_SETTINGS = {
     "w8a8": None,  # None -> RuntimeConfig resolve_w8a8() (TPU on, CPU off)
     "sage_attention": False,
     "flux_scan": False,
-    "fused_attn": False,
+    "fused_attn": None,  # None -> resolve_fused_attn() (TPU on, CPU off)
 }
 
 
@@ -55,6 +55,14 @@ def _resolve_default_w8a8() -> bool:
     from lightdiffusion_next_tpu import config as _config
 
     return _config.get_config().resolve_w8a8()
+
+
+def _resolve_default_fused_attn() -> bool:
+    """UI default for the fused-attention checkbox: the RuntimeConfig
+    "auto" policy (on-TPU on, CPU off) unless the user saved a choice."""
+    from lightdiffusion_next_tpu import config as _config
+
+    return _config.get_config().resolve_fused_attn()
 
 
 def load_settings() -> dict:
@@ -133,7 +141,7 @@ def generate_images_with_preview(
                 ),
                 flux_scan=bool(kwargs.pop("flux_scan", cfg.flux_scan)),
                 fused_attn=bool(
-                    kwargs.pop("fused_attn", cfg.fused_attn)
+                    kwargs.pop("fused_attn", cfg.resolve_fused_attn())
                 ),
             ))
 
@@ -371,10 +379,13 @@ def build_app():
                              "(single chip / spmd TP)",
                     )
                     fused_attn = gr.Checkbox(
-                        value=s["fused_attn"],
+                        value=(_resolve_default_fused_attn()
+                               if s["fused_attn"] is None
+                               else s["fused_attn"]),
                         label="Fused-prologue attention (Flux)",
                         info="QKNorm+RoPE+head indexing in-kernel; "
-                             "single-device unrolled loads",
+                             "measured -16% s/image on TPU (default on "
+                             "there), latent RMSE 0.56%",
                     )
                 with gr.Row():
                     img2img = gr.Checkbox(

@@ -587,6 +587,34 @@ def _pick_tn_w8a8(n: int, preferred: int, tm: int, tk: int, out_bytes: int) -> i
     return tn
 
 
+# Measured W8A8 tile table (v5e, 2026-08-19 on-chip sweep —
+# scripts/sweep_w8a8_tiles.py, chained-jit RELATIVE timings at the Flux
+# 1024px hot shapes, m=4352):
+#   (k, n)         best tiles          vs the (2176, 512, <=1024) default
+#   (3072, 3072):  (2176, 1024, 512)   3.83 -> 3.21 ms/op  (-16%)
+#   (3072, 12288): (2176, 1024, 1024)  4.25 -> 3.83 ms/op  (-10%)
+#   (3072, 9216):  (2176, 512, 1536)   4.46 -> 3.63 ms/op  (-19%)
+# The common pattern: a deeper K-tile (fewer accumulator spills per
+# N-pass) or a wider N-tile beats the analytic default's VMEM-driven
+# choice. Unlisted shapes (incl. the 12288->3072 FFN down-projection —
+# sweep harness could not chain k>n shapes that session) keep the
+# analytic default. tile_m hints re-fit any M via _pick_tile.
+_W8A8_TILE_TABLE = {
+    (3072, 3072): (2176, 1024, 512),
+    (3072, 12288): (2176, 1024, 1024),
+    (3072, 9216): (2176, 512, 1536),
+}
+
+
+def _w8a8_tile_hint(k, n, tile_m, tile_k, tile_n):
+    """Fill unset tile args from the measured table (explicit args win)."""
+    if tile_m is None and tile_k is None and tile_n is None:
+        hint = _W8A8_TILE_TABLE.get((k, n))
+        if hint is not None:
+            return hint
+    return tile_m, tile_k, tile_n
+
+
 def _w8a8_matmul_2d(
     x,
     qt,
@@ -614,6 +642,7 @@ def _w8a8_matmul_2d(
 
     xq, sx = quantize_rows(x)
 
+    tile_m, tile_k, tile_n = _w8a8_tile_hint(k, n, tile_m, tile_k, tile_n)
     # int8 x blocks want 32-row sublane granules; pad M up to 32.
     pad = (-m) % 32
     if pad:
@@ -726,6 +755,7 @@ def _w8a8_matmul_stacked_2d(
     assert col_scales3.shape == (d, 1, n), col_scales3.shape
 
     xq, sx = quantize_rows(x)
+    tile_m, tile_k, tile_n = _w8a8_tile_hint(k, n, tile_m, tile_k, tile_n)
     pad = (-m) % 32
     if pad:
         xq = jnp.pad(xq, ((0, pad), (0, 0)))

@@ -117,7 +117,7 @@ def load_diffusion_model_gguf(
             )
         params = ggml.to_w8a8(params)
 
-    if cfgv.fused_attn:
+    if cfgv.resolve_fused_attn():
         import logging
 
         if mesh is not None:

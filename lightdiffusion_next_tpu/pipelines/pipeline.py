@@ -504,7 +504,7 @@ def _get_flux_models(
     # fused-prologue attention permutes the resident weights' RoPE basis;
     # only the single-device unrolled load actually applies it (loader
     # gates), so only that variant is keyed
-    if (_config.get_config().fused_attn and mesh is None
+    if (_config.get_config().resolve_fused_attn() and mesh is None
             and not scan_blocks):
         variant += ":fusedattn"
     model = cache.get(unet_path, variant=variant)

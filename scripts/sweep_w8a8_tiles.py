@@ -97,11 +97,15 @@ def main():
 
             def chain(x0, w8=w8, kw=kw):
                 y = x0
+                kk = w8.qt.shape[0]
                 for _ in range(CHAIN):
+                    if y.shape[1] < kk:  # n < k shapes: tile back up to K
+                        reps = -(-kk // y.shape[1])
+                        y = jnp.tile(y, (1, reps))[:, :kk]
+                    elif y.shape[1] > kk:
+                        y = y[:, :kk]
                     y = qm.w8a8_matmul_2d(
-                        y[:, : w8.qt.shape[0]]
-                        if y.shape[1] != w8.qt.shape[0]
-                        else y,
+                        y,
                         w8.qt,
                         w8.col_scales,
                         out_dtype=jnp.bfloat16,
