@@ -594,15 +594,20 @@ def _pick_tn_w8a8(n: int, preferred: int, tm: int, tk: int, out_bytes: int) -> i
 #   (3072, 3072):  (2176, 1024, 512)   3.83 -> 3.21 ms/op  (-16%)
 #   (3072, 12288): (2176, 1024, 1024)  4.25 -> 3.83 ms/op  (-10%)
 #   (3072, 9216):  (2176, 512, 1536)   4.46 -> 3.63 ms/op  (-19%)
+# A confirmation sweep the same day (after the table landed) re-measured
+# the 12288->3072 FFN down-projection the first session could not chain:
+#   (12288, 3072): (1088, 512, 1024)   5.79 -> 5.04 ms/op  (-13%)
+# (consistent winner across both sessions; the other rows' session-to-
+# session deltas were within relay noise, so they stay as first measured).
 # The common pattern: a deeper K-tile (fewer accumulator spills per
 # N-pass) or a wider N-tile beats the analytic default's VMEM-driven
-# choice. Unlisted shapes (incl. the 12288->3072 FFN down-projection —
-# sweep harness could not chain k>n shapes that session) keep the
-# analytic default. tile_m hints re-fit any M via _pick_tile.
+# choice. Unlisted shapes keep the analytic default. tile_m hints re-fit
+# any M via _pick_tile.
 _W8A8_TILE_TABLE = {
     (3072, 3072): (2176, 1024, 512),
     (3072, 12288): (2176, 1024, 1024),
     (3072, 9216): (2176, 512, 1536),
+    (12288, 3072): (1088, 512, 1024),
 }
 
 
