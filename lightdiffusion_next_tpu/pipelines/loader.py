@@ -125,11 +125,6 @@ def load_diffusion_model_gguf(
                 "fused_attn is single-device; keeping the unfused "
                 "attention path on the tensor-parallel load"
             )
-        elif scan_blocks or (scan_blocks is None and cfgv.flux_scan):
-            logging.getLogger(__name__).warning(
-                "fused_attn does not compose with flux_scan yet; keeping "
-                "the unfused attention path"
-            )
         elif fcfg.head_dim != 128:
             logging.getLogger(__name__).warning(
                 "fused_attn kernel is 128-lane head_dim only (got %d); "

@@ -198,14 +198,15 @@ def main():
     # --fused-attn / --no-fused-attn: QKNorm+RoPE+head-indexing inside the
     # flash kernel; weights permuted to the half-split RoPE basis one time
     # here. Default follows RuntimeConfig "auto" (TPU on / CPU off) like
-    # w8a8, but never composes with --flux-scan (the loader parity).
+    # w8a8. Composes with --flux-scan: permute BEFORE stacking (the
+    # loader order) — the scan bodies dispatch the fused kernel per
+    # iteration (tests/test_fused_attention.py fused-scan parity).
     if "--fused-attn" in sys.argv and "--no-fused-attn" in sys.argv:
         raise SystemExit(
             "--fused-attn and --no-fused-attn are mutually exclusive")
     use_scan = "--flux-scan" in sys.argv
     use_fused = "--fused-attn" in sys.argv or (
-        "--no-fused-attn" not in sys.argv and not use_scan
-        and cfgv.resolve_fused_attn()
+        "--no-fused-attn" not in sys.argv and cfgv.resolve_fused_attn()
     )
     if use_fused:
         t0 = time.perf_counter()
@@ -222,8 +223,6 @@ def main():
     # --flux-scan: stacked-block scan forward — compare the "compile+first
     # run" line vs the unrolled default for the cold-compile delta (clear
     # the persistent XLA cache first or the comparison is meaningless)
-    if use_scan and use_fused:
-        raise SystemExit("--fused-attn does not compose with --flux-scan yet")
     if use_scan:
         t0 = time.perf_counter()
         params = flux_mod.stack_block_params(params, fcfg)

@@ -176,6 +176,90 @@ class TestFusedFluxForward:
             np.asarray(out), np.asarray(ref), rtol=3e-2, atol=3e-2
         )
 
+    def test_forward_parity_fused_scan_vs_fused_unrolled(self, rng):
+        """fused_attn x flux_scan: permute THEN stack (the loader order,
+        pipelines/loader.py) must reproduce the fused unrolled forward —
+        the scan bodies dispatch the same fused kernel per iteration via
+        StackView'd norm scales and streamed block weights."""
+        cfg = dataclasses.replace(
+            self._tiny(), depth=3, depth_single_blocks=3
+        )
+        params = flux_mod.init_params(cfg, seed=2)
+        b, hw = 1, 16
+        x = jnp.asarray(rng.standard_normal((b, hw, hw, 16)), jnp.float32)
+        t = jnp.asarray([0.5], jnp.float32)
+        ctx = jnp.asarray(
+            rng.standard_normal((b, 32, cfg.context_in_dim)), jnp.float32
+        )
+        y = jnp.asarray(rng.standard_normal((b, cfg.vec_in_dim)), jnp.float32)
+
+        fcfg = dataclasses.replace(cfg, fused_attn=True)
+        fparams = flux_mod.permute_rope_basis(
+            {k: jnp.asarray(v) for k, v in params.items()}, cfg
+        )
+        ref = np.asarray(
+            flux_mod.apply_flux(dict(fparams), x, t, ctx, y, cfg=fcfg)
+        )
+
+        stacked = flux_mod.stack_block_params(fparams, fcfg)
+        assert flux_mod.is_stacked(stacked)
+        out = np.asarray(flux_mod.apply_flux(stacked, x, t, ctx, y, cfg=fcfg))
+        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+    def test_forward_parity_fused_scan_w8a8(self, rng):
+        """The full TPU serving stack in one forward: W8A8 block weights
+        (StackedQTensor8W streaming matmuls) + the fused-prologue kernel
+        inside the scan bodies, vs the same leaves unrolled."""
+        from lightdiffusion_next_tpu.ops import ggml
+
+        cfg = dataclasses.replace(
+            self._tiny(), depth=2, depth_single_blocks=2
+        )
+        params = flux_mod.init_params(cfg, seed=3)
+        sd = {}
+        for k, v in params.items():
+            if (
+                v.ndim == 2
+                and v.shape[-1] % 256 == 0
+                and ("_blocks." in k)
+                and k.endswith(".weight")
+            ):
+                q, s = ggml.quantize_q8_0(v)
+                sd[k] = ggml.QTensor8(q=q, scales=s, shape=v.shape)
+            else:
+                sd[k] = v
+        qparams = ggml.to_w8a8(
+            ggml.to_device_quantized(sd, dtype=jnp.float32)
+        )
+
+        fcfg = dataclasses.replace(cfg, fused_attn=True)
+        fparams = flux_mod.permute_rope_basis(qparams, cfg)
+        b, hw = 1, 16
+        x = jnp.asarray(rng.standard_normal((b, hw, hw, 16)), jnp.float32)
+        t = jnp.asarray([0.5], jnp.float32)
+        ctx = jnp.asarray(
+            rng.standard_normal((b, 32, cfg.context_in_dim)), jnp.float32
+        )
+        y = jnp.asarray(rng.standard_normal((b, cfg.vec_in_dim)), jnp.float32)
+        ref = np.asarray(
+            flux_mod.apply_flux(dict(fparams), x, t, ctx, y, cfg=fcfg)
+        )
+        stacked = flux_mod.stack_block_params(fparams, fcfg)
+        out = np.asarray(flux_mod.apply_flux(stacked, x, t, ctx, y, cfg=fcfg))
+        # RMSE bound, not allclose: under the scan's TRACED block index,
+        # XLA reassociates the f32 elementwise chains (~1e-7), which can
+        # flip an activation-quantization bin in quantize_rows — a ~one-
+        # LSB (absmax/127) output step per flip. Inherent to any
+        # activation-quantized path (same class as the measured on-chip
+        # w8a8-vs-Q8_0 drift, 1.5% rel RMSE); the static-index stacked
+        # forward is bit-identical to the flat kernels
+        # (tests above / ops-level A/B in test_flux_scan).
+        rel_rmse = np.sqrt(((out - ref) ** 2).mean()) / (
+            np.sqrt((ref**2).mean()) + 1e-12
+        )
+        assert rel_rmse < 5e-3, rel_rmse
+        assert np.abs(out - ref).max() < 5e-2
+
     def test_permute_refuses_tp_and_stacked(self):
         cfg = self._tiny()
         params = flux_mod.init_params(cfg, seed=0)
