@@ -188,7 +188,12 @@ def main():
         x = jax.ShapeDtypeStruct((1, hw, hw, 16), jnp.float32)
 
     t0 = time.perf_counter()
-    lowered = jax.jit(fn).lower(params, x, t, ctx, y, g)
+    # ldt_jit, not jax.jit: the serving path compiles with the raised
+    # xla_tpu_scoped_vmem_limit_kib (config.SCOPED_VMEM_LIMIT_KIB) that the
+    # stacked-kernel tile picks are budgeted against — a plain jax.jit
+    # replays the 16 MiB default and the compile-helper rejects programs
+    # the real bench runs (seen 2026-08-19: 19 MB scoped alloc vs 16 MB).
+    lowered = _config.ldt_jit(fn).lower(params, x, t, ctx, y, g)
     t_lower = time.perf_counter() - t0
     t0 = time.perf_counter()
     compiled = lowered.compile()
