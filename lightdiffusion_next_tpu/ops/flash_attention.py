@@ -210,8 +210,24 @@ def supported(q, k, v) -> bool:
 def _fused_kernel(
     qs_ref, ks_ref, tqs_ref, tks_ref, cq_ref, sq_ref, ck_ref, sk_ref,
     q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
+    qn_ref, kc_ref, vc_ref,
     *, scale, kv_len, txt_len, block_q, block_k, eps,
 ):
+    """Grid (b·h, lp/bq, lp/bk), kk innermost. The QKNorm+RoPE prologue is
+    HOISTED out of the (j, kk) product (the round-4 follow-up trace showed
+    the naive per-step prologue cost ~0.8 ms/call — 768 grid steps each
+    re-norming its q AND k block, ~30% of the kernel):
+      - q is normed+roped ONCE per (i, j), at kk == 0, into qn_ref;
+      - k/v are cached for the WHOLE sequence in VMEM (kc/vc, lp x 128 —
+        ~1.1 MB each at Flux 1024 px) during the j == 0 sweep, where the
+        kk grid walks every block exactly once; later j rows read the
+        cache, and their k/v input index maps pin to block 0 so Mosaic
+        skips the HBM DMA too (k/v stream from HBM once per head, not
+        once per q row).
+    Sequential-grid guarantee: j must iterate after the j == 0 fill on the
+    same core, so dimension j is 'arbitrary' (not 'parallel') — only the
+    head dim may megacore-split, and each core refills its own cache at
+    its first j row."""
     ki = pl.program_id(2)
     nk = pl.num_programs(2)
     ji = pl.program_id(1)
@@ -237,14 +253,23 @@ def _fused_kernel(
         xf = xf * sel
         return xf * cos + pltpu.roll(xf, 64, 1) * sin
 
-    q = norm_rope(
-        q_ref[0], ji * block_q, block_q, qs_ref[...], tqs_ref[...],
-        cq_ref[...], sq_ref[...],
-    ).astype(q_ref.dtype)
-    k = norm_rope(
-        k_ref[0], ki * block_k, block_k, ks_ref[...], tks_ref[...],
-        ck_ref[...], sk_ref[...],
-    ).astype(k_ref.dtype)
+    @pl.when(ki == 0)
+    def _q_prologue():
+        qn_ref[:] = norm_rope(
+            q_ref[0], ji * block_q, block_q, qs_ref[...], tqs_ref[...],
+            cq_ref[...], sq_ref[...],
+        ).astype(qn_ref.dtype)
+
+    @pl.when(ji == 0)
+    def _kv_fill():
+        kc_ref[pl.ds(ki * block_k, block_k), :] = norm_rope(
+            k_ref[0], ki * block_k, block_k, ks_ref[...], tks_ref[...],
+            ck_ref[...], sk_ref[...],
+        ).astype(kc_ref.dtype)
+        vc_ref[pl.ds(ki * block_k, block_k), :] = v_ref[0]
+
+    q = qn_ref[:]
+    k = kc_ref[pl.ds(ki * block_k, block_k), :]
 
     s = jax.lax.dot_general(
         q, k, dimension_numbers=(((1,), (1,)), ((), ())),
@@ -261,7 +286,7 @@ def _fused_kernel(
     alpha = jnp.exp(m_prev - m_new)
     l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
     acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
-        p.astype(v_ref.dtype), v_ref[0],
+        p.astype(vc_ref.dtype), vc_ref[pl.ds(ki * block_k, block_k), :],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
@@ -336,8 +361,18 @@ def fused_qkv_attention(
             pl.BlockSpec((1, d), lambda i, j, kk: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((bq, d), lambda i, j, kk: (j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((bq, d), lambda i, j, kk: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bk, d), lambda i, j, kk: (kk, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bk, d), lambda i, j, kk: (kk, 0), memory_space=pltpu.VMEM),
+            # ck/sk and the k/v stripes of qkv are consumed only during the
+            # j == 0 cache-fill sweep; pinning their block index to 0 for
+            # j > 0 makes consecutive grid steps map to the same block, so
+            # Mosaic elides the HBM->VMEM DMA (k/v stream once per head)
+            pl.BlockSpec(
+                (bk, d), lambda i, j, kk: (kk * (j == 0), 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (bk, d), lambda i, j, kk: (kk * (j == 0), 0),
+                memory_space=pltpu.VMEM,
+            ),
             pl.BlockSpec(
                 (1, bq, d),
                 lambda i, j, kk, h=h: (i // h, j, i % h),
@@ -345,12 +380,12 @@ def fused_qkv_attention(
             ),
             pl.BlockSpec(
                 (1, bk, d),
-                lambda i, j, kk, h=h: (i // h, kk, h + i % h),
+                lambda i, j, kk, h=h: (i // h, kk * (j == 0), h + i % h),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (1, bk, d),
-                lambda i, j, kk, h=h: (i // h, kk, 2 * h + i % h),
+                lambda i, j, kk, h=h: (i // h, kk * (j == 0), 2 * h + i % h),
                 memory_space=pltpu.VMEM,
             ),
         ],
@@ -364,13 +399,19 @@ def fused_qkv_attention(
             pltpu.VMEM((bq, 1), jnp.float32),
             pltpu.VMEM((bq, 1), jnp.float32),
             pltpu.VMEM((bq, d), jnp.float32),
+            pltpu.VMEM((bq, d), qkv.dtype),   # qn: normed+roped q, per (i, j)
+            pltpu.VMEM((lp, d), qkv.dtype),   # kc: normed+roped K, per i
+            pltpu.VMEM((lp, d), qkv.dtype),   # vc: raw V, per i
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            # j is NOT parallel: rows j > 0 read the cache the j == 0 row
+            # fills (see _fused_kernel docstring)
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * b * h * lp * lp * d,
-            bytes_accessed=2 * b * h * (lp + 2 * lp) * d,
+            # q once per j row (lp total), k/v once per head, out once
+            bytes_accessed=2 * b * h * (2 * lp + 2 * lp) * d,
             transcendentals=b * h * lp * lp,
         ),
         interpret=interpret,
