@@ -13,10 +13,28 @@ could not give).
 
 Usage:
   python scripts/probe_flux_memory.py [--scan] [--w8a8] [--steps N]
-      [--tiny]
+      [--tiny] [--exec clean|churn]
 --tiny swaps in a 2-double/4-single 128-hidden config so the probe is
 CPU-testable; --steps N wraps the forward in an N-step lax.scan to
 mirror the sampler's outer scan structure (default 1: forward only).
+
+--exec makes the probe ALLOCATE (zeros) and RUN the compiled program,
+because round 4's compile-only analysis came back identical for scan
+and unrolled (est_peak ~11.8 GB on a 16 GB chip) while the real scan
+bench OOMs at execution — so the difference must be something the
+analysis cannot see. Hypothesis: HBM fragmentation. The serving load
+path uploads ~700 small per-block buffers, requants/permutes them
+(every code buffer reallocated), then stacks them into ~30 buffers of
+0.5-2.5 GB while freeing the small ones — an allocator cannot compact
+live buffers, so the 4.6 GB of headroom ends up as holes between giant
+stacks and the ~0.2-0.4 GB contiguous activation temps may not fit.
+  --exec clean  allocates the (stacked, for --scan) layout directly —
+                big buffers into a fresh heap — then runs.
+  --exec churn  replays the serving order: small unstacked leaves,
+                one copy-reallocation round (standing in for the w8a8
+                requant), then device-side stack_block_params, then run.
+If churn OOMs where clean runs, fragmentation is confirmed and the fix
+is host-side param prep (upload only the final stacked buffers).
 """
 
 import json
@@ -134,12 +152,41 @@ def abstract_stack(params, cfg):
     return out
 
 
+def concretize(tree):
+    """ShapeDtypeStruct pytree -> on-device zeros, leaf by leaf (each
+    jnp.zeros is a device-side fill; nothing crosses the relay)."""
+
+    def zero(leaf):
+        if isinstance(leaf, jax.ShapeDtypeStruct):
+            return jnp.zeros(leaf.shape, leaf.dtype)
+        return leaf
+
+    return jax.tree.map(zero, tree)
+
+
+def churn_copy(params):
+    """One copy-reallocation round, leaf family by leaf family, awaiting
+    each before dropping the source — the w8a8 requant's allocation
+    pattern (to_w8a8 donates, so old and new code buffers never coexist
+    beyond one leaf)."""
+    for k in sorted(params):
+        fresh = jax.tree.map(jnp.copy, params[k])
+        jax.block_until_ready(fresh)
+        params[k] = fresh
+    return params
+
+
 def main():
     from lightdiffusion_next_tpu.models import flux as flux_mod
 
     use_scan = "--scan" in sys.argv
     use_w8a8 = "--w8a8" in sys.argv
     tiny = "--tiny" in sys.argv
+    exec_mode = None
+    if "--exec" in sys.argv:
+        exec_mode = sys.argv[sys.argv.index("--exec") + 1]
+        if exec_mode not in ("clean", "churn"):
+            raise SystemExit("--exec takes 'clean' or 'churn'")
     steps = 1
     if "--steps" in sys.argv:
         steps = int(sys.argv[sys.argv.index("--steps") + 1])
@@ -161,8 +208,25 @@ def main():
         hw = 16
 
     params = abstract_q8_params(cfg, w8a8=use_w8a8)
-    if use_scan:
-        params = abstract_stack(params, cfg)
+    if exec_mode == "churn":
+        # serving order: small unstacked leaves first, churned, stacked on
+        # device. (clean mode stacks abstractly and allocates big direct.)
+        t0 = time.perf_counter()
+        params = churn_copy(concretize(params))
+        if use_scan:
+            params = flux_mod.stack_block_params(params, cfg)
+            jax.block_until_ready(
+                jax.tree.leaves(params[flux_mod.DOUBLE_STACK_KEY])
+            )
+        t_alloc = time.perf_counter() - t0
+    else:
+        if use_scan:
+            params = abstract_stack(params, cfg)
+        if exec_mode == "clean":
+            t0 = time.perf_counter()
+            params = concretize(params)
+            jax.block_until_ready(jax.tree.leaves(params))
+            t_alloc = time.perf_counter() - t0
 
     x = jax.ShapeDtypeStruct((1, hw, hw, 16), jnp.bfloat16)
     t = jax.ShapeDtypeStruct((1,), jnp.float32)
@@ -187,6 +251,10 @@ def main():
 
         x = jax.ShapeDtypeStruct((1, hw, hw, 16), jnp.float32)
 
+    if exec_mode:
+        x = concretize(x)
+        t, ctx, y, g = (concretize(a) for a in (t, ctx, y, g))
+
     t0 = time.perf_counter()
     # ldt_jit, not jax.jit: the serving path compiles with the raised
     # xla_tpu_scoped_vmem_limit_kib (config.SCOPED_VMEM_LIMIT_KIB) that the
@@ -207,6 +275,18 @@ def main():
         "lower_s": round(t_lower, 1),
         "compile_s": round(t_compile, 1),
     }
+    if exec_mode:
+        rec["exec_mode"] = exec_mode
+        rec["alloc_s"] = round(t_alloc, 1)
+        t0 = time.perf_counter()
+        try:
+            out = compiled(params, x, t, ctx, y, g)
+            jax.block_until_ready(out)
+            rec["exec_s"] = round(time.perf_counter() - t0, 1)
+            rec["exec_ok"] = True
+        except Exception as e:
+            rec["exec_ok"] = False
+            rec["exec_error"] = repr(e)[:300]
     try:
         ma = compiled.memory_analysis()
         for name in (
