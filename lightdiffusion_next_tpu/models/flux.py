@@ -122,7 +122,8 @@ def _qk_out_index(out_dim: int, hidden: int, head_dim: int):
     return idx
 
 
-def permute_rope_basis(params: Dict, cfg: FluxConfig) -> Dict:
+def permute_rope_basis(params: Dict, cfg: FluxConfig,
+                       device: bool = True) -> Dict:
     """One-time load-side rewrite for cfg.fused_attn: permute the q/k
     output columns of every qkv / single-block linear1 projection (plus
     biases and QKNorm scales) into the half-split RoPE basis. Attention
@@ -132,13 +133,21 @@ def permute_rope_basis(params: Dict, cfg: FluxConfig) -> Dict:
 
     Refuses stacked/tp/LoRA layouts — callers keep those on the unfused
     forward. Returns a NEW dict; quantized leaves are gathered on device
-    (a few GB one-time, block weights only)."""
+    (a few GB one-time, block weights only).
+
+    ``device=False`` runs the same (bit-exact, pure index shuffling)
+    permutation in host numpy for numpy-backed leaves — the scan-mode
+    host-prep path (stack_block_params_host) permutes before stacking so
+    the device never sees unstacked block leaves."""
     from lightdiffusion_next_tpu.ops import ggml
 
     if cfg.tp_layout or cfg.tp_axis is not None:
         raise ValueError("fused_attn is single-device; tp layouts don't permute")
     if is_stacked(params):
         raise ValueError("permute before stacking (scan mode unsupported)")
+    import numpy as np
+
+    xp = jnp if device else np
     H = cfg.hidden_size
     D = cfg.head_dim
     assert D % 2 == 0
@@ -149,23 +158,23 @@ def permute_rope_basis(params: Dict, cfg: FluxConfig) -> Dict:
                 "fused_attn cannot permute LoRA-patched qkv weights; load "
                 "without --fused-attn or merge the LoRA first"
             )
-        idxj = jnp.asarray(idx)
+        idxj = xp.asarray(idx)
         if isinstance(leaf, ggml.QTensor8T):
             return ggml.QTensor8T(
-                qt=jnp.take(leaf.qt, idxj, axis=1),
-                scales_t=jnp.take(leaf.scales_t, idxj, axis=1),
+                qt=xp.take(leaf.qt, idxj, axis=1),
+                scales_t=xp.take(leaf.scales_t, idxj, axis=1),
                 shape=leaf.shape,
             )
         if isinstance(leaf, ggml.QTensor8W):
             return ggml.QTensor8W(
-                qt=jnp.take(leaf.qt, idxj, axis=1),
-                col_scales=jnp.take(leaf.col_scales, idxj, axis=1),
+                qt=xp.take(leaf.qt, idxj, axis=1),
+                col_scales=xp.take(leaf.col_scales, idxj, axis=1),
                 shape=leaf.shape,
             )
-        return jnp.take(jnp.asarray(leaf), idxj, axis=0)  # (out, in) dense
+        return xp.take(xp.asarray(leaf), idxj, axis=0)  # (out, in) dense
 
     out = dict(params)
-    pi = jnp.asarray(rope_pair_permutation(D))
+    pi = xp.asarray(rope_pair_permutation(D))
     qkv_idx = _qk_out_index(3 * H, H, D)
     lin1_idx = _qk_out_index(3 * H + int(H * cfg.mlp_ratio), H, D)
 
@@ -174,19 +183,19 @@ def permute_rope_basis(params: Dict, cfg: FluxConfig) -> Dict:
         out[wkey] = permute_out(params[wkey], idx)
         bkey = prefix + ".bias"
         if bkey in params:
-            out[bkey] = jnp.take(jnp.asarray(params[bkey]), jnp.asarray(idx))
+            out[bkey] = xp.take(xp.asarray(params[bkey]), xp.asarray(idx))
 
     for i in range(cfg.depth):
         for s in ("img", "txt"):
             do(f"double_blocks.{i}.{s}_attn.qkv", qkv_idx)
             for nk in ("query_norm", "key_norm"):
                 key = f"double_blocks.{i}.{s}_attn.norm.{nk}.scale"
-                out[key] = jnp.take(jnp.asarray(params[key]), pi)
+                out[key] = xp.take(xp.asarray(params[key]), pi)
     for i in range(cfg.depth_single_blocks):
         do(f"single_blocks.{i}.linear1", lin1_idx)
         for nk in ("query_norm", "key_norm"):
             key = f"single_blocks.{i}.norm.{nk}.scale"
-            out[key] = jnp.take(jnp.asarray(params[key]), pi)
+            out[key] = xp.take(xp.asarray(params[key]), pi)
     return out
 
 
@@ -471,6 +480,81 @@ def stack_block_params(params: Dict, cfg: FluxConfig) -> Dict:
             # await before releasing the sources: enqueued-but-unexecuted
             # stacks pin their input buffers, so without this every family
             # would be in flight at once and peak memory doubles anyway
+            jax.block_until_ready(s)
+            stacked[rel] = s
+        out[DOUBLE_STACK_KEY if head == "double_blocks" else SINGLE_STACK_KEY] = (
+            stacked
+        )
+    return out
+
+
+def stack_block_params_host(params: Dict, cfg: FluxConfig) -> Dict:
+    """stack_block_params for HOST-side leaves (numpy-backed QTensor8T /
+    numpy dense, from ggml.to_device_quantized(device=False)): families
+    np.stack on the host and each stacked buffer uploads whole, so the
+    device heap only ever allocates the ~30 big scan-mode buffers plus
+    the flat non-block leaves — never the ~700 small per-block leaves.
+
+    Why a separate path exists: the device-side stacker frees those small
+    uploaded leaves while allocating 0.5-2.5 GB stacks between them, and
+    HBM cannot be compacted — on a 16 GB chip holding ~12 GB of weights
+    the headroom fragments and the scan program OOMs at its first
+    activation temp despite an analyzed peak of ~11.8 GB (round-4
+    finding; scripts/probe_flux_memory.py --exec churn vs clean). Host
+    stacking uploads the final layout into a clean heap.
+
+    Load order with this path: host permute_rope_basis(device=False) ->
+    stack_block_params_host -> ggml.to_w8a8 on device (the stacked
+    requant is bit-identical to the unstacked one — requantization is
+    per-column, so it commutes with the column permute — and its lax.map
+    keeps the f32 temp to one block). CONSUMES ``params``."""
+    from lightdiffusion_next_tpu.ops import ggml
+
+    if cfg.tp_layout or cfg.tp_axis is not None:
+        raise ValueError("scan mode is single-device; tp layouts do not stack")
+
+    out, fams = group_block_params(params, cfg)
+    for head in fams:
+        for rel, leaves in fams[head].items():
+            ggml.check_stackable(leaves)
+    params.clear()
+
+    def upload(v):
+        if isinstance(v, ggml.QTensor8T):
+            return ggml.QTensor8T(
+                qt=jnp.asarray(v.qt),
+                scales_t=jnp.asarray(v.scales_t, dtype=jnp.float32),
+                shape=v.shape,
+            )
+        if isinstance(v, ggml.QTensor8):
+            return ggml.QTensor8(
+                q=jnp.asarray(v.q),
+                scales=jnp.asarray(v.scales, dtype=jnp.float32),
+                shape=v.shape,
+            )
+        return jnp.asarray(v)
+
+    for k in list(out):
+        out[k] = upload(out[k])
+    for head, groups in fams.items():
+        stacked = {}
+        for rel in list(groups):
+            leaves = groups.pop(rel)
+            first = leaves[0]
+            if isinstance(first, ggml.QTensor8T):
+                s = ggml.StackedQTensor8T(
+                    qt3=jnp.asarray(np.stack([l.qt for l in leaves])),
+                    scales3=jnp.asarray(
+                        np.stack([l.scales_t for l in leaves]),
+                        dtype=jnp.float32,
+                    ),
+                    shape=first.shape,
+                )
+            else:
+                s = jnp.asarray(np.stack([np.asarray(l) for l in leaves]))
+            del leaves
+            # await before the next family: keeps the host-side stack temp
+            # and the in-flight transfer to ONE family at a time
             jax.block_until_ready(s)
             stacked[rel] = s
         out[DOUBLE_STACK_KEY if head == "double_blocks" else SINGLE_STACK_KEY] = (

@@ -673,12 +673,18 @@ class QTensorLoRA:
         return cls(*children)
 
 
-def transpose_for_matmul(t: QTensor8, sharding=None) -> QTensor8T:
+def transpose_for_matmul(t: QTensor8, sharding=None, device: bool = True) -> QTensor8T:
     """QTensor8 (host or device) -> fused-layout QTensor8T. Only valid for
     2-D (out, in) weights. ``sharding`` is an optional QTensor8T-of-shardings
     record (parallel.sharding._quantized_sharding): the transposed codes are
     uploaded straight to their shards (host -> sharded, never materializing
-    the full weight on one device) and the tp flag is stamped from it."""
+    the full weight on one device) and the tp flag is stamped from it.
+
+    ``device=False`` keeps the transposed codes/scales as host numpy
+    arrays (a numpy-backed QTensor8T) for load paths that finish their
+    param prep on the host — e.g. the scan-over-blocks path, which
+    host-stacks block families and uploads only the ~30 big stacked
+    buffers (models.flux.stack_block_params_host)."""
     from lightdiffusion_next_tpu.utils import native as _native
 
     assert len(t.shape) == 2, t.shape
@@ -689,6 +695,9 @@ def transpose_for_matmul(t: QTensor8, sharding=None) -> QTensor8T:
     scales = _native.transpose2d(
         np.asarray(t.scales, dtype=np.float32)
     )  # (K/32, N) f32
+    if not device:
+        assert sharding is None, "host-side prep is single-device"
+        return QTensor8T(qt=q, scales_t=scales, shape=t.shape)
     if sharding is not None:
         return QTensor8T(
             qt=jax.device_put(q, sharding.qt),
@@ -809,6 +818,7 @@ def to_device_quantized(
         "encoder.block.0.layer.0.SelfAttention.relative_attention_bias.weight",
     ),
     sharding_for=None,
+    device: bool = True,
 ) -> Dict[str, Any]:
     """Move a GGUF state dict to device: Q8_0 stays int8+scales, dense
     tensors cast to ``dtype``.
@@ -819,7 +829,12 @@ def to_device_quantized(
 
     ``sharding_for(key) -> sharding record`` (optional) places each tensor
     straight onto its mesh shards (tensor parallel): a NamedSharding for
-    dense leaves, a QTensor8T-of-shardings record for quantized ones."""
+    dense leaves, a QTensor8T-of-shardings record for quantized ones.
+
+    ``device=False`` performs the same re-layout but keeps every leaf on
+    the host (numpy-backed QTensor8/8T, numpy dense) — for load paths
+    that upload a transformed layout instead (scan-over-blocks host
+    stacking, models.flux.stack_block_params_host)."""
     if fused is None:
         fused = True
     out = {}
@@ -827,11 +842,13 @@ def to_device_quantized(
         rec = sharding_for(k) if sharding_for is not None else None
         if isinstance(v, QTensor8):
             if fused and len(v.shape) == 2 and k not in embed_keys:
-                out[k] = transpose_for_matmul(v, sharding=rec)
+                out[k] = transpose_for_matmul(v, sharding=rec, device=device)
             else:
                 q = np.asarray(v.q)
                 scales = np.asarray(v.scales, dtype=np.float32)
-                if rec is not None and hasattr(rec, "q"):
+                if not device:
+                    out[k] = QTensor8(q=q, scales=scales, shape=v.shape)
+                elif rec is not None and hasattr(rec, "q"):
                     out[k] = QTensor8(
                         q=jax.device_put(q, rec.q),
                         scales=jax.device_put(scales, rec.scales),
@@ -845,7 +862,9 @@ def to_device_quantized(
                     )
         else:
             arr = np.asarray(v).astype(jnp.dtype(dtype), copy=False)
-            if rec is not None and not hasattr(rec, "qt"):
+            if not device:
+                out[k] = arr
+            elif rec is not None and not hasattr(rec, "qt"):
                 out[k] = jax.device_put(arr, rec)
             else:
                 out[k] = jnp.asarray(arr)

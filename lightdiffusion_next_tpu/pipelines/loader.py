@@ -61,6 +61,51 @@ def load_checkpoint_guess_config(
     return model, clip, vae
 
 
+def _load_flux_scan_host(sd, fcfg, cfgv, w8a8: bool):
+    """Host-prep load for the scan-over-blocks forward: transpose to the
+    fused layout on host, permute the RoPE basis on host (if fused_attn
+    applies), np.stack the block families on host, upload the ~30 stacked
+    buffers, then (optionally) requant to W8A8 on device — the stacked
+    lax.map requant donates its codes, so no small-buffer churn ever
+    reaches the device heap (the HBM-fragmentation OOM fix; see
+    models.flux.stack_block_params_host). Returns the device param dict,
+    or None if this checkpoint cannot stack (caller falls back to the
+    unrolled device path)."""
+    import logging
+
+    from lightdiffusion_next_tpu.ops import ggml
+
+    host = ggml.to_device_quantized(
+        sd, dtype=cfgv.dtypes.param_dtype, device=False
+    )
+    if cfgv.resolve_fused_attn():
+        if fcfg.head_dim != 128:
+            logging.getLogger(__name__).warning(
+                "fused_attn kernel is 128-lane head_dim only (got %d); "
+                "keeping the unfused attention path", fcfg.head_dim,
+            )
+        else:
+            try:
+                host = flux_mod.permute_rope_basis(host, fcfg, device=False)
+            except ValueError as e:
+                logging.getLogger(__name__).warning(
+                    "flux_scan host prep unavailable (%s); falling back "
+                    "to the unrolled load path", e,
+                )
+                return None
+    try:
+        params = flux_mod.stack_block_params_host(host, fcfg)
+    except ValueError as e:
+        logging.getLogger(__name__).warning(
+            "flux_scan unavailable for this checkpoint (%s); falling "
+            "back to the unrolled load path", e,
+        )
+        return None
+    if w8a8:
+        params = ggml.to_w8a8(params)
+    return params
+
+
 def load_diffusion_model_gguf(
     path: str, mesh=None, w8a8: Optional[bool] = None,
     scan_blocks: Optional[bool] = None,
@@ -99,11 +144,39 @@ def load_diffusion_model_gguf(
         sd, fcfg = layout.to_tp_layout(sd, fcfg)
         sharding_for = shard_rules.flux_sharding_for(sd, mesh)
 
+    if w8a8 is None:
+        w8a8 = cfgv.resolve_w8a8()
+    if scan_blocks is None:
+        scan_blocks = cfgv.flux_scan
+
+    if scan_blocks and mesh is None:
+        # Scan-over-blocks host-prep path: permute + stack in host numpy
+        # and upload only the ~30 big stacked buffers — the device-side
+        # upload->requant->permute->stack order frees ~700 small leaves
+        # between 0.5-2.5 GB stack allocations and fragments HBM enough
+        # to OOM the scan program at execution on a 16 GB chip (round-4
+        # finding, scripts/probe_flux_memory.py --exec). w8a8 still runs
+        # on device (stacked lax.map requant, donating, bit-identical).
+        params = _load_flux_scan_host(sd, fcfg, cfgv, w8a8)
+        if params is not None:
+            fused = cfgv.resolve_fused_attn() and fcfg.head_dim == 128
+            if fused:
+                fcfg = dataclasses.replace(fcfg, fused_attn=True)
+            return base_mod.DiffusionModel(
+                apply_fn=flux_mod.make_apply_fn(fcfg),
+                params=params,
+                model_sampling=ms_mod.ModelSamplingFlux(),
+                latent_format=latent_mod.FLUX1,
+                config=fcfg,
+                model_type="flux",
+            )
+        # host prep refused (ragged families / LoRA-patched leaves):
+        # fall through to the device path, which re-warns and serves the
+        # unrolled forward
+
     params = ggml.to_device_quantized(
         sd, dtype=cfgv.dtypes.param_dtype, sharding_for=sharding_for
     )
-    if w8a8 is None:
-        w8a8 = cfgv.resolve_w8a8()
     if w8a8:
         if mesh is not None:
             # tp leaves pass through to_w8a8 unconverted: the sharded
@@ -141,8 +214,6 @@ def load_diffusion_model_gguf(
                     "keeping the unfused attention path", e,
                 )
 
-    if scan_blocks is None:
-        scan_blocks = cfgv.flux_scan
     if scan_blocks:
         if mesh is not None:
             import logging

@@ -160,10 +160,18 @@ def main():
         print(f"host init+quantize: {time.perf_counter()-t0:.1f}s",
               flush=True)
 
-    t0 = time.perf_counter()
-    params = upload(host, cfgv.dtypes.param_dtype)
+    use_scan = "--flux-scan" in sys.argv
+    if use_scan:
+        # scan mode: params never upload unstacked — host permute + host
+        # stack + big-buffer upload (the HBM-fragmentation OOM fix, see
+        # models.flux.stack_block_params_host); w8a8 requant runs on the
+        # stacked device arrays below
+        params = host  # consumed by the host-prep branch below
+    else:
+        t0 = time.perf_counter()
+        params = upload(host, cfgv.dtypes.param_dtype)
+        print(f"upload: {time.perf_counter()-t0:.1f}s", flush=True)
     del host
-    print(f"upload: {time.perf_counter()-t0:.1f}s", flush=True)
 
     # --sage-attention: int8 flash attention for the joint-sequence attn
     # (ops/sage_attention.py) — set via config BEFORE any runner is built;
@@ -183,55 +191,75 @@ def main():
     use_w8a8 = "--w8a8" in sys.argv or (
         "--no-w8a8" not in sys.argv and cfgv.resolve_w8a8()
     )
-    if use_w8a8:
-        from lightdiffusion_next_tpu.ops import ggml as _ggml
-
-        t0 = time.perf_counter()
-        params = _ggml.to_w8a8(params)
-        import jax as _jax
-
-        _jax.block_until_ready(
-            [v.qt for v in params.values() if isinstance(v, _ggml.QTensor8W)]
-        )
-        print(f"w8a8 requant: {time.perf_counter()-t0:.1f}s", flush=True)
-
     # --fused-attn / --no-fused-attn: QKNorm+RoPE+head-indexing inside the
     # flash kernel; weights permuted to the half-split RoPE basis one time
-    # here. Default follows RuntimeConfig "auto" (TPU on / CPU off) like
-    # w8a8. Composes with --flux-scan: permute BEFORE stacking (the
-    # loader order) — the scan bodies dispatch the fused kernel per
-    # iteration (tests/test_fused_attention.py fused-scan parity).
+    # at load. Default follows RuntimeConfig "auto" (TPU on / CPU off)
+    # like w8a8. Composes with --flux-scan: permute before stacking —
+    # the scan bodies dispatch the fused kernel per iteration
+    # (tests/test_fused_attention.py fused-scan parity).
     if "--fused-attn" in sys.argv and "--no-fused-attn" in sys.argv:
         raise SystemExit(
             "--fused-attn and --no-fused-attn are mutually exclusive")
-    use_scan = "--flux-scan" in sys.argv
     use_fused = "--fused-attn" in sys.argv or (
         "--no-fused-attn" not in sys.argv and cfgv.resolve_fused_attn()
     )
-    if use_fused:
-        t0 = time.perf_counter()
-        fcfg = dataclasses.replace(fcfg, fused_attn=True)
-        params = flux_mod.permute_rope_basis(params, fcfg)
-        import jax as _jax
 
-        _jax.block_until_ready(
-            params["single_blocks.0.norm.query_norm.scale"]
-        )
-        print(f"rope-basis permute: {time.perf_counter()-t0:.1f}s",
-              flush=True)
-
-    # --flux-scan: stacked-block scan forward — compare the "compile+first
-    # run" line vs the unrolled default for the cold-compile delta (clear
-    # the persistent XLA cache first or the comparison is meaningless)
     if use_scan:
-        t0 = time.perf_counter()
-        params = flux_mod.stack_block_params(params, fcfg)
-        import jax as _jax
+        # host-prep path (mirrors pipelines.loader._load_flux_scan_host):
+        # numpy permute + numpy stack, upload only the ~30 big stacked
+        # buffers — never the ~700 small per-block leaves whose free/alloc
+        # interleaving fragments HBM and OOMs the scan program at
+        # execution (round-4 finding, probe_flux_memory --exec)
+        from lightdiffusion_next_tpu.ops import ggml as _ggml
 
-        _jax.block_until_ready(
-            params[flux_mod.DOUBLE_STACK_KEY]["img_attn.qkv.weight"].qt3
-        )
-        print(f"block stacking: {time.perf_counter()-t0:.1f}s", flush=True)
+        t0 = time.perf_counter()
+        pdt = jnp.dtype(cfgv.dtypes.param_dtype)
+        params = {
+            k: (_ggml.QTensor8T(qt=v[1], scales_t=v[2], shape=v[3])
+                if isinstance(v, tuple)
+                else np.asarray(v).astype(pdt, copy=False))
+            for k, v in params.items()
+        }
+        if use_fused:
+            fcfg = dataclasses.replace(fcfg, fused_attn=True)
+            params = flux_mod.permute_rope_basis(params, fcfg, device=False)
+        params = flux_mod.stack_block_params_host(params, fcfg)
+        print(f"host permute+stack, stacked upload: "
+              f"{time.perf_counter()-t0:.1f}s", flush=True)
+        if use_w8a8:
+            t0 = time.perf_counter()
+            params = _ggml.to_w8a8(params)
+            import jax as _jax
+
+            _jax.block_until_ready(
+                params[flux_mod.DOUBLE_STACK_KEY]["img_attn.qkv.weight"].qt3
+            )
+            print(f"w8a8 requant (stacked): {time.perf_counter()-t0:.1f}s",
+                  flush=True)
+    else:
+        if use_w8a8:
+            from lightdiffusion_next_tpu.ops import ggml as _ggml
+
+            t0 = time.perf_counter()
+            params = _ggml.to_w8a8(params)
+            import jax as _jax
+
+            _jax.block_until_ready(
+                [v.qt for v in params.values()
+                 if isinstance(v, _ggml.QTensor8W)]
+            )
+            print(f"w8a8 requant: {time.perf_counter()-t0:.1f}s", flush=True)
+        if use_fused:
+            t0 = time.perf_counter()
+            fcfg = dataclasses.replace(fcfg, fused_attn=True)
+            params = flux_mod.permute_rope_basis(params, fcfg)
+            import jax as _jax
+
+            _jax.block_until_ready(
+                params["single_blocks.0.norm.query_norm.scale"]
+            )
+            print(f"rope-basis permute: {time.perf_counter()-t0:.1f}s",
+                  flush=True)
 
     def apply_fn(p, x, t, context, y=None, guidance=None,
                  first_block_hook=None, **_):

@@ -244,6 +244,79 @@ def test_lora_refuses_stacked_params():
         lora_mod.apply_lora(stacked, patches)
 
 
+def _host_quantized_params(cfg, seed=0):
+    """_quantized_params but HOST-side (numpy-backed QTensor8T leaves,
+    ggml.to_device_quantized(device=False)) for the scan host-prep path."""
+    params = flux_mod.init_params(cfg, seed=seed)
+    sd = {}
+    for k, v in params.items():
+        if (
+            v.ndim == 2
+            and any(k.endswith(s) for s in QUANT_SUFFIXES)
+            and v.shape[-1] % 32 == 0
+        ):
+            q, s = ggml.quantize_q8_0(v)
+            sd[k] = ggml.QTensor8(q=q, scales=s, shape=v.shape)
+        else:
+            sd[k] = v
+    return ggml.to_device_quantized(sd, dtype=jnp.float32, device=False)
+
+
+class TestHostPrep:
+    """stack_block_params_host + permute_rope_basis(device=False): the
+    HBM-fragmentation-free scan load order (host permute -> host stack ->
+    big-buffer upload -> stacked device w8a8) must be BIT-identical to
+    the device order (upload -> w8a8 -> permute -> stack) — every
+    transform is integer index shuffling or a per-column requant that
+    commutes with it."""
+
+    def _assert_trees_equal(self, a, b):
+        la, ta = jax.tree.flatten(a)
+        lb, tb = jax.tree.flatten(b)
+        assert ta == tb
+        for x, y in zip(la, lb):
+            assert np.asarray(x).dtype == np.asarray(y).dtype
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    def test_host_stack_bit_exact(self):
+        dev = flux_mod.stack_block_params(_quantized_params(TINY, seed=7), TINY)
+        hst = flux_mod.stack_block_params_host(
+            _host_quantized_params(TINY, seed=7), TINY
+        )
+        self._assert_trees_equal(dev, hst)
+
+    def test_full_host_order_bit_exact_w8a8_fused(self):
+        # device order: upload -> w8a8 -> permute -> stack
+        dev = _quantized_params(TINY, seed=8)
+        dev = ggml.to_w8a8(dev)
+        dev = flux_mod.permute_rope_basis(dev, TINY)
+        dev = flux_mod.stack_block_params(dev, TINY)
+        # host order: permute -> stack -> upload -> w8a8
+        hst = _host_quantized_params(TINY, seed=8)
+        hst = flux_mod.permute_rope_basis(hst, TINY, device=False)
+        hst = flux_mod.stack_block_params_host(hst, TINY)
+        hst = ggml.to_w8a8(hst)
+        self._assert_trees_equal(dev, hst)
+
+    def test_host_prepped_forward_matches_unrolled(self, rng):
+        base_params = _quantized_params(TINY, seed=9)
+        x, t, ctx, y = _inputs(rng)
+        base = np.asarray(flux_mod.apply_flux(base_params, x, t, ctx, y, cfg=TINY))
+        hst = flux_mod.stack_block_params_host(
+            _host_quantized_params(TINY, seed=9), TINY
+        )
+        out = np.asarray(flux_mod.apply_flux(hst, x, t, ctx, y, cfg=TINY))
+        np.testing.assert_allclose(out, base, atol=2e-5, rtol=1e-5)
+
+    def test_host_stack_validates_before_consuming(self):
+        params = _host_quantized_params(TINY, seed=10)
+        del params["double_blocks.1.img_attn.qkv.weight"]
+        keys = set(params)
+        with pytest.raises(ValueError):
+            flux_mod.stack_block_params_host(params, TINY)
+        assert set(params) == keys  # intact for the unrolled fallback
+
+
 def test_loader_scan_falls_back_on_unstackable_checkpoint(
     tmp_path, rng, caplog, monkeypatch
 ):
@@ -263,6 +336,7 @@ def test_loader_scan_falls_back_on_unstackable_checkpoint(
         raise ValueError("synthetic unstackable family")
 
     monkeypatch.setattr(flux_mod, "stack_block_params", boom)
+    monkeypatch.setattr(flux_mod, "stack_block_params_host", boom)
     with caplog.at_level(logging.WARNING):
         model = loader.load_diffusion_model_gguf(path, scan_blocks=True)
     assert not flux_mod.is_stacked(model.params)
