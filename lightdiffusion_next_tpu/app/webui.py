@@ -44,7 +44,7 @@ DEFAULT_SETTINGS = {
     "enable_preview": True,
     "w8a8": None,  # None -> RuntimeConfig resolve_w8a8() (TPU on, CPU off)
     "sage_attention": False,
-    "flux_scan": False,
+    "flux_scan": None,  # None -> resolve_flux_scan() (TPU on, CPU off)
     "fused_attn": None,  # None -> resolve_fused_attn() (TPU on, CPU off)
 }
 
@@ -63,6 +63,14 @@ def _resolve_default_fused_attn() -> bool:
     from lightdiffusion_next_tpu import config as _config
 
     return _config.get_config().resolve_fused_attn()
+
+
+def _resolve_default_flux_scan() -> bool:
+    """UI default for the scan-over-blocks checkbox: the RuntimeConfig
+    "auto" policy (on-TPU on, CPU off) unless the user saved a choice."""
+    from lightdiffusion_next_tpu import config as _config
+
+    return _config.get_config().resolve_flux_scan()
 
 
 def load_settings() -> dict:
@@ -139,7 +147,9 @@ def generate_images_with_preview(
                 sage_attention=bool(
                     kwargs.pop("sage_attention", cfg.sage_attention)
                 ),
-                flux_scan=bool(kwargs.pop("flux_scan", cfg.flux_scan)),
+                flux_scan=bool(
+                    kwargs.pop("flux_scan", cfg.resolve_flux_scan())
+                ),
                 fused_attn=bool(
                     kwargs.pop("fused_attn", cfg.resolve_fused_attn())
                 ),
@@ -373,10 +383,12 @@ def build_app():
                              "at SD1.5 head dims",
                     )
                     flux_scan = gr.Checkbox(
-                        value=s["flux_scan"],
+                        value=(_resolve_default_flux_scan()
+                               if s["flux_scan"] is None else s["flux_scan"]),
                         label="Flux scan-over-blocks",
-                        info="7.2x smaller program for cold-start compiles "
-                             "(single chip / spmd TP)",
+                        info="7.2x smaller program, measured 2x faster cold "
+                             "compile and -4% s/image on TPU (default on "
+                             "there); disable when patching Flux with a LoRA",
                     )
                     fused_attn = gr.Checkbox(
                         value=(_resolve_default_fused_attn()

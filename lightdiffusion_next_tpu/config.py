@@ -175,14 +175,22 @@ class RuntimeConfig:
     # Flux scan-over-blocks: stack the 19+38 identical DiT blocks' params
     # along a depth axis and lax.scan two block bodies instead of unrolling
     # 57 blocks of HLO — 7.2x smaller program (measured at production
-    # shapes, scripts/measure_flux_hlo.py), cutting the 430-1400 s
-    # uncached XLA compile at production shapes to a fraction. Quantized
-    # weights stream from the stacked arrays via Pallas scalar prefetch
-    # (no per-iteration slice copies). Applies single-device and under
+    # shapes, scripts/measure_flux_hlo.py). Quantized weights stream from
+    # the stacked arrays via Pallas scalar prefetch (no per-iteration
+    # slice copies). Measured on-chip 2026-08-19 (with w8a8+fused_attn):
+    # 7.77 s/image vs 8.09 unrolled (-4%), cold compile+first-run 496 s
+    # vs 965 s, equal HBM peak (scripts/probe_flux_memory.py; params are
+    # permuted+stacked in host numpy so no small-leaf churn fragments the
+    # device heap), final-latent rel RMSE 0.66% vs unrolled — so "auto"
+    # resolves TPU->on / CPU->off. Applies single-device and under
     # LDT_FLUX_TP=spmd (stacked local shards scan per device); GSPMD TP
-    # keeps the unrolled forward. Opt-in via LDT_FLUX_SCAN=1 / --flux-scan.
-    flux_scan: bool = dataclasses.field(
-        default_factory=lambda: os.environ.get("LDT_FLUX_SCAN", "") == "1"
+    # keeps the unrolled forward. LoRA-on-stacked-params errors loudly
+    # (models/lora.py) — disable with LDT_FLUX_SCAN=0 / --no-flux-scan
+    # when patching Flux. Env override LDT_FLUX_SCAN=1/0.
+    flux_scan: object = dataclasses.field(
+        default_factory=lambda: {"1": True, "0": False}.get(
+            os.environ.get("LDT_FLUX_SCAN", "auto"), "auto"
+        )
     )
     # Fused-prologue attention for Flux: QKNorm + RoPE + head indexing run
     # inside the flash kernel off the raw qkv projection (weights permuted
@@ -190,8 +198,9 @@ class RuntimeConfig:
     # Removes the q/k HBM round-trips between the two pallas fusion
     # barriers. Measured on-chip 2026-08-19: Flux w8a8 10.45 -> 8.78
     # s/image (-16%), final-latent rel RMSE 0.56% vs the unfused w8a8
-    # path — so "auto" resolves TPU->on / CPU->off like w8a8. The loader
-    # falls back loudly on unsupported combos (TP mesh, flux_scan, LoRA,
+    # path — so "auto" resolves TPU->on / CPU->off like w8a8. Composes
+    # with flux_scan (the stacked load permutes the basis on host). The
+    # loader falls back loudly on unsupported combos (TP mesh, LoRA,
     # head_dim != 128). Env override LDT_FUSED_ATTN=1/0.
     fused_attn: object = dataclasses.field(
         default_factory=lambda: {"1": True, "0": False}.get(
@@ -208,11 +217,18 @@ class RuntimeConfig:
             raise ValueError('w8a8 must be True, False or "auto"')
         if self.fused_attn not in (True, False, "auto"):
             raise ValueError('fused_attn must be True, False or "auto"')
+        if self.flux_scan not in (True, False, "auto"):
+            raise ValueError('flux_scan must be True, False or "auto"')
 
     def resolve_w8a8(self) -> bool:
         if self.w8a8 == "auto":
             return is_tpu()
         return bool(self.w8a8)
+
+    def resolve_flux_scan(self) -> bool:
+        if self.flux_scan == "auto":
+            return is_tpu()
+        return bool(self.flux_scan)
 
     def resolve_fused_attn(self) -> bool:
         if self.fused_attn == "auto":
@@ -249,7 +265,7 @@ def trace_token() -> tuple:
         cfg.resolve_attention_backend(),
         cfg.sage_attention,
         cfg.resolve_w8a8(),
-        cfg.flux_scan,
+        cfg.resolve_flux_scan(),
         cfg.resolve_fused_attn(),
     )
 

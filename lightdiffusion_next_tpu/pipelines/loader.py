@@ -121,7 +121,8 @@ def load_diffusion_model_gguf(
     per-column on device after upload for the int8-MXU compute path
     (ops.ggml.QTensor8W).
 
-    ``scan_blocks`` (default: config.flux_scan) stacks the DiT block params
+    ``scan_blocks`` (default: config.resolve_flux_scan() — TPU on) stacks
+    the DiT block params
     for the scan-over-blocks forward (models.flux.stack_block_params) —
     7.2x less HLO to compile. Single-device only at the loader level;
     ignored (with a log)
@@ -147,7 +148,7 @@ def load_diffusion_model_gguf(
     if w8a8 is None:
         w8a8 = cfgv.resolve_w8a8()
     if scan_blocks is None:
-        scan_blocks = cfgv.flux_scan
+        scan_blocks = cfgv.resolve_flux_scan()
 
     if scan_blocks and mesh is None:
         # Scan-over-blocks host-prep path: permute + stack in host numpy

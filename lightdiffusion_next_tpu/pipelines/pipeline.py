@@ -491,8 +491,10 @@ def _get_flux_models(
     # scan-over-blocks composes with single-device AND shard_map TP (the
     # stacked local shards scan per device); GSPMD TP keeps the unrolled
     # forward (its tp leaves bypass the scalar-prefetch kernels anyway)
-    scan_blocks = _config.get_config().flux_scan and (mesh is None or spmd)
-    if _config.get_config().flux_scan and not scan_blocks:
+    scan_blocks = (
+        _config.get_config().resolve_flux_scan() and (mesh is None or spmd)
+    )
+    if _config.get_config().resolve_flux_scan() and not scan_blocks:
         import logging
 
         logging.getLogger(__name__).warning(
@@ -501,11 +503,10 @@ def _get_flux_models(
         )
     if scan_blocks:
         variant += ":scan"
-    # fused-prologue attention permutes the resident weights' RoPE basis;
-    # only the single-device unrolled load actually applies it (loader
-    # gates), so only that variant is keyed
-    if (_config.get_config().resolve_fused_attn() and mesh is None
-            and not scan_blocks):
+    # fused-prologue attention permutes the resident weights' RoPE basis
+    # (both the unrolled and the scan-stacked single-device loads apply
+    # it); key the variant so a toggle flip never reuses the other basis
+    if _config.get_config().resolve_fused_attn() and mesh is None:
         variant += ":fusedattn"
     model = cache.get(unet_path, variant=variant)
     if model is None:
@@ -548,7 +549,7 @@ def _get_flux_models(
 
     # the scan toggle re-layouts T5 too (24 identical encoder blocks);
     # variant-keyed so a toggle flip never reuses the other layout
-    t5_scan = _config.get_config().flux_scan
+    t5_scan = _config.get_config().resolve_flux_scan()
     t5_variant = "scan" if t5_scan else ""
     t5_model = cache.get(t5_path, variant=t5_variant)
     if t5_model is None:
