@@ -16,6 +16,7 @@ final layer). Re-designed for TPU:
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -265,6 +266,55 @@ def _row_parallel(x, w, b, tp_axis: Optional[str]):
     return out
 
 
+# Fused-elementwise W8A8 dispatch (round 4): on the single-batch TPU
+# serving path the LN+modulation+row-quant before every quantized matmul
+# runs as ONE Pallas pass and the gate/bias/residual land in the matmul
+# epilogue (ops.quant_matmul row_quantize_fused / w8a8_matmul_ep) — the
+# round-4 trace showed XLA's separate passes re-reading each activation
+# ~3x (~18% of the Flux image). Import-time kill switch for on-chip A/B:
+# LDT_FUSED_EW=0 (an env constant can't flip mid-session, so it needs no
+# trace-token entry).
+_FUSED_EW = os.environ.get("LDT_FUSED_EW", "1") == "1"
+
+
+def _mod_linear(p: nn.ParamView, key: str, x, scale, shift):
+    """layer_norm(x, 1e-6)*(1+scale)+shift -> linear(w, b), with the
+    norm/modulation/row-quant fused into one kernel pass on the W8A8
+    path (modulated_matmul returns None otherwise — batched vectors,
+    TP leaves, unsupported shapes — and the plain ops chain runs)."""
+    w = p(key + ".weight")
+    b = p.get(key + ".bias")
+    fm = getattr(w, "modulated_matmul", None) if _FUSED_EW else None
+    if fm is not None:
+        y = fm(
+            x, prologue="ln_mod",
+            mod_scale=1.0 + scale.astype(jnp.float32),
+            mod_shift=shift, bias=b,
+        )
+        if y is not None:
+            return y
+    xm = nn.layer_norm(x, eps=1e-6) * (1 + scale) + shift
+    return nn.linear(xm, w, b)
+
+
+def _gated_out_linear(x_res, h, w, b, gate, tp_axis, gelu: bool = False):
+    """x_res + gate * linear(gelu?(h), w, b), with the gelu+row-quant
+    prologue and the gate/bias/residual epilogue fused in-kernel on the
+    single-device W8A8 path. The shard_map TP path keeps the explicit
+    psum (bias/residual must land AFTER the cross-shard sum), and any
+    other fallback keeps the plain ops chain."""
+    if tp_axis is None and _FUSED_EW:
+        fm = getattr(w, "modulated_matmul", None)
+        if fm is not None:
+            y = fm(h, prologue="gelu" if gelu else "none", gate=gate,
+                   bias=b, residual=x_res)
+            if y is not None:
+                return y
+    if gelu:
+        h = nn.gelu(h, approximate=True)
+    return x_res + gate * _row_parallel(h, w, b, tp_axis)
+
+
 def _double_block(p: nn.ParamView, img, txt, vec, pe, cfg: FluxConfig):
     """DoubleStreamBlock (Flux.py:260-349)."""
     im1_shift, im1_scale, im1_gate, im2_shift, im2_scale, im2_gate = _modulation(
@@ -274,15 +324,8 @@ def _double_block(p: nn.ParamView, img, txt, vec, pe, cfg: FluxConfig):
         p.scope("txt_mod."), vec, 6
     )
 
-    img_modulated = nn.layer_norm(img, eps=1e-6) * (1 + im1_scale) + im1_shift
-    img_qkv = nn.linear(
-        img_modulated, p("img_attn.qkv.weight"), p.get("img_attn.qkv.bias")
-    )
-
-    txt_modulated = nn.layer_norm(txt, eps=1e-6) * (1 + tx1_scale) + tx1_shift
-    txt_qkv = nn.linear(
-        txt_modulated, p("txt_attn.qkv.weight"), p.get("txt_attn.qkv.bias")
-    )
+    img_qkv = _mod_linear(p, "img_attn.qkv", img, im1_scale, im1_shift)
+    txt_qkv = _mod_linear(p, "txt_attn.qkv", txt, tx1_scale, tx1_shift)
 
     if cfg.fused_attn:
         # permuted-basis params (permute_rope_basis); pe is (cos, sin).
@@ -313,24 +356,24 @@ def _double_block(p: nn.ParamView, img, txt, vec, pe, cfg: FluxConfig):
         attn = _attention(q, k, v, pe)
     txt_attn, img_attn = attn[:, : txt.shape[1]], attn[:, txt.shape[1] :]
 
-    img = img + im1_gate * _row_parallel(
-        img_attn, p("img_attn.proj.weight"), p("img_attn.proj.bias"), cfg.tp_axis
+    img = _gated_out_linear(
+        img, img_attn, p("img_attn.proj.weight"), p("img_attn.proj.bias"),
+        im1_gate, cfg.tp_axis,
     )
-    h = nn.layer_norm(img, eps=1e-6) * (1 + im2_scale) + im2_shift
-    h = nn.linear(h, p("img_mlp.0.weight"), p("img_mlp.0.bias"))
-    h = nn.gelu(h, approximate=True)
-    img = img + im2_gate * _row_parallel(
-        h, p("img_mlp.2.weight"), p("img_mlp.2.bias"), cfg.tp_axis
+    h = _mod_linear(p, "img_mlp.0", img, im2_scale, im2_shift)
+    img = _gated_out_linear(
+        img, h, p("img_mlp.2.weight"), p("img_mlp.2.bias"),
+        im2_gate, cfg.tp_axis, gelu=True,
     )
 
-    txt = txt + tx1_gate * _row_parallel(
-        txt_attn, p("txt_attn.proj.weight"), p("txt_attn.proj.bias"), cfg.tp_axis
+    txt = _gated_out_linear(
+        txt, txt_attn, p("txt_attn.proj.weight"), p("txt_attn.proj.bias"),
+        tx1_gate, cfg.tp_axis,
     )
-    h = nn.layer_norm(txt, eps=1e-6) * (1 + tx2_scale) + tx2_shift
-    h = nn.linear(h, p("txt_mlp.0.weight"), p("txt_mlp.0.bias"))
-    h = nn.gelu(h, approximate=True)
-    txt = txt + tx2_gate * _row_parallel(
-        h, p("txt_mlp.2.weight"), p("txt_mlp.2.bias"), cfg.tp_axis
+    h = _mod_linear(p, "txt_mlp.0", txt, tx2_scale, tx2_shift)
+    txt = _gated_out_linear(
+        txt, h, p("txt_mlp.2.weight"), p("txt_mlp.2.bias"),
+        tx2_gate, cfg.tp_axis, gelu=True,
     )
     return img, txt
 
@@ -338,11 +381,11 @@ def _double_block(p: nn.ParamView, img, txt, vec, pe, cfg: FluxConfig):
 def _single_block(p: nn.ParamView, x, vec, pe, cfg: FluxConfig):
     """SingleStreamBlock (Flux.py:351-419)."""
     shift, scale, gate = _modulation(p.scope("modulation."), vec, 3)
-    x_mod = nn.layer_norm(x, eps=1e-6) * (1 + scale) + shift
     hidden = cfg.hidden_size
     if cfg.tp_layout:
         # linear1 de-fused at layout time (parallel.layout): two matmuls
         # over the shared input, each cleanly column-shardable
+        x_mod = nn.layer_norm(x, eps=1e-6) * (1 + scale) + shift
         qkv = nn.linear(
             x_mod, p("linear1_qkv.weight"), p.get("linear1_qkv.bias")
         )
@@ -350,7 +393,7 @@ def _single_block(p: nn.ParamView, x, vec, pe, cfg: FluxConfig):
             x_mod, p("linear1_mlp.weight"), p.get("linear1_mlp.bias")
         )
     else:
-        proj = nn.linear(x_mod, p("linear1.weight"), p("linear1.bias"))
+        proj = _mod_linear(p, "linear1", x, scale, shift)
         qkv, mlp = proj[..., : 3 * hidden], proj[..., 3 * hidden :]
     if cfg.fused_attn and not cfg.tp_layout:
         # the kernel indexes q/k/v head stripes straight out of the full
@@ -388,6 +431,26 @@ def _single_block(p: nn.ParamView, x, vec, pe, cfg: FluxConfig):
         if b2 is not None:
             out = out + b2
     else:
+        w2 = p("linear2.weight")
+        b2 = p("linear2.bias")
+        fm = (getattr(w2, "modulated_matmul", None)
+              if _FUSED_EW and cfg.tp_axis is None else None)
+        if fm is not None:
+            # the concat never materializes: the quantizer reads attn and
+            # the mlp WINDOW of the full linear1 projection (the qkv lanes
+            # are never touched), applies gelu, and writes one int8 row —
+            # gate/bias/residual ride the matmul epilogue. If the fused
+            # path declines (shape/batch), the traced prequant is dead
+            # code and XLA drops it.
+            from lightdiffusion_next_tpu.ops import quant_matmul as qm
+
+            if qm.supported_rowquant(attn.shape[-1] + mlp.shape[-1]):
+                pq = qm.row_quantize_concat_gelu(
+                    attn, proj, 3 * hidden, proj.shape[-1]
+                )
+                y = fm(None, prequant=pq, gate=gate, bias=b2, residual=x)
+                if y is not None:
+                    return y
         out = _row_parallel(
             jnp.concatenate([attn, nn.gelu(mlp, approximate=True)], axis=-1),
             p("linear2.weight"),

@@ -216,6 +216,80 @@ class QTensor8T:
         return cls(qt, scales_t, shape, tp)
 
 
+def _modulated_matmul_impl(
+    weight, col_scales, tp, x, *, prologue="none", mod_scale=None,
+    mod_shift=None, gate=None, bias=None, residual=None, out_dtype=None,
+    prequant=None,
+):
+    """Shared body of QTensor8W/_StackedSlice8W.modulated_matmul: the
+    fused-elementwise W8A8 path (ops.quant_matmul row_quantize_fused +
+    w8a8_matmul_ep). ``weight`` is qt (K, N) or (qt3, idx) for the scan
+    forward; ``col_scales`` the matching (1, N) f32. Returns the result,
+    or None when this call can't take the fused path — unsupported shape,
+    tensor-parallel leaf, or batched modulation/gate vectors (they are
+    per-batch; the kernels fold them as (1, K)/(1, N)) — and the caller
+    falls back to the unfused ops. See models/flux.py call sites."""
+    from lightdiffusion_next_tpu.ops import quant_matmul as qm
+
+    if tp:
+        return None
+    if isinstance(weight, tuple):
+        _, k, n = weight[0].shape
+    else:
+        k, n = weight.shape
+    ref = x if prequant is None else prequant[0]
+    m = 1
+    for d in ref.shape[:-1]:
+        m *= d
+    if not (qm.supported_w8a8(m, k, n) and qm.supported_rowquant(k)):
+        return None
+
+    def _vec(v, size):
+        """(…, size) -> (1, size) f32, or None if batched/mismatched."""
+        if v is None:
+            return None
+        lead = 1
+        for d in v.shape[:-1]:
+            lead *= d
+        if lead != 1 or v.shape[-1] != size:
+            return None
+        return v.astype(jnp.float32).reshape(1, size)
+
+    if prologue == "ln_mod":
+        mod_scale = _vec(mod_scale, k)
+        mod_shift = _vec(mod_shift, k)
+        if mod_scale is None or mod_shift is None:
+            return None
+    gate_v = _vec(gate, n)
+    if gate is not None and gate_v is None:
+        return None
+    bias_v = _vec(bias, n)
+    if bias is not None and bias_v is None:
+        return None
+
+    if prequant is None:
+        codes, sx = qm.row_quantize_fused(
+            x, mod_scale, mod_shift, prologue=prologue
+        )
+    else:
+        codes, sx = prequant
+        if codes.shape[-1] != k:
+            return None
+    cs_eff = col_scales.reshape(1, n)
+    b_eff = bias_v if bias_v is not None else jnp.zeros((1, n), jnp.float32)
+    if gate_v is not None:
+        cs_eff = cs_eff * gate_v
+        b_eff = b_eff * gate_v
+    out_dtype = out_dtype or (residual.dtype if residual is not None
+                              else ref.dtype)
+    if out_dtype == jnp.int8:  # prequant codes as the dtype ref
+        out_dtype = jnp.bfloat16
+    return qm.w8a8_matmul_ep(
+        codes, sx, weight, cs_eff, b_eff, residual=residual,
+        out_dtype=out_dtype,
+    )
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class QTensor8W:
@@ -262,6 +336,16 @@ class QTensor8W:
             w,
             dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
             preferred_element_type=x.dtype,
+        )
+
+    def modulated_matmul(self, x, **kw):
+        """Fused-elementwise W8A8 matmul (norm/modulation/gelu prologue +
+        gate/bias/residual epilogue in-kernel); None -> caller falls back.
+        See _modulated_matmul_impl."""
+        if not self.tp:
+            _check_not_silently_sharded(self.qt, "QTensor8W")
+        return _modulated_matmul_impl(
+            self.qt, self.col_scales, self.tp, x, **kw
         )
 
     def astype(self, dtype):  # dtype of the DEQUANTIZED output
@@ -451,6 +535,20 @@ class _StackedSlice8W:
             w,
             dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
             preferred_element_type=x.dtype,
+        )
+
+    def modulated_matmul(self, x, **kw):
+        """Scan-mode fused-elementwise W8A8 matmul: the weight stack rides
+        scalar prefetch ((qt3, idx) to w8a8_matmul_ep); the (1, N)
+        col-scale slice for the epilogue fold is a ~12 KB dynamic-index —
+        trivially cheap in XLA. None -> caller falls back."""
+        if not self.stack.tp:
+            _check_not_silently_sharded(self.stack.qt3, "StackedQTensor8W")
+        cs = jax.lax.dynamic_index_in_dim(
+            self.stack.col_scales3, self.idx, 0, keepdims=False
+        )
+        return _modulated_matmul_impl(
+            (self.stack.qt3, self.idx), cs, self.stack.tp, x, **kw
         )
 
 

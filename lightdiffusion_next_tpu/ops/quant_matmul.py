@@ -840,3 +840,498 @@ def w8a8_matmul_stacked(
         out_dtype=out_dtype, interpret=interpret, int8_mxu=int8_mxu,
     )
     return y.reshape(lead + (y.shape[-1],))
+
+
+# ---------------------------------------------------------------------------
+# Fused elementwise prologue/epilogue for the W8A8 serving path (round 4).
+#
+# The round-4 device trace of the w8a8+fused-attn Flux step put ~18% of the
+# image in elementwise/copy fusions AROUND the matmuls: XLA computes
+# layer_norm+modulation as its own pass, then quantize_rows as an
+# absmax-reduce pass plus a scale+round pass (a loop fusion cannot consume
+# its own reduce), re-reading the activation three times; every
+# gated-residual add is another full read+write. These kernels collapse
+# that to one read + one int8 write:
+#
+#   row_quantize_fused   x -> [layer_norm*(1+s)+t | gelu | id] -> absmax
+#                        -> int8 codes + row scales, one pass over x
+#   row_quantize_concat_gelu   [attn ; gelu(window of proj)] -> int8, for
+#                        the single-block linear2 input (the concat never
+#                        materializes; the gelu pass disappears)
+#   w8a8_matmul_ep       prequantized x @ w8a8 weight with the bias,
+#                        per-column gate, and residual add inside the
+#                        kernel epilogue: o = res + acc*sx*cs_eff + b_eff
+#                        (cs_eff = col_scales*gate and b_eff = gate*bias
+#                        are (1, N) folds done in XLA for free)
+#
+# Numerics: identical quantization law to quantize_rows (same absmax, same
+# 1e-12 clamp, same round/clip); the LN/gelu math is the same f32 ops as
+# ops.nn, so results differ from the unfused path only by float
+# reassociation inside one row (<= 1 int8 LSB).  models/flux.py routes
+# through these only for single-batch W8A8 TPU serving (B=1; the
+# modulation vectors are per-batch) and falls back to the unfused ops
+# everywhere else.
+# ---------------------------------------------------------------------------
+
+
+def supported_rowquant(k: int) -> bool:
+    return k % 128 == 0
+
+
+def _rowquant_pick_tm(mp: int, k_bytes_per_row: int) -> int:
+    """Largest 32-multiple row tile that divides mp and keeps one grid
+    step's working set (double-buffered bf16 in + int8 out, one f32 temp
+    set) inside the scoped-VMEM budget."""
+    budget = _vmem_budget()
+    tm = _pick_tile(mp, 512, 32)
+    while tm > 32 and tm * k_bytes_per_row > budget:
+        tm = _pick_tile(mp, tm - 32, 32)
+    return tm
+
+
+def _quantize_block(xf):
+    """(tm, K) f32 -> int8 codes + (tm, 1) f32 scales, the quantize_rows
+    law verbatim (bitwise-matching expressions)."""
+    absmax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    sx = jnp.maximum(absmax, 1e-12) * (1.0 / 127.0)
+    codes = jnp.clip(jnp.round(xf / sx), -127.0, 127.0).astype(jnp.int8)
+    return codes, sx
+
+
+def _kernel_rowquant_plain(x_ref, xq_ref, sx_ref, *, prologue):
+    xf = x_ref[...].astype(jnp.float32)
+    if prologue == "gelu":
+        xf = jax.nn.gelu(xf, approximate=True)
+    xq_ref[...], sx_ref[...] = _quantize_block(xf)
+
+
+def _kernel_rowquant_lnmod(x_ref, s_ref, t_ref, xq_ref, sx_ref, *, eps):
+    xf = x_ref[...].astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    xc = xf - mean
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    xf = xc * jax.lax.rsqrt(var + eps) * s_ref[...] + t_ref[...]
+    xq_ref[...], sx_ref[...] = _quantize_block(xf)
+
+
+def _kernel_rowquant_concat_gelu(a_ref, b_ref, xq_ref, sx_ref, *, b_lo, b_hi):
+    af = a_ref[...].astype(jnp.float32)
+    bf = b_ref[:, pl.ds(b_lo, b_hi - b_lo)].astype(jnp.float32)
+    xf = jnp.concatenate(
+        [af, jax.nn.gelu(bf, approximate=True)], axis=1
+    )
+    xq_ref[...], sx_ref[...] = _quantize_block(xf)
+
+
+def _row_quantize_fused_2d(
+    x, mod_scale=None, mod_shift=None, *, prologue="none",
+    interpret=False, eps=1e-6,
+):
+    """x (M, K) -> (codes int8 (M, K), scales f32 (M, 1)) with the
+    prologue ("none" | "gelu" | "ln_mod") fused into the quantize pass.
+    For "ln_mod", mod_scale/mod_shift are (1, K) f32 and the row transform
+    is layer_norm(x, eps)*mod_scale + mod_shift (callers fold the +1)."""
+    m, k = x.shape
+    pad = (-m) % 32
+    if pad:
+        x = jnp.pad(x, ((0, pad), (0, 0)))
+    mp = m + pad
+    # double-buffered bf16 in (2*2) + int8 out (2*1) + ~2 f32 temp rows (8)
+    tm = _rowquant_pick_tm(mp, k * 14)
+
+    if prologue == "ln_mod":
+        kernel = functools.partial(_kernel_rowquant_lnmod, eps=eps)
+        extra_in = [
+            jnp.asarray(mod_scale, jnp.float32).reshape(1, k),
+            jnp.asarray(mod_shift, jnp.float32).reshape(1, k),
+        ]
+        extra_specs = [
+            pl.BlockSpec((1, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ]
+    else:
+        kernel = functools.partial(_kernel_rowquant_plain, prologue=prologue)
+        extra_in, extra_specs = [], []
+
+    codes, sx = pl.pallas_call(
+        kernel,
+        grid=(mp // tm,),
+        in_specs=[
+            pl.BlockSpec((tm, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            *extra_specs,
+        ],
+        out_specs=[
+            pl.BlockSpec((tm, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((mp, k), jnp.int8),
+            jax.ShapeDtypeStruct((mp, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * mp * k,
+            bytes_accessed=mp * k * 3 + mp * 4,
+            transcendentals=mp * k if prologue == "gelu" else 0,
+        ),
+        interpret=interpret,
+    )(x, *extra_in)
+    if pad:
+        codes, sx = codes[:m], sx[:m]
+    return codes, sx
+
+
+@functools.lru_cache(maxsize=1)
+def _jitted_row_quantize_fused_2d():
+    from lightdiffusion_next_tpu import config as _config
+
+    return _config.ldt_jit(
+        _row_quantize_fused_2d,
+        static_argnames=("prologue", "interpret", "eps"),
+    )
+
+
+def row_quantize_fused(
+    x, mod_scale=None, mod_shift=None, *, prologue="none", interpret=None,
+    eps=1e-6,
+):
+    """Batched wrapper: x (..., K) -> (codes (..., K), scales (..., 1))."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    lead = x.shape[:-1]
+    k = x.shape[-1]
+    entry = _row_quantize_fused_2d if _tracing() \
+        else _jitted_row_quantize_fused_2d()
+    codes, sx = entry(
+        x.reshape(-1, k), mod_scale, mod_shift,
+        prologue=prologue, interpret=interpret, eps=eps,
+    )
+    return codes.reshape(lead + (k,)), sx.reshape(lead + (1,))
+
+
+def _row_quantize_concat_gelu_2d(a, b, b_lo, b_hi, *, interpret=False):
+    """codes/scales for rows [a ; gelu(b[:, b_lo:b_hi])] without ever
+    materializing the concat (the Flux single-block linear2 input: a is
+    the attention output, b the FULL linear1 projection whose mlp window
+    is [b_lo, b_hi) — the qkv lanes are simply never read)."""
+    m, ka = a.shape
+    m2, kb_full = b.shape
+    assert m == m2, (a.shape, b.shape)
+    assert 0 <= b_lo < b_hi <= kb_full and b_lo % 128 == 0 and b_hi % 128 == 0
+    kb = b_hi - b_lo
+    k = ka + kb
+    pad = (-m) % 32
+    if pad:
+        a = jnp.pad(a, ((0, pad), (0, 0)))
+        b = jnp.pad(b, ((0, pad), (0, 0)))
+    mp = m + pad
+    tm = _rowquant_pick_tm(mp, (ka + kb_full + k) * 10)
+
+    codes, sx = pl.pallas_call(
+        functools.partial(_kernel_rowquant_concat_gelu, b_lo=b_lo, b_hi=b_hi),
+        grid=(mp // tm,),
+        in_specs=[
+            pl.BlockSpec((tm, ka), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (tm, kb_full), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((tm, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((mp, k), jnp.int8),
+            jax.ShapeDtypeStruct((mp, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * mp * k,
+            bytes_accessed=mp * (ka + kb_full) * 2 + mp * k + mp * 4,
+            transcendentals=mp * kb,
+        ),
+        interpret=interpret,
+    )(a, b)
+    if pad:
+        codes, sx = codes[:m], sx[:m]
+    return codes, sx
+
+
+@functools.lru_cache(maxsize=1)
+def _jitted_row_quantize_concat_gelu_2d():
+    from lightdiffusion_next_tpu import config as _config
+
+    return _config.ldt_jit(
+        _row_quantize_concat_gelu_2d,
+        static_argnames=("b_lo", "b_hi", "interpret"),
+    )
+
+
+def row_quantize_concat_gelu(a, b, b_lo, b_hi, interpret=None):
+    """Batched wrapper over _row_quantize_concat_gelu_2d."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    lead = a.shape[:-1]
+    ka, kb_full = a.shape[-1], b.shape[-1]
+    k = ka + (b_hi - b_lo)
+    entry = _row_quantize_concat_gelu_2d if _tracing() \
+        else _jitted_row_quantize_concat_gelu_2d()
+    codes, sx = entry(
+        a.reshape(-1, ka), b.reshape(-1, kb_full), b_lo, b_hi,
+        interpret=interpret,
+    )
+    return codes.reshape(lead + (k,)), sx.reshape(lead + (1,))
+
+
+def _w8a8_ep_dot(x_ref, q, acc_ref, int8_mxu):
+    if int8_mxu:
+        acc_ref[...] += jax.lax.dot_general(
+            x_ref[...], q,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+    else:
+        acc_ref[...] += jax.lax.dot_general(
+            x_ref[...].astype(jnp.bfloat16), q.astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(acc_ref.dtype)
+
+
+def _kernel_w8a8_ep(
+    x_ref, q_ref, sx_ref, cs_ref, b_ref, o_ref, acc_ref,
+    *, n_k: int, out_dtype, int8_mxu: bool, stacked: bool,
+):
+    """W8A8 matmul with the bias in the epilogue:
+    o = acc*sx*cs + b (cs/b are (1, tn) f32; callers fold gates in)."""
+    kk = pl.program_id(2)
+
+    @pl.when(kk == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    _w8a8_ep_dot(x_ref, q_ref[0] if stacked else q_ref[...], acc_ref,
+                 int8_mxu)
+
+    @pl.when(kk == n_k - 1)
+    def _():
+        o_ref[...] = (
+            acc_ref[...].astype(jnp.float32) * sx_ref[...] * cs_ref[...]
+            + b_ref[...]
+        ).astype(out_dtype)
+
+
+def _kernel_w8a8_ep_res(
+    x_ref, q_ref, sx_ref, cs_ref, b_ref, r_ref, o_ref, acc_ref,
+    *, n_k: int, out_dtype, int8_mxu: bool, stacked: bool,
+):
+    """W8A8 matmul with gated-residual epilogue:
+    o = r + acc*sx*cs_eff + b_eff  where the caller pre-folds
+    cs_eff = col_scales*gate and b_eff = gate*bias (both (1, N) XLA
+    elementwise — free). The separate gate-multiply + residual-add fusion
+    (a full read+write of the output) disappears."""
+    kk = pl.program_id(2)
+
+    @pl.when(kk == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    _w8a8_ep_dot(x_ref, q_ref[0] if stacked else q_ref[...], acc_ref,
+                 int8_mxu)
+
+    @pl.when(kk == n_k - 1)
+    def _():
+        o_ref[...] = (
+            r_ref[...].astype(jnp.float32)
+            + acc_ref[...].astype(jnp.float32) * sx_ref[...] * cs_ref[...]
+            + b_ref[...]
+        ).astype(out_dtype)
+
+
+def _w8a8_matmul_ep_2d(
+    xq,
+    sx,
+    qt,
+    cs_eff,
+    b_eff,
+    residual=None,
+    out_dtype=jnp.bfloat16,
+    interpret=False,
+    tile_m=None,
+    tile_k=None,
+    tile_n=None,
+    int8_mxu=True,
+):
+    """Prequantized W8A8 matmul with fused epilogue. xq int8 (M, K) +
+    sx f32 (M, 1) come from row_quantize_fused; qt is int8 (K, N) or a
+    stacked 3-tuple (qt3 (D, K, N), idx) for the scan forward (cs_eff and
+    b_eff are always the XLA-prefolded (1, N) vectors — for stacked
+    weights the (1, N) dynamic-index slice is ~12 KB, trivially cheap
+    outside the kernel)."""
+    stacked = isinstance(qt, tuple)
+    if stacked:
+        qt3, idx = qt
+        d, k2, n = qt3.shape
+    else:
+        k2, n = qt.shape
+    m, k = xq.shape
+    assert k == k2, (xq.shape, k2)
+    assert cs_eff.shape == (1, n) and b_eff.shape == (1, n)
+
+    tile_m, tile_k, tile_n = _w8a8_tile_hint(k, n, tile_m, tile_k, tile_n)
+    pad = (-m) % 32
+    if pad:
+        xq = jnp.pad(xq, ((0, pad), (0, 0)))
+        sx = jnp.pad(sx, ((0, pad), (0, 0)))
+        if residual is not None:
+            residual = jnp.pad(residual, ((0, pad), (0, 0)))
+    mp = m + pad
+    tm = _pick_tile(mp, tile_m or 2176, 32)
+    tk = _pick_tile(k, tile_k or 512, 128)
+    n_k = k // tk
+    ob = jnp.dtype(out_dtype).itemsize
+    # the residual block rides the same double-buffered (tm, tn) budget as
+    # the output; account for it so Mosaic never over-allocates scoped vmem
+    rb = 2 * ob if residual is not None else 0
+    tn = (
+        _pick_tile(n, tile_n, 128)
+        if tile_n is not None
+        else _pick_tn_w8a8(n, 1024, tm, tk, ob + rb)
+    )
+
+    kernel = _kernel_w8a8_ep_res if residual is not None else _kernel_w8a8_ep
+    vec_spec = pl.BlockSpec(
+        (1, tn), lambda i, j, kk: (0, j), memory_space=pltpu.VMEM
+    )
+    in_specs = [
+        pl.BlockSpec((tm, tk), lambda i, j, kk: (i, kk),
+                     memory_space=pltpu.VMEM),
+        (
+            pl.BlockSpec((1, tk, tn), lambda i, j, kk, blk: (blk[0], kk, j))
+            if stacked
+            else pl.BlockSpec((tk, tn), lambda i, j, kk: (kk, j),
+                              memory_space=pltpu.VMEM)
+        ),
+        pl.BlockSpec((tm, 1), lambda i, j, kk: (i, 0),
+                     memory_space=pltpu.VMEM),
+        vec_spec,
+        vec_spec,
+    ]
+    operands = [xq, qt3 if stacked else qt, sx, cs_eff, b_eff]
+    if residual is not None:
+        in_specs.append(
+            pl.BlockSpec((tm, tn), lambda i, j, kk: (i, j),
+                         memory_space=pltpu.VMEM)
+        )
+        operands.append(residual)
+    out_spec = pl.BlockSpec(
+        (tm, tn), lambda i, j, kk: (i, j), memory_space=pltpu.VMEM
+    )
+    scratch = [pltpu.VMEM((tm, tn), jnp.int32 if int8_mxu else jnp.float32)]
+    kern = functools.partial(
+        kernel, n_k=n_k, out_dtype=out_dtype, int8_mxu=int8_mxu,
+        stacked=stacked,
+    )
+    cost = pl.CostEstimate(
+        flops=2 * mp * k * n,
+        bytes_accessed=mp * k + k * n + n * 8 + mp * 4
+        + mp * n * ob * (2 if residual is not None else 1),
+        transcendentals=0,
+    )
+    cparams = pltpu.CompilerParams(
+        dimension_semantics=("parallel", "parallel", "arbitrary"),
+    )
+    if stacked:
+        # scalar-prefetch grid: blockspecs gain the prefetch arg; rebuild
+        # the non-weight specs with a 4-arg index_map
+        def im_x(i, j, kk, blk):
+            return (i, kk)
+
+        def im_sx(i, j, kk, blk):
+            return (i, 0)
+
+        def im_vec(i, j, kk, blk):
+            return (0, j)
+
+        def im_out(i, j, kk, blk):
+            return (i, j)
+
+        in_specs = [
+            pl.BlockSpec((tm, tk), im_x),
+            pl.BlockSpec((1, tk, tn), lambda i, j, kk, blk: (blk[0], kk, j)),
+            pl.BlockSpec((tm, 1), im_sx),
+            pl.BlockSpec((1, tn), im_vec),
+            pl.BlockSpec((1, tn), im_vec),
+        ]
+        if residual is not None:
+            in_specs.append(pl.BlockSpec((tm, tn), im_out))
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(mp // tm, n // tn, n_k),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((tm, tn), im_out),
+            scratch_shapes=scratch,
+        )
+
+        def kern_stacked(idx_ref, *refs, _kern=kern):
+            del idx_ref
+            _kern(*refs)
+
+        out = pl.pallas_call(
+            kern_stacked,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((mp, n), out_dtype),
+            compiler_params=cparams,
+            cost_estimate=cost,
+            interpret=interpret,
+        )(jnp.asarray(idx, jnp.int32).reshape(1), *operands)
+    else:
+        out = pl.pallas_call(
+            kern,
+            grid=(mp // tm, n // tn, n_k),
+            in_specs=in_specs,
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct((mp, n), out_dtype),
+            scratch_shapes=scratch,
+            compiler_params=cparams,
+            cost_estimate=cost,
+            interpret=interpret,
+        )(*operands)
+    return out[:m] if mp != m else out
+
+
+@functools.lru_cache(maxsize=1)
+def _jitted_w8a8_matmul_ep_2d():
+    from lightdiffusion_next_tpu import config as _config
+
+    return _config.ldt_jit(
+        _w8a8_matmul_ep_2d,
+        static_argnames=("out_dtype", "interpret", "tile_m", "tile_k",
+                         "tile_n", "int8_mxu"),
+    )
+
+
+def w8a8_matmul_ep(
+    xq, sx, qt, cs_eff, b_eff, residual=None, out_dtype=jnp.bfloat16,
+    interpret=None, int8_mxu=True,
+):
+    """Batched wrapper: prequantized xq (..., K) -> (..., N) with the
+    bias/gate/residual epilogue in-kernel. ``qt`` may be (qt3, idx) for
+    the scan-over-blocks forward. See _w8a8_matmul_ep_2d."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    lead = xq.shape[:-1]
+    k = xq.shape[-1]
+    n = cs_eff.shape[-1]
+    entry = _w8a8_matmul_ep_2d if _tracing() else _jitted_w8a8_matmul_ep_2d()
+    y = entry(
+        xq.reshape(-1, k), sx.reshape(-1, 1), qt,
+        cs_eff.reshape(1, n), b_eff.reshape(1, n),
+        residual.reshape(-1, n) if residual is not None else None,
+        out_dtype=out_dtype, interpret=interpret, int8_mxu=int8_mxu,
+    )
+    return y.reshape(lead + (n,))
