@@ -297,6 +297,18 @@ def _fused_kernel(
         o_ref[0] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
 
 
+# Measured (block_q, block_k) for the fused kernel, keyed by sequence
+# length (scripts/sweep_fused_attn_blocks.py on v5e, 2026-08-19): at the
+# Flux 1024px joint seq the whole-L K-block (one kv step per q block over
+# the prologue's full-length K/V VMEM cache) with a narrow q block beat
+# the snapped (544, 1088) default 6.62 vs 7.03 ms/call (~6%). bq=544 at
+# bk=4352 failed to compile (VMEM cliff: the (bq, bk) f32 score tile),
+# so the entry stays at the measured-safe bq=256. Applies only when the
+# caller left the preferred blocks at their defaults; unlisted lengths
+# keep the _exact_block snap.
+_FUSED_ATTN_BLOCKS = {4352: (256, 4352)}
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("num_heads", "txt_len", "block_q", "block_k", "eps"),
@@ -331,6 +343,8 @@ def fused_qkv_attention(
     if txt_k_scale is None:
         txt_k_scale = k_scale
 
+    if (block_q, block_k) == (512, 1024) and l in _FUSED_ATTN_BLOCKS:
+        block_q, block_k = _FUSED_ATTN_BLOCKS[l]
     bq = _exact_block(l, block_q) or min(block_q, _round_up(l, 128))
     bk = _exact_block(l, block_k) or min(block_k, _round_up(l, 128))
     lp = _round_up(l, bq)
