@@ -24,25 +24,38 @@ import numpy as np
 def build_q8_params(cfg, seed: int = 0, quant_min_dim: int = 256):
     """Host param dict mirroring models.flux.init_params keys, with every
     large 2-D weight already in the fused Q8_0 device layout:
-    (key -> ('q8', qt int8 (K,N), scales_t f32 (K/32,N), logical shape))."""
-    from lightdiffusion_next_tpu.ops import ggml
+    (key -> ('q8', qt int8 (K,N), scales_t f32 (K/32,N), logical shape)).
 
+    The quantized leaves are synthesized DIRECTLY in the device layout
+    (uniform int8 codes + in_d**-0.5-magnitude block scales) instead of
+    float-init + quantize_q8_0 + transpose: on this 1-core host the float
+    path took ~30 min for the 12 B params (ziggurat gaussians + two extra
+    12 GB passes + a strided transpose copy); direct synthesis is minutes.
+    Timing is value-independent (same shapes/dtypes/layout); numerics A/Bs
+    dump latents in-session at a fixed seed, so cross-config drift is still
+    measured on identical weights."""
     rng = np.random.default_rng(seed)
     H = cfg.hidden_size
     P = {}
 
     def lin(key, out_d, in_d, bias=True):
-        w = rng.standard_normal((out_d, in_d), dtype=np.float32) * in_d**-0.5
         if (
             out_d >= quant_min_dim
             and in_d >= quant_min_dim
             and in_d % 32 == 0
         ):
-            q, s = ggml.quantize_q8_0(w)
-            qt = np.ascontiguousarray(q.reshape(out_d, in_d).T)
-            st = np.ascontiguousarray(s.T)
+            qt = rng.integers(
+                -127, 128, size=(in_d, out_d), dtype=np.int8
+            )
+            # block absmax ~127 * scale; target weight std ~ in_d**-0.5
+            st = (
+                (0.5 + rng.random((in_d // 32, out_d), dtype=np.float32))
+                * (in_d**-0.5 / 64.0)
+            ).astype(np.float32)
             P[key + ".weight"] = ("q8", qt, st, (out_d, in_d))
         else:
+            w = rng.standard_normal(
+                (out_d, in_d), dtype=np.float32) * in_d**-0.5
             P[key + ".weight"] = w
         if bias:
             P[key + ".bias"] = np.zeros((out_d,), np.float32)
@@ -114,7 +127,37 @@ def upload(P, param_dtype):
     return out
 
 
+_KNOWN_FLAGS = {
+    "--flux-scan", "--no-flux-scan", "--sage-attention", "--w8a8",
+    "--no-w8a8", "--fused-attn", "--no-fused-attn", "--no-fbcache",
+    "--force-fbcache-hits", "--preview-sim", "--trace",
+}
+_VALUE_FLAGS = {"--steps", "--batch", "--dump-latent"}
+
+
+def _check_argv():
+    """Fail fast on unknown flags: this script reads sys.argv directly, and
+    an unrecognized flag (including --help) must not silently launch a
+    multi-minute TPU benchmark with the wrong config."""
+    args = sys.argv[1:]
+    i = 0
+    while i < len(args):
+        a = args[i]
+        if a in _VALUE_FLAGS:
+            if i + 1 >= len(args):
+                raise SystemExit(f"{a} needs a value")
+            i += 2
+            continue
+        if a not in _KNOWN_FLAGS:
+            raise SystemExit(
+                f"unknown argument {a!r}; flags: "
+                + " ".join(sorted(_KNOWN_FLAGS | _VALUE_FLAGS))
+            )
+        i += 1
+
+
 def main():
+    _check_argv()
     import bench as _bench
 
     _bench._probe_devices()
@@ -144,7 +187,8 @@ def main():
     import os
     import pickle
 
-    recipe = repr((fcfg, "seed=0", "quant_min_dim=default"))
+    recipe = repr((fcfg, "seed=0", "quant_min_dim=default",
+                   "synthetic-q8-v2"))
     tag = hashlib.sha1(recipe.encode()).hexdigest()[:12]
     cache = f"/tmp/flux_q8_params_{tag}.pkl"
 
