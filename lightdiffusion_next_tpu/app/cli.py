@@ -78,6 +78,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-flux-scan", action="store_true",
                    help="Flux: force the unrolled forward even on TPU "
                         "(required when patching Flux with a LoRA)")
+    p.add_argument("--fused-ew", action="store_true",
+                   help="Flux: fuse the LN/modulation/gelu row-quant "
+                        "prologues and gate/bias/residual epilogues into "
+                        "the W8A8 matmul kernels (the TPU default — this "
+                        "flag forces it on elsewhere; only reachable with "
+                        "w8a8; no reference analogue)")
+    p.add_argument("--no-fused-ew", action="store_true",
+                   help="Flux: keep the separate XLA elementwise passes "
+                        "around the W8A8 matmuls (overrides the fused-ew "
+                        "auto default)")
     return p
 
 
@@ -93,8 +103,12 @@ def main(argv=None) -> int:
     if args.flux_scan and args.no_flux_scan:
         raise SystemExit(
             "--flux-scan and --no-flux-scan are mutually exclusive")
+    if args.fused_ew and args.no_fused_ew:
+        raise SystemExit(
+            "--fused-ew and --no-fused-ew are mutually exclusive")
     if (args.w8a8 or args.no_w8a8 or args.sage_attention or args.flux_scan
-            or args.no_flux_scan or args.fused_attn or args.no_fused_attn):
+            or args.no_flux_scan or args.fused_attn or args.no_fused_attn
+            or args.fused_ew or args.no_fused_ew):
         import dataclasses as _dc
 
         from lightdiffusion_next_tpu import config as _config
@@ -112,6 +126,9 @@ def main(argv=None) -> int:
             fused_attn=(True if args.fused_attn
                         else False if args.no_fused_attn
                         else _config.get_config().fused_attn),
+            fused_ew=(True if args.fused_ew
+                      else False if args.no_fused_ew
+                      else _config.get_config().fused_ew),
         ))
 
     progress_callback = None

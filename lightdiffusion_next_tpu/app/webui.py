@@ -46,6 +46,7 @@ DEFAULT_SETTINGS = {
     "sage_attention": False,
     "flux_scan": None,  # None -> resolve_flux_scan() (TPU on, CPU off)
     "fused_attn": None,  # None -> resolve_fused_attn() (TPU on, CPU off)
+    "fused_ew": None,  # None -> resolve_fused_ew() (TPU on, CPU off)
 }
 
 
@@ -63,6 +64,14 @@ def _resolve_default_fused_attn() -> bool:
     from lightdiffusion_next_tpu import config as _config
 
     return _config.get_config().resolve_fused_attn()
+
+
+def _resolve_default_fused_ew() -> bool:
+    """UI default for the fused-elementwise checkbox: the RuntimeConfig
+    "auto" policy (on-TPU on, CPU off) unless the user saved a choice."""
+    from lightdiffusion_next_tpu import config as _config
+
+    return _config.get_config().resolve_fused_ew()
 
 
 def _resolve_default_flux_scan() -> bool:
@@ -134,7 +143,8 @@ def generate_images_with_preview(
         get_model_cache().set_keep_models_loaded(keep_loaded)
 
         if "w8a8" in kwargs or "sage_attention" in kwargs \
-                or "flux_scan" in kwargs or "fused_attn" in kwargs:
+                or "flux_scan" in kwargs or "fused_attn" in kwargs \
+                or "fused_ew" in kwargs:
             # int8-MXU compute / scan-forward toggles (this framework's own)
             import dataclasses as _dc
 
@@ -152,6 +162,9 @@ def generate_images_with_preview(
                 ),
                 fused_attn=bool(
                     kwargs.pop("fused_attn", cfg.resolve_fused_attn())
+                ),
+                fused_ew=bool(
+                    kwargs.pop("fused_ew", cfg.resolve_fused_ew())
                 ),
             ))
 
@@ -399,6 +412,15 @@ def build_app():
                              "measured -16% s/image on TPU (default on "
                              "there), latent RMSE 0.56%",
                     )
+                    fused_ew = gr.Checkbox(
+                        value=(_resolve_default_fused_ew()
+                               if s["fused_ew"] is None
+                               else s["fused_ew"]),
+                        label="Fused elementwise (Flux W8A8)",
+                        info="LN/modulation/gelu row-quant prologue and "
+                             "gate/bias/residual epilogue inside the W8A8 "
+                             "matmul kernels (default on TPU)",
+                    )
                 with gr.Row():
                     img2img = gr.Checkbox(
                         value=s["img2img_enabled"], label="Image to image"
@@ -464,8 +486,8 @@ def build_app():
         def on_generate(
             prompt, negative, width, height, num_images, batch_size, hires,
             adet, enh, speed, hdr, realistic, flux, reuse, keep, prev,
-            use_w8a8, use_sage, use_flux_scan, use_fused, i2i_enabled,
-            i2i_image, ms_preset,
+            use_w8a8, use_sage, use_flux_scan, use_fused, use_fused_ew,
+            i2i_enabled, i2i_image, ms_preset,
             ms_enabled, ms_intermittent, ms_factor, ms_start, ms_end,
         ):
             ms_kwargs = multiscale_kwargs(
@@ -501,6 +523,7 @@ def build_app():
                     "sage_attention": bool(use_sage),
                     "flux_scan": bool(use_flux_scan),
                     "fused_attn": bool(use_fused),
+                    "fused_ew": bool(use_fused_ew),
                 }
             )
             paths, state = [], "starting"
@@ -521,6 +544,7 @@ def build_app():
                 sage_attention=bool(use_sage),
                 flux_scan=bool(use_flux_scan),
                 fused_attn=bool(use_fused),
+                fused_ew=bool(use_fused_ew),
                 img2img_enabled=bool(i2i_enabled),
                 img2img_image=i2i_image,
                 prio_speed=speed,
@@ -539,8 +563,8 @@ def build_app():
             on_generate,
             [prompt, negative, width, height, num_images, batch_size, hires,
              adet, enh, speed, hdr, realistic, flux, reuse_seed, keep_loaded,
-             preview_on, w8a8, sage_attn, flux_scan, fused_attn, img2img,
-             img2img_image, ms_preset,
+             preview_on, w8a8, sage_attn, flux_scan, fused_attn, fused_ew,
+             img2img, img2img_image, ms_preset,
              ms_enabled, ms_intermittent, ms_factor, ms_start, ms_end],
             [gallery, status, history, history_paths],
         )

@@ -207,6 +207,22 @@ class RuntimeConfig:
             os.environ.get("LDT_FUSED_ATTN", "auto"), "auto"
         )
     )
+    # Fused-elementwise W8A8 epilogues/prologues: on the single-batch TPU
+    # serving path the LN+modulation+row-quant before every quantized
+    # matmul runs as ONE Pallas pass and the gate/bias/residual land in
+    # the matmul epilogue (ops.quant_matmul row_quantize_fused /
+    # w8a8_matmul_ep) — the round-4 trace showed XLA's separate passes
+    # re-reading each activation ~3x (~18% of the Flux image). Only
+    # reachable on W8A8 leaves (QTensor8W.modulated_matmul), so "auto"
+    # resolves TPU->on / CPU->off alongside w8a8. Consulted at trace time
+    # inside the block bodies (models/flux.py) and carried by
+    # trace_token() so a mid-session flip retraces the compiled runners.
+    # Env override LDT_FUSED_EW=1/0.
+    fused_ew: object = dataclasses.field(
+        default_factory=lambda: {"1": True, "0": False}.get(
+            os.environ.get("LDT_FUSED_EW", "auto"), "auto"
+        )
+    )
 
     def __post_init__(self):
         if self.attention_backend not in _VALID_ATTENTION:
@@ -217,6 +233,8 @@ class RuntimeConfig:
             raise ValueError('w8a8 must be True, False or "auto"')
         if self.fused_attn not in (True, False, "auto"):
             raise ValueError('fused_attn must be True, False or "auto"')
+        if self.fused_ew not in (True, False, "auto"):
+            raise ValueError('fused_ew must be True, False or "auto"')
         if self.flux_scan not in (True, False, "auto"):
             raise ValueError('flux_scan must be True, False or "auto"')
 
@@ -234,6 +252,11 @@ class RuntimeConfig:
         if self.fused_attn == "auto":
             return is_tpu()
         return bool(self.fused_attn)
+
+    def resolve_fused_ew(self) -> bool:
+        if self.fused_ew == "auto":
+            return is_tpu()
+        return bool(self.fused_ew)
 
     def resolve_attention_backend(self) -> str:
         if self.attention_backend != "auto":
@@ -267,6 +290,7 @@ def trace_token() -> tuple:
         cfg.resolve_w8a8(),
         cfg.resolve_flux_scan(),
         cfg.resolve_fused_attn(),
+        cfg.resolve_fused_ew(),
     )
 
 

@@ -16,7 +16,6 @@ final layer). Re-designed for TPU:
 from __future__ import annotations
 
 import dataclasses
-import os
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -266,15 +265,19 @@ def _row_parallel(x, w, b, tp_axis: Optional[str]):
     return out
 
 
-# Fused-elementwise W8A8 dispatch (round 4): on the single-batch TPU
-# serving path the LN+modulation+row-quant before every quantized matmul
-# runs as ONE Pallas pass and the gate/bias/residual land in the matmul
-# epilogue (ops.quant_matmul row_quantize_fused / w8a8_matmul_ep) — the
-# round-4 trace showed XLA's separate passes re-reading each activation
-# ~3x (~18% of the Flux image). Import-time kill switch for on-chip A/B:
-# LDT_FUSED_EW=0 (an env constant can't flip mid-session, so it needs no
-# trace-token entry).
-_FUSED_EW = os.environ.get("LDT_FUSED_EW", "1") == "1"
+def _fused_ew() -> bool:
+    """Fused-elementwise W8A8 dispatch (round 4): on the single-batch TPU
+    serving path the LN+modulation+row-quant before every quantized matmul
+    runs as ONE Pallas pass and the gate/bias/residual land in the matmul
+    epilogue (ops.quant_matmul row_quantize_fused / w8a8_matmul_ep) — the
+    round-4 trace showed XLA's separate passes re-reading each activation
+    ~3x (~18% of the Flux image). Consulted at trace time; the flag rides
+    config.trace_token() so flipping RuntimeConfig.fused_ew (or the
+    LDT_FUSED_EW env default) mid-session retraces the compiled runners
+    instead of silently reusing the other mode's program."""
+    from lightdiffusion_next_tpu import config as _config
+
+    return _config.get_config().resolve_fused_ew()
 
 
 def _mod_linear(p: nn.ParamView, key: str, x, scale, shift):
@@ -284,7 +287,7 @@ def _mod_linear(p: nn.ParamView, key: str, x, scale, shift):
     TP leaves, unsupported shapes — and the plain ops chain runs)."""
     w = p(key + ".weight")
     b = p.get(key + ".bias")
-    fm = getattr(w, "modulated_matmul", None) if _FUSED_EW else None
+    fm = getattr(w, "modulated_matmul", None) if _fused_ew() else None
     if fm is not None:
         y = fm(
             x, prologue="ln_mod",
@@ -303,7 +306,7 @@ def _gated_out_linear(x_res, h, w, b, gate, tp_axis, gelu: bool = False):
     single-device W8A8 path. The shard_map TP path keeps the explicit
     psum (bias/residual must land AFTER the cross-shard sum), and any
     other fallback keeps the plain ops chain."""
-    if tp_axis is None and _FUSED_EW:
+    if tp_axis is None and _fused_ew():
         fm = getattr(w, "modulated_matmul", None)
         if fm is not None:
             y = fm(h, prologue="gelu" if gelu else "none", gate=gate,
@@ -434,7 +437,7 @@ def _single_block(p: nn.ParamView, x, vec, pe, cfg: FluxConfig):
         w2 = p("linear2.weight")
         b2 = p("linear2.bias")
         fm = (getattr(w2, "modulated_matmul", None)
-              if _FUSED_EW and cfg.tp_axis is None else None)
+              if cfg.tp_axis is None and _fused_ew() else None)
         if fm is not None:
             # the concat never materializes: the quantizer reads attn and
             # the mlp WINDOW of the full linear1 projection (the qkv lanes

@@ -31,9 +31,16 @@ def build_q8_params(cfg, seed: int = 0, quant_min_dim: int = 256):
     float-init + quantize_q8_0 + transpose: on this 1-core host the float
     path took ~30 min for the 12 B params (ziggurat gaussians + two extra
     12 GB passes + a strided transpose copy); direct synthesis is minutes.
-    Timing is value-independent (same shapes/dtypes/layout); numerics A/Bs
-    dump latents in-session at a fixed seed, so cross-config drift is still
-    measured on identical weights."""
+
+    Value-independence caveats: timing is value-independent only for
+    --no-fbcache and --force-fbcache-hits runs — the default FBCache run's
+    lax.cond skip decision is data-dependent, so its hit rate (and s/image)
+    shifts with the synthetic weight recipe (uniform codes over-hit vs real
+    checkpoints; compare default-fbcache numbers across commits only within
+    the same recipe). Drift A/Bs (--dump-latent) compare two configs on the
+    SAME in-session weights, so relative drift is sound, but uniform codes
+    are not gaussian weight statistics — treat drift numbers as layout/
+    quantization-law deltas, not image-quality guarantees."""
     rng = np.random.default_rng(seed)
     H = cfg.hidden_size
     P = {}
@@ -129,7 +136,8 @@ def upload(P, param_dtype):
 
 _KNOWN_FLAGS = {
     "--flux-scan", "--no-flux-scan", "--sage-attention", "--w8a8",
-    "--no-w8a8", "--fused-attn", "--no-fused-attn", "--no-fbcache",
+    "--no-w8a8", "--fused-attn", "--no-fused-attn", "--fused-ew",
+    "--no-fused-ew", "--no-fbcache",
     "--force-fbcache-hits", "--preview-sim", "--trace",
 }
 _VALUE_FLAGS = {"--steps", "--batch", "--dump-latent"}
@@ -204,7 +212,13 @@ def main():
         print(f"host init+quantize: {time.perf_counter()-t0:.1f}s",
               flush=True)
 
-    use_scan = "--flux-scan" in sys.argv
+    # --flux-scan / --no-flux-scan: default follows RuntimeConfig "auto"
+    # (TPU on / CPU off) so the flagless run benches the serving default.
+    if "--flux-scan" in sys.argv and "--no-flux-scan" in sys.argv:
+        raise SystemExit("--flux-scan and --no-flux-scan are mutually exclusive")
+    use_scan = "--flux-scan" in sys.argv or (
+        "--no-flux-scan" not in sys.argv and cfgv.resolve_flux_scan()
+    )
     if use_scan:
         # scan mode: params never upload unstacked — host permute + host
         # stack + big-buffer upload (the HBM-fragmentation OOM fix, see
@@ -247,6 +261,22 @@ def main():
     use_fused = "--fused-attn" in sys.argv or (
         "--no-fused-attn" not in sys.argv and cfgv.resolve_fused_attn()
     )
+    # --fused-ew / --no-fused-ew: LN/modulation/gelu row-quant prologue +
+    # gate/bias/residual epilogue fused into the W8A8 matmul kernels
+    # (RuntimeConfig.fused_ew, consulted at trace time and carried by the
+    # trace token). Default follows "auto" (TPU on / CPU off); only
+    # reachable when w8a8 leaves are present.
+    if "--fused-ew" in sys.argv and "--no-fused-ew" in sys.argv:
+        raise SystemExit("--fused-ew and --no-fused-ew are mutually exclusive")
+    use_fused_ew = "--fused-ew" in sys.argv or (
+        "--no-fused-ew" not in sys.argv and cfgv.resolve_fused_ew()
+    )
+    if use_fused_ew != cfgv.resolve_fused_ew():
+        import dataclasses as _dc
+
+        _config.set_config(
+            _dc.replace(_config.get_config(), fused_ew=use_fused_ew)
+        )
 
     if use_scan:
         # host-prep path (mirrors pipelines.loader._load_flux_scan_host):
@@ -423,6 +453,7 @@ def main():
                 + ("_sage" if use_sage else "")
                 + ("_scan" if use_scan else "")
                 + ("_fusedattn" if use_fused else "")
+                + ("_fusedew" if (use_fused_ew and use_w8a8) else "")
                 + (f"_batch{batch}" if batch != 1 else "")
                 + ("_preview" if callback is not None else ""),
                 "value": round(dt / batch, 3),

@@ -174,6 +174,34 @@ def test_trace_token_in_cfg_cache_key():
     assert k_off == k_off2, "same config must hit the same cached runner"
 
 
+def test_fused_ew_in_trace_token():
+    """RuntimeConfig.fused_ew is consulted at trace time inside the Flux
+    block bodies (models/flux.py _fused_ew) — a WebUI/CLI flip must mint a
+    new denoiser cache key (round-4 verdict: the LDT_FUSED_EW env constant
+    had no trace-token entry because it could not flip mid-session; the
+    config field can, so it must)."""
+    cond = CondInput(jnp.zeros((1, 4, 64)))
+    m = _tiny(32)
+    old = _config.get_config()
+    try:
+        _config.set_config(_with_config(fused_ew=False))
+        tok_off = _config.trace_token()
+        k_off = cfg_mod.make_cfg_denoiser(
+            m.apply_fn, m.params, m.model_sampling, cond, None, 1.0,
+            model_uid=m.uid,
+        ).cache_key
+        _config.set_config(_with_config(fused_ew=True))
+        tok_on = _config.trace_token()
+        k_on = cfg_mod.make_cfg_denoiser(
+            m.apply_fn, m.params, m.model_sampling, cond, None, 1.0,
+            model_uid=m.uid,
+        ).cache_key
+    finally:
+        _config.set_config(old)
+    assert tok_off != tok_on, "fused_ew must participate in trace_token()"
+    assert k_off != k_on, "fused_ew flip must mint a new denoiser cache key"
+
+
 def test_config_jit_retraces_on_config_flip():
     """config_jit programs (VAE encode/decode) must retrace when a
     trace-affecting config field flips, even though the jit arguments are

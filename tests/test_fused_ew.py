@@ -254,12 +254,16 @@ def _flux_inputs(rng):
 
 class TestFluxFusedEwParity:
     """apply_flux with the fused-elementwise dispatch vs the unfused ops
-    chain (flux._FUSED_EW kill switch) — the whole-model guarantee that
+    chain (RuntimeConfig.fused_ew toggle) — the whole-model guarantee that
     the serving default equals the reference-parity path up to int8
     row-quant reassociation."""
 
     @pytest.mark.parametrize("stacked", [False, True])
-    def test_fused_matches_unfused(self, rng, monkeypatch, stacked):
+    def test_fused_matches_unfused(self, rng, stacked):
+        import dataclasses
+
+        from lightdiffusion_next_tpu import config as _config
+
         params = _w8a8_params(seed=7)
         assert isinstance(
             params["single_blocks.0.linear1.weight"], ggml.QTensor8W
@@ -269,14 +273,20 @@ class TestFluxFusedEwParity:
             params = flux_mod.stack_block_params(params, TINY)
             assert flux_mod.is_stacked(params)
 
-        monkeypatch.setattr(flux_mod, "_FUSED_EW", False)
-        base = np.asarray(
-            flux_mod.apply_flux(params, x, t, ctx, y, cfg=TINY), np.float64
-        )
-        monkeypatch.setattr(flux_mod, "_FUSED_EW", True)
-        fused = np.asarray(
-            flux_mod.apply_flux(params, x, t, ctx, y, cfg=TINY), np.float64
-        )
+        cfg0 = _config.get_config()
+        try:
+            _config.set_config(dataclasses.replace(cfg0, fused_ew=False))
+            base = np.asarray(
+                flux_mod.apply_flux(params, x, t, ctx, y, cfg=TINY),
+                np.float64,
+            )
+            _config.set_config(dataclasses.replace(cfg0, fused_ew=True))
+            fused = np.asarray(
+                flux_mod.apply_flux(params, x, t, ctx, y, cfg=TINY),
+                np.float64,
+            )
+        finally:
+            _config.set_config(cfg0)
         # identical quantization law; differs only by f32-vs-bf16
         # reassociation inside one row (<= 1 int8 LSB per element)
         np.testing.assert_allclose(fused, base, rtol=0, atol=3e-2)
