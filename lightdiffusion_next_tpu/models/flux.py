@@ -303,16 +303,29 @@ def _mod_linear(p: nn.ParamView, key: str, x, scale, shift):
 def _gated_out_linear(x_res, h, w, b, gate, tp_axis, gelu: bool = False):
     """x_res + gate * linear(gelu?(h), w, b), with the gelu+row-quant
     prologue and the gate/bias/residual epilogue fused in-kernel on the
-    single-device W8A8 path. The shard_map TP path keeps the explicit
-    psum (bias/residual must land AFTER the cross-shard sum), and any
-    other fallback keeps the plain ops chain."""
-    if tp_axis is None and _fused_ew():
+    single-device W8A8 path.
+
+    Under shard_map TP (tp_axis set) the epilogue must land AFTER the
+    cross-shard psum, so the fusion splits: the gelu+row-quant prologue and
+    the int8 matmul still run in-kernel per shard (emitting the raw local
+    partial — no gate/bias/residual), the explicit psum completes the sum,
+    and one XLA elementwise pass applies gate/bias/residual. Any other
+    fallback keeps the plain ops chain."""
+    if _fused_ew():
         fm = getattr(w, "modulated_matmul", None)
         if fm is not None:
-            y = fm(h, prologue="gelu" if gelu else "none", gate=gate,
-                   bias=b, residual=x_res)
-            if y is not None:
-                return y
+            if tp_axis is None:
+                y = fm(h, prologue="gelu" if gelu else "none", gate=gate,
+                       bias=b, residual=x_res)
+                if y is not None:
+                    return y
+            else:
+                part = fm(h, prologue="gelu" if gelu else "none")
+                if part is not None:
+                    out = jax.lax.psum(part, tp_axis)
+                    if b is not None:
+                        out = out + b.astype(out.dtype)
+                    return x_res + gate * out
     if gelu:
         h = nn.gelu(h, approximate=True)
     return x_res + gate * _row_parallel(h, w, b, tp_axis)
@@ -334,6 +347,9 @@ def _double_block(p: nn.ParamView, img, txt, vec, pe, cfg: FluxConfig):
         # permuted-basis params (permute_rope_basis); pe is (cos, sin).
         # One L-axis concat replaces three head-split transposes + the
         # norm/rope HBM round-trips (fused into the kernel prologue).
+        # Under shard_map TP cfg.num_heads is the LOCAL head count and the
+        # qkv columns are head-interleaved (parallel.layout) — the kernel
+        # runs per shard unchanged modulo its stripe index maps.
         from lightdiffusion_next_tpu.ops import flash_attention as fa
 
         cos, sin = pe
@@ -346,6 +362,7 @@ def _double_block(p: nn.ParamView, img, txt, vec, pe, cfg: FluxConfig):
             txt_len=txt.shape[1],
             txt_q_scale=p("txt_attn.norm.query_norm.scale"),
             txt_k_scale=p("txt_attn.norm.key_norm.scale"),
+            interleaved=cfg.tp_layout,
         )
     else:
         img_q, img_k, img_v = _split_heads(img_qkv, cfg.num_heads, cfg.tp_layout)
@@ -387,14 +404,12 @@ def _single_block(p: nn.ParamView, x, vec, pe, cfg: FluxConfig):
     hidden = cfg.hidden_size
     if cfg.tp_layout:
         # linear1 de-fused at layout time (parallel.layout): two matmuls
-        # over the shared input, each cleanly column-shardable
-        x_mod = nn.layer_norm(x, eps=1e-6) * (1 + scale) + shift
-        qkv = nn.linear(
-            x_mod, p("linear1_qkv.weight"), p.get("linear1_qkv.bias")
-        )
-        mlp = nn.linear(
-            x_mod, p("linear1_mlp.weight"), p.get("linear1_mlp.bias")
-        )
+        # over the shared input, each cleanly column-shardable. Both are
+        # column-parallel (full K, sharded N), so the LN+modulation+
+        # row-quant prologue fuses per shard exactly like single-device
+        # (_mod_linear; the unfused fallback layer_norms twice — XLA CSEs)
+        qkv = _mod_linear(p, "linear1_qkv", x, scale, shift)
+        mlp = _mod_linear(p, "linear1_mlp", x, scale, shift)
     else:
         proj = _mod_linear(p, "linear1", x, scale, shift)
         qkv, mlp = proj[..., : 3 * hidden], proj[..., 3 * hidden :]
@@ -412,6 +427,21 @@ def _single_block(p: nn.ParamView, x, vec, pe, cfg: FluxConfig):
             cos, sin,
             num_heads=cfg.num_heads,
         )
+    elif cfg.fused_attn:
+        # shard_map TP: the local linear1_qkv output is head-interleaved
+        # whole heads (cfg.num_heads is the LOCAL count) — the fused
+        # kernel runs per shard with interleaved stripe index maps
+        from lightdiffusion_next_tpu.ops import flash_attention as fa
+
+        cos, sin = pe
+        attn = fa.fused_qkv_attention(
+            qkv,
+            p("norm.query_norm.scale"),
+            p("norm.key_norm.scale"),
+            cos, sin,
+            num_heads=cfg.num_heads,
+            interleaved=True,
+        )
     else:
         q, k, v = _split_heads(qkv, cfg.num_heads, cfg.tp_layout)
         q, k = _qk_norm(p.scope("norm."), q, k)
@@ -424,10 +454,23 @@ def _single_block(p: nn.ParamView, x, vec, pe, cfg: FluxConfig):
         # biasless partial dots adjacent so XLA's AllReduceReassociate can
         # fold add(psum(a), psum(b)) -> psum(a+b); bias applied after.
         # Under the shard_map forward (tp_axis) the fold is literal: ONE
-        # explicit psum over the already-added partials.
-        out = nn.linear(attn, p("linear2_attn.weight"), None) + nn.linear(
-            nn.gelu(mlp, approximate=True), p("linear2_mlp.weight"), None
-        )
+        # explicit psum over the already-added partials. With fused-EW the
+        # two partial matmuls run in-kernel per shard (raw partials — the
+        # gate/bias/residual epilogue must land after the psum, so it
+        # stays one XLA pass; the gelu+row-quant prologues fuse).
+        out = None
+        if _fused_ew():
+            fm_a = getattr(p("linear2_attn.weight"), "modulated_matmul", None)
+            fm_m = getattr(p("linear2_mlp.weight"), "modulated_matmul", None)
+            if fm_a is not None and fm_m is not None:
+                pa = fm_a(attn, prologue="none")
+                pm = fm_m(mlp, prologue="gelu")
+                if pa is not None and pm is not None:
+                    out = pa + pm
+        if out is None:
+            out = nn.linear(attn, p("linear2_attn.weight"), None) + nn.linear(
+                nn.gelu(mlp, approximate=True), p("linear2_mlp.weight"), None
+            )
         if cfg.tp_axis is not None:
             out = jax.lax.psum(out, cfg.tp_axis)
         b2 = p.get("linear2_attn.bias")
@@ -677,6 +720,17 @@ def apply_flux(
 
     ``first_block_hook(img_after_block0, run_rest)``: FBCache boundary after
     double block 0 (WaveSpeed first_block_cache.py:725-790)."""
+    if cfg.fused_attn and cfg.tp_layout and cfg.tp_axis is None:
+        # permuted-basis TP weights REQUIRE the fused kernel, and the
+        # Pallas call cannot run under GSPMD partitioning of sharded
+        # global operands — only the shard_map forward (tp_axis) may
+        # combine fused_attn with the TP layout. The unfused fallback
+        # would silently rope the permuted basis (wrong numerics).
+        raise ValueError(
+            "fused_attn + tp_layout requires the shard_map TP forward "
+            "(parallel.spmd.make_spmd_apply_fn); GSPMD TP must load with "
+            "fused attention off"
+        )
     b, h, w, c = x.shape
     dtype = cfg.dtype
 

@@ -311,13 +311,16 @@ _FUSED_ATTN_BLOCKS = {4352: (256, 4352)}
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_heads", "txt_len", "block_q", "block_k", "eps"),
+    static_argnames=(
+        "num_heads", "txt_len", "block_q", "block_k", "eps", "interleaved"
+    ),
 )
 def fused_qkv_attention(
     qkv, q_scale, k_scale, cos, sin,
     *, num_heads: int, txt_len: int = 0,
     txt_q_scale=None, txt_k_scale=None,
     block_q: int = 512, block_k: int = 1024, eps: float = 1e-6,
+    interleaved: bool = False,
 ):
     """Joint attention straight off the fused qkv projection.
 
@@ -331,6 +334,13 @@ def fused_qkv_attention(
         < txt_len use them (txt tokens sit first, models/flux.py).
     cos/sin: (L, 128) f32 in the half-split layout C=[cos;cos],
         S=[-sin;sin] (models.flux.rope_cos_sin).
+    interleaved: qkv rows are HEAD-INTERLEAVED [q_h0|k_h0|v_h0|q_h1|...]
+        (the tensor-parallel layout, parallel.layout.to_tp_layout) — each
+        shard_map shard holds whole heads, so the only change is the
+        head-stripe index maps (q/k/v of head h sit at 128-lane blocks
+        3h/3h+1/3h+2 instead of h/H+h/2H+h). The OUTPUT layout is
+        head-major folded either way — exactly the row-parallel proj's
+        expected input order per shard.
     Returns (B, L, H*128) — folded heads, no transpose anywhere.
     """
     b, l, w = qkv.shape
@@ -362,6 +372,16 @@ def fused_qkv_attention(
     grid = (b * h, lp // bq, lp // bk)
     interpret = jax.default_backend() == "cpu"
 
+    # 128-lane block index of head hh's q/k/v stripe in the qkv rows
+    if interleaved:
+        q_blk = lambda hh: 3 * hh          # noqa: E731
+        k_blk = lambda hh: 3 * hh + 1      # noqa: E731
+        v_blk = lambda hh: 3 * hh + 2      # noqa: E731
+    else:
+        q_blk = lambda hh: hh              # noqa: E731
+        k_blk = lambda hh: h + hh          # noqa: E731
+        v_blk = lambda hh: 2 * h + hh      # noqa: E731
+
     out = pl.pallas_call(
         functools.partial(
             _fused_kernel, scale=scale, kv_len=l, txt_len=txt_len,
@@ -389,17 +409,17 @@ def fused_qkv_attention(
             ),
             pl.BlockSpec(
                 (1, bq, d),
-                lambda i, j, kk, h=h: (i // h, j, i % h),
+                lambda i, j, kk, h=h: (i // h, j, q_blk(i % h)),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (1, bk, d),
-                lambda i, j, kk, h=h: (i // h, kk * (j == 0), h + i % h),
+                lambda i, j, kk, h=h: (i // h, kk * (j == 0), k_blk(i % h)),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (1, bk, d),
-                lambda i, j, kk, h=h: (i // h, kk * (j == 0), 2 * h + i % h),
+                lambda i, j, kk, h=h: (i // h, kk * (j == 0), v_blk(i % h)),
                 memory_space=pltpu.VMEM,
             ),
         ],

@@ -155,6 +155,55 @@ def to_tp_layout_patches(patches: Dict, cfg) -> Dict:
     return out
 
 
+def permute_rope_basis_rows(params: Dict, cfg) -> Dict:
+    """models.flux.permute_rope_basis for a HOST state dict in checkpoint
+    keyspace BEFORE to_tp_layout: the fused-prologue attention kernel needs
+    q/k in the half-split RoPE basis, and the rope permutation (within each
+    head's 128-row segment of the q/k sections) commutes with the qkv head
+    interleave (whole-128-row-block permutation) — so permute first in the
+    simple proj-major indexing, then interleave. Handles every host leaf
+    representation via _take_rows (GGUF QTensor8 included, which
+    permute_rope_basis does not). Refuses LoRA-patched leaves and
+    already-interleaved layouts loudly. Returns a NEW dict."""
+    from lightdiffusion_next_tpu.models import flux as flux_mod
+
+    if getattr(cfg, "tp_layout", False):
+        raise ValueError("permute the rope basis BEFORE to_tp_layout")
+    H = cfg.hidden_size
+    D = cfg.head_dim
+    pi = flux_mod.rope_pair_permutation(D)
+    qkv_idx = flux_mod._qk_out_index(3 * H, H, D)
+    lin1_idx = flux_mod._qk_out_index(3 * H + int(H * cfg.mlp_ratio), H, D)
+
+    out = dict(params)
+
+    def do(prefix, idx):
+        for suf, ix in ((".weight", idx), (".bias", idx)):
+            k = prefix + suf
+            if k not in out:
+                continue
+            leaf = out[k]
+            if isinstance(leaf, ggml.QTensorLoRA):
+                raise ValueError(
+                    "fused_attn cannot permute LoRA-patched qkv weights; "
+                    "load without fused attention or merge the LoRA first"
+                )
+            out[k] = _take_rows(leaf, ix)
+
+    for i in range(cfg.depth):
+        for s in ("img", "txt"):
+            do(f"double_blocks.{i}.{s}_attn.qkv", qkv_idx)
+            for nk in ("query_norm", "key_norm"):
+                key = f"double_blocks.{i}.{s}_attn.norm.{nk}.scale"
+                out[key] = np.asarray(out[key])[pi]
+    for i in range(cfg.depth_single_blocks):
+        do(f"single_blocks.{i}.linear1", lin1_idx)
+        for nk in ("query_norm", "key_norm"):
+            key = f"single_blocks.{i}.norm.{nk}.scale"
+            out[key] = np.asarray(out[key])[pi]
+    return out
+
+
 def to_tp_layout(params: Dict, cfg) -> Tuple[Dict, object]:
     """Re-lay Flux params head-interleaved + linear1-split. Idempotent via
     ``cfg.tp_layout``; returns (new_params, new_cfg)."""

@@ -108,7 +108,7 @@ def _load_flux_scan_host(sd, fcfg, cfgv, w8a8: bool):
 
 def load_diffusion_model_gguf(
     path: str, mesh=None, w8a8: Optional[bool] = None,
-    scan_blocks: Optional[bool] = None,
+    scan_blocks: Optional[bool] = None, spmd: bool = False,
 ) -> base_mod.DiffusionModel:
     """Flux GGUF -> quantized DiffusionModel (UnetLoaderGGUF parity).
 
@@ -126,7 +126,16 @@ def load_diffusion_model_gguf(
     for the scan-over-blocks forward (models.flux.stack_block_params) —
     7.2x less HLO to compile. Single-device only at the loader level;
     ignored (with a log)
-    when a mesh is given."""
+    when a mesh is given.
+
+    ``spmd``: the caller will wrap the mesh-loaded model in the shard_map
+    TP forward (parallel.spmd.to_spmd_model). Fused-prologue attention
+    then composes: the RoPE basis is permuted on the host BEFORE the TP
+    interleave (the two permutations commute — parallel.layout.
+    permute_rope_basis_rows) and ``fused_attn`` is set on the config, so
+    each shard runs the fused kernel over its whole local heads. GSPMD
+    mesh loads (spmd=False) keep the unfused path (a Pallas call cannot
+    run under GSPMD partitioning)."""
     from lightdiffusion_next_tpu.ops import ggml
 
     cfgv = _config.get_config()
@@ -139,10 +148,41 @@ def load_diffusion_model_gguf(
         from lightdiffusion_next_tpu.parallel import layout
         from lightdiffusion_next_tpu.parallel import sharding as shard_rules
 
+        spmd_fused = False
+        if cfgv.resolve_fused_attn() and spmd:
+            import logging
+
+            tp = mesh.shape.get("model", 1)
+            if fcfg.head_dim != 128:
+                logging.getLogger(__name__).warning(
+                    "fused_attn kernel is 128-lane head_dim only (got %d);"
+                    " keeping the unfused attention path", fcfg.head_dim,
+                )
+            elif tp and fcfg.num_heads % tp:
+                # same divisibility check make_spmd_apply_fn enforces —
+                # validated HERE so the permute never lands on weights the
+                # shard_map wrap would then refuse (permuted weights
+                # require the fused kernel)
+                logging.getLogger(__name__).warning(
+                    "fused_attn needs num_heads %% tp == 0 (%d %% %d); "
+                    "keeping the unfused attention path", fcfg.num_heads, tp,
+                )
+            else:
+                try:
+                    sd = layout.permute_rope_basis_rows(sd, fcfg)
+                    spmd_fused = True
+                except ValueError as e:
+                    logging.getLogger(__name__).warning(
+                        "fused_attn unavailable for this checkpoint (%s); "
+                        "keeping the unfused attention path", e,
+                    )
+
         # TP layout on the host state dict (cheap row permutes of the
         # row-major QTensor8 leaves) so each chip's shard holds whole
         # attention heads — see parallel.layout
         sd, fcfg = layout.to_tp_layout(sd, fcfg)
+        if spmd_fused:
+            fcfg = dataclasses.replace(fcfg, fused_attn=True)
         sharding_for = shard_rules.flux_sharding_for(sd, mesh)
 
     if w8a8 is None:
@@ -195,10 +235,12 @@ def load_diffusion_model_gguf(
         import logging
 
         if mesh is not None:
-            logging.getLogger(__name__).warning(
-                "fused_attn is single-device; keeping the unfused "
-                "attention path on the tensor-parallel load"
-            )
+            if not fcfg.fused_attn:
+                logging.getLogger(__name__).warning(
+                    "fused_attn requires the shard_map TP forward on a "
+                    "mesh (LDT_FLUX_TP=spmd); keeping the unfused "
+                    "attention path on this GSPMD load"
+                )
         elif fcfg.head_dim != 128:
             logging.getLogger(__name__).warning(
                 "fused_attn kernel is 128-lane head_dim only (got %d); "

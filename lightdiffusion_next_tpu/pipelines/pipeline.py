@@ -504,9 +504,10 @@ def _get_flux_models(
     if scan_blocks:
         variant += ":scan"
     # fused-prologue attention permutes the resident weights' RoPE basis
-    # (both the unrolled and the scan-stacked single-device loads apply
-    # it); key the variant so a toggle flip never reuses the other basis
-    if _config.get_config().resolve_fused_attn() and mesh is None:
+    # (single-device loads — unrolled or scan-stacked — and the shard_map
+    # TP load, which permutes before the head interleave); key the variant
+    # so a toggle flip never reuses the other basis
+    if _config.get_config().resolve_fused_attn() and (mesh is None or spmd):
         variant += ":fusedattn"
     model = cache.get(unet_path, variant=variant)
     if model is None:
@@ -517,7 +518,7 @@ def _get_flux_models(
         # (the loader skips tp=True leaves by design)
         model = loader.load_diffusion_model_gguf(
             unet_path, mesh=mesh, w8a8=w8a8 and not spmd,
-            scan_blocks=scan_blocks and mesh is None,
+            scan_blocks=scan_blocks and mesh is None, spmd=spmd,
         )
         if spmd:
             from lightdiffusion_next_tpu.parallel import spmd as spmd_mod
@@ -532,6 +533,14 @@ def _get_flux_models(
                 # e.g. num_heads not divisible by the model axis (24 heads
                 # on a 16-way mesh): keep serving on the GSPMD path rather
                 # than failing the generation
+                if getattr(
+                    getattr(model, "config", None), "fused_attn", False
+                ):
+                    # permuted-basis weights REQUIRE the shard_map fused
+                    # kernel; a GSPMD fallback would serve wrong numerics
+                    # (the loader pre-validates head divisibility, so this
+                    # is a should-never-happen guard, not a flow)
+                    raise
                 import logging
 
                 logging.getLogger(__name__).warning(

@@ -58,10 +58,12 @@ def _fake_flux_world(monkeypatch, tmp_path):
         def with_options(self, **k):
             return self
 
-    def fake_load_gguf(path, mesh=None, w8a8=None, scan_blocks=None):
+    def fake_load_gguf(path, mesh=None, w8a8=None, scan_blocks=None,
+                       spmd=False):
         calls["unet"] += 1
         calls["disk"] += 1
         calls["scan_blocks"] = scan_blocks
+        calls["spmd"] = spmd
         return FakeModel()
 
     def fake_load_torch(path):
