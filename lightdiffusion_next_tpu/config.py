@@ -172,6 +172,15 @@ class RuntimeConfig:
     sage_attention: bool = dataclasses.field(
         default_factory=lambda: os.environ.get("LDT_SAGE_ATTN", "") == "1"
     )
+    # Head-packed flash attention (ops/flash_attention.py
+    # packed_flash_attention): pack G=floor(128/d) heads per 128-lane MXU
+    # tile via block-diagonal K/V staging — attacks SD1.5's structural
+    # d=40 lane padding (3.2x padded MACs on ~55% of the full-res step)
+    # where sage attacked only the rate. Opt-in pending on-chip speed +
+    # drift measurement (the sage discipline). Env LDT_PACKED_ATTN=1.
+    packed_attn: bool = dataclasses.field(
+        default_factory=lambda: os.environ.get("LDT_PACKED_ATTN", "") == "1"
+    )
     # Flux scan-over-blocks: stack the 19+38 identical DiT blocks' params
     # along a depth axis and lax.scan two block bodies instead of unrolling
     # 57 blocks of HLO — 7.2x smaller program (measured at production
@@ -287,6 +296,7 @@ def trace_token() -> tuple:
     return (
         cfg.resolve_attention_backend(),
         cfg.sage_attention,
+        cfg.packed_attn,
         cfg.resolve_w8a8(),
         cfg.resolve_flux_scan(),
         cfg.resolve_fused_attn(),

@@ -56,15 +56,20 @@ def sdpa(q, k, v, mask: Optional[jax.Array] = None):
     return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
 
 
-def _flash_kernel():
-    """The active long-sequence Pallas kernel: bf16 flash attention, or the
-    int8 variant when RuntimeConfig.sage_attention is on (opt-in)."""
-    if _config.get_config().sage_attention:
+def _flash_kernel(head_dim: int = 0):
+    """The active long-sequence Pallas kernel: bf16 flash attention, the
+    int8 variant when RuntimeConfig.sage_attention is on (opt-in), or the
+    head-packed variant when RuntimeConfig.packed_attn is on and the head
+    dim packs >= 2 per 128-lane tile (SD1.5 d=40 -> 3; opt-in)."""
+    cfg = _config.get_config()
+    if cfg.sage_attention:
         from lightdiffusion_next_tpu.ops import sage_attention as sa
 
         return sa.sage_attention
     from lightdiffusion_next_tpu.ops import flash_attention as fa
 
+    if cfg.packed_attn and fa.pack_group(head_dim) >= 2:
+        return fa.packed_flash_attention
     return fa.flash_attention
 
 
@@ -75,7 +80,7 @@ def attention_pallas(q, k, v, heads: int, mask: Optional[jax.Array] = None):
 
     q4, k4, v4 = (_unfold_heads(t, heads) for t in (q, k, v))
     if mask is None and fa.supported(q4, k4, v4):
-        return _fold_heads(_flash_kernel()(q4, k4, v4))
+        return _fold_heads(_flash_kernel(q4.shape[-1])(q4, k4, v4))
     return _fold_heads(sdpa(q4, k4, v4, mask=mask))
 
 
@@ -95,7 +100,7 @@ def attention_heads(q, k, v, mask: Optional[jax.Array] = None):
 
     backend = _config.get_config().resolve_attention_backend()
     if backend == "pallas" and mask is None and fa.supported(q, k, v):
-        return _fold_heads(_flash_kernel()(q, k, v))
+        return _fold_heads(_flash_kernel(q.shape[-1])(q, k, v))
     return _fold_heads(sdpa(q, k, v, mask=mask))
 
 

@@ -182,6 +182,212 @@ def supported(q, k, v) -> bool:
 
 
 # ---------------------------------------------------------------------------
+# Head-packed variant: G heads per 128-lane tile (SD1.5 d=40 -> G=3)
+# ---------------------------------------------------------------------------
+#
+# SD1.5's structural lane waste (round-5 target — ARCHITECTURE §5): the
+# level-0 UNet attends at head_dim 40, and both attention matmuls round the
+# 40 head lanes up to the 128-lane MXU tile — QK^T contracts over 40 of 128
+# lanes and P·V writes 40 of 128 output lanes, a 3.2x padded-MAC bill on
+# ~55% of the full-res step. Head-BATCHING over the M axis cannot fix this
+# (the contraction stays 40-wide); transposing the contraction onto
+# sublanes was measured and rejected in round 1 (Mosaic relayouts).
+#
+# This kernel packs G = floor(128 / d) heads into one grid cell and makes
+# the single dense matmul compute G per-head logit blocks via BLOCK-
+# DIAGONAL staging of K and V:
+#
+#   q_tile  (bq, 128): G heads' features side by side on lanes
+#                      [q_h0 | q_h1 | q_h2 | 0-pad]   (packed in XLA)
+#   K'  (G*bk, 128):   row block h = k_tile masked to lane segment
+#                      [h*d, (h+1)*d) — pure VPU mask+concat, NO transpose
+#   s = q_tile @ K'^T -> (bq, G*bk): column block h = q_h k_h^T exactly
+#                      (other heads' lanes hit K''s zeros)
+#   P' (bq, G*bk) softmaxed PER COLUMN BLOCK (independent m/l state per
+#                      head, lane-sliced at bk multiples — no relayout)
+#   V'  (G*bk, 128):   same masked staging; P' @ V' accumulates head h's
+#                      output into lane segment h of one (bq, 128) acc.
+#
+# One MXU pass now carries G heads: the padded-MAC bill drops 128/d ->
+# 128/(G*d) (3.2x -> 1.07x at d=40) and q/k/v HBM traffic shrinks the same
+# factor. Cost: K'/V' staging (G VPU masked copies of each kv block) and a
+# zero head when H % G != 0 (SD1.5: 8 heads -> 3 groups of 3, one zero).
+
+
+def pack_group(d: int) -> int:
+    """Heads per 128-lane tile: 3 at d<=42 (SD1.5 level 0), 2 at d<=64;
+    1 means packing buys nothing (d=80/160 levels keep the plain kernel)."""
+    if d <= 0:
+        return 1
+    return max(1, 128 // d) if d <= 64 else 1
+
+
+def _packed_kernel(
+    q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
+    *, scale, kv_len, G, d, block_k,
+):
+    ki = pl.program_id(2)
+    nk = pl.num_programs(2)
+    bk = block_k
+
+    @pl.when(ki == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (bk, 128), 1)
+    kp = [jnp.where((lanes >= h * d) & (lanes < (h + 1) * d), k, 0)
+          for h in range(G)]
+    kprime = jnp.concatenate(kp, axis=0)  # (G*bk, 128) block-diagonal
+
+    s = jax.lax.dot_general(
+        q, kprime,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale  # (bq, G*bk); col block h = q_h k_h^T
+
+    # mask padded kv tokens (token index repeats per head block)
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    tok = jax.lax.rem(col, bk) + ki * bk
+    s = jnp.where(tok < kv_len, s, NEG_INF)
+
+    # online softmax per head block; state (bq, G), lane-sliced
+    p_parts, alphas = [], []
+    for h in range(G):
+        s_h = s[:, h * bk : (h + 1) * bk]
+        m_prev = m_ref[:, h : h + 1]
+        m_new = jnp.maximum(m_prev, jnp.max(s_h, axis=1, keepdims=True))
+        p_h = jnp.exp(s_h - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_ref[:, h : h + 1] = (
+            l_ref[:, h : h + 1] * alpha + jnp.sum(p_h, axis=1, keepdims=True)
+        )
+        m_ref[:, h : h + 1] = m_new
+        p_parts.append(p_h.astype(v.dtype))
+        alphas.append(alpha)
+    p_full = jnp.concatenate(p_parts, axis=1)  # (bq, G*bk)
+
+    vp = [jnp.where((lanes >= h * d) & (lanes < (h + 1) * d), v, 0)
+          for h in range(G)]
+    vprime = jnp.concatenate(vp, axis=0)  # (G*bk, 128)
+    pv = jax.lax.dot_general(
+        p_full, vprime,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (bq, 128): head h lands in lane segment h (V''s zeros elsewhere)
+
+    # per-head alpha rescale broadcast onto each head's lane segment
+    seg = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    alpha_full = jnp.zeros((q.shape[0], 128), jnp.float32)
+    for h in range(G):
+        segmask = ((seg >= h * d) & (seg < (h + 1) * d)).astype(jnp.float32)
+        alpha_full = alpha_full + alphas[h] * segmask
+    acc_ref[:] = acc_ref[:] * alpha_full + pv
+
+    @pl.when(ki == nk - 1)
+    def _finish():
+        inv = jnp.zeros((q.shape[0], 128), jnp.float32)
+        for h in range(G):
+            segmask = (
+                (seg >= h * d) & (seg < (h + 1) * d)
+            ).astype(jnp.float32)
+            inv = inv + segmask / l_ref[:, h : h + 1]
+        o_ref[0] = (acc_ref[:] * inv).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
+def packed_flash_attention(q, k, v, block_q: int = 512, block_k: int = 1024):
+    """Head-packed flash attention for small head dims (see module note).
+
+    q: (B, H, Lq, D), k/v: (B, H, Lk, D) with pack_group(D) >= 2 ->
+    (B, H, Lq, D). Heads pad to a multiple of G with a zero head (softmax
+    over all-zero logits is uniform; its output is dropped on unpack)."""
+    b, h, lq, d = q.shape
+    lk = k.shape[2]
+    G = pack_group(d)
+    assert G >= 2, (d, "use flash_attention")
+    scale = 1.0 / math.sqrt(d)
+    hp = -(-h // G)
+
+    def pack(x, l):
+        if hp * G != h:
+            x = jnp.pad(x, ((0, 0), (0, hp * G - h), (0, 0), (0, 0)))
+        x = x.reshape(b, hp, G, l, d).transpose(0, 1, 3, 2, 4)
+        x = x.reshape(b * hp, l, G * d)
+        return jnp.pad(x, ((0, 0), (0, 0), (0, 128 - G * d)))
+
+    # packed blocks need 128-aligned lane slices per head block
+    bq = _exact_block(lq, block_q) or min(block_q, _round_up(lq, 128))
+    bk = _exact_block(lk, block_k) or min(block_k, _round_up(lk, 128))
+    if bq % 128:
+        bq = min(block_q, _round_up(lq, 128))
+    if bk % 128:
+        bk = min(block_k, _round_up(lk, 128))
+    lqp = _round_up(lq, bq)
+    lkp = _round_up(lk, bk)
+
+    qp = pack(q, lq)
+    kp = pack(k, lk)
+    vp = pack(v, lk)
+    if lqp != lq:
+        qp = jnp.pad(qp, ((0, 0), (0, lqp - lq), (0, 0)))
+    if lkp != lk:
+        kp = jnp.pad(kp, ((0, 0), (0, lkp - lk), (0, 0)))
+        vp = jnp.pad(vp, ((0, 0), (0, lkp - lk), (0, 0)))
+
+    grid = (b * hp, lqp // bq, lkp // bk)
+    interpret = jax.default_backend() == "cpu"
+
+    out = pl.pallas_call(
+        functools.partial(
+            _packed_kernel, scale=scale, kv_len=lk, G=G, d=d, block_k=bk,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, bq, 128), lambda i, j, kk: (i, j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, bk, 128), lambda i, j, kk: (i, kk, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, bk, 128), lambda i, j, kk: (i, kk, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, bq, 128), lambda i, j, kk: (i, j, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b * hp, lqp, 128), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bq, G), jnp.float32),
+            pltpu.VMEM((bq, G), jnp.float32),
+            pltpu.VMEM((bq, 128), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * hp * lqp * lkp * 128 * (1 + G),
+            bytes_accessed=2 * b * hp * (lqp + 2 * lkp) * 128,
+            transcendentals=b * hp * G * lqp * lkp,
+        ),
+        interpret=interpret,
+    )(qp, kp, vp)
+
+    # unpack: (b*hp, lqp, 128) -> (b, H, Lq, D)
+    out = out[:, :lq, : G * d].reshape(b, hp, lq, G, d)
+    out = out.transpose(0, 1, 3, 2, 4).reshape(b, hp * G, lq, d)
+    return out[:, :h]
+
+
+# ---------------------------------------------------------------------------
 # Fused-prologue variant: QKNorm + RoPE + head indexing inside the kernel
 # ---------------------------------------------------------------------------
 #
