@@ -81,9 +81,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--fused-ew", action="store_true",
                    help="Flux: fuse the LN/modulation/gelu row-quant "
                         "prologues and gate/bias/residual epilogues into "
-                        "the W8A8 matmul kernels (the TPU default — this "
-                        "flag forces it on elsewhere; only reachable with "
-                        "w8a8; no reference analogue)")
+                        "the W8A8 matmul kernels. Measured -10.6% s/image "
+                        "at the full default stack (the TPU default — "
+                        "this flag forces it on elsewhere; only reachable "
+                        "with w8a8; no reference analogue)")
     p.add_argument("--no-fused-ew", action="store_true",
                    help="Flux: keep the separate XLA elementwise passes "
                         "around the W8A8 matmuls (overrides the fused-ew "
