@@ -175,9 +175,12 @@ class RuntimeConfig:
     # Head-packed flash attention (ops/flash_attention.py
     # packed_flash_attention): pack G=floor(128/d) heads per 128-lane MXU
     # tile via block-diagonal K/V staging — attacks SD1.5's structural
-    # d=40 lane padding (3.2x padded MACs on ~55% of the full-res step)
-    # where sage attacked only the rate. Opt-in pending on-chip speed +
-    # drift measurement (the sage discipline). Env LDT_PACKED_ATTN=1.
+    # d=40 lane padding (3.2x padded MACs) where sage attacked only the
+    # rate. Measured on-chip 2026-08-20 (scripts/ab_packed_attn.py):
+    # kernel 1.01-1.03x, e2e 9.985 -> 10.12 it/s (+1.4%), zero drift —
+    # the d=40 kernel is softmax/VPU-bound, not MXU-bound, so removing
+    # 3.2x of padded MACs buys ~nothing (ARCHITECTURE 5a-ii). Stays
+    # opt-in per the pre-registered >5% flip rule. Env LDT_PACKED_ATTN=1.
     packed_attn: bool = dataclasses.field(
         default_factory=lambda: os.environ.get("LDT_PACKED_ATTN", "") == "1"
     )
