@@ -24,6 +24,20 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
+LOG2E = 1.4426950408889634  # 1/ln(2)
+
+# VPU-lean softmax (round 5): the head-packing A/B (ARCHITECTURE §5a-ii)
+# showed the d=40 SD1.5 attention kernel is softmax/VPU-bound, so the wins
+# left are per-score-element VPU ops, not MACs. Two are structural:
+#   - exp(x) lowers to exp2(x * log2e) — folding log2e into the logit
+#     scale (one existing multiply) and calling exp2 directly drops one
+#     full-vector multiply per score element (p AND alpha rescales);
+#     m/l then live in the scaled-logit domain, which is self-consistent.
+#   - the padded-kv column mask (iota + compare + select, 3 VPU ops per
+#     score element) is statically unnecessary whenever the sequence
+#     tiles exactly (every SD1.5 power-of-two level, Flux's 4352 joint
+#     seq under both the (544,1088) snap and the whole-L fused table) —
+#     the kernels take a static ``masked`` flag and elide it.
 
 
 def _round_up(x: int, m: int) -> int:
@@ -48,7 +62,10 @@ def _exact_block(length: int, preferred: int) -> int:
     return best
 
 
-def _kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale, kv_len):
+def _kernel(
+    q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
+    *, kv_len, masked,
+):
     ki = pl.program_id(2)
     nk = pl.num_programs(2)
     block_k = k_ref.shape[1]
@@ -59,26 +76,25 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale, kv_len)
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    q = q_ref[0]
+    q = q_ref[0]  # pre-scaled by scale*log2e (see module note)
     k = k_ref[0]
-    # logits in fp32 on the MXU
+    # logits in fp32 on the MXU, already in the base-2 domain
     s = jax.lax.dot_general(
         q,
         k,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    s = s * scale
 
-    # mask padded kv columns
-    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_k
-    s = jnp.where(col < kv_len, s, NEG_INF)
+    if masked:  # static: only when kv padding exists
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_k
+        s = jnp.where(col < kv_len, s, NEG_INF)
 
     m_prev = m_ref[:]
     m_cur = jnp.max(s, axis=1, keepdims=True)
     m_new = jnp.maximum(m_prev, m_cur)
-    p = jnp.exp(s - m_new)
-    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp2(s - m_new)
+    alpha = jnp.exp2(m_prev - m_new)
     l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
     acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
         p.astype(v_ref.dtype),
@@ -111,7 +127,10 @@ def flash_attention(q, k, v, block_q: int = 512, block_k: int = 1024):
     """
     b, h, lq, d = q.shape
     lk = k.shape[2]
-    scale = 1.0 / math.sqrt(d)
+    # fold scale AND log2e into q once (O(L*d), fused into the pad copy)
+    # instead of scaling the score matrix per element (O(L^2)); the multiply
+    # runs in f32 so the only extra rounding is the final cast back
+    q = (q.astype(jnp.float32) * (LOG2E / math.sqrt(d))).astype(q.dtype)
 
     dp = _round_up(d, 128)
     block_q = _exact_block(lq, block_q) or min(block_q, _round_up(lq, 128))
@@ -134,7 +153,7 @@ def flash_attention(q, k, v, block_q: int = 512, block_k: int = 1024):
     interpret = jax.default_backend() == "cpu"
 
     out = pl.pallas_call(
-        functools.partial(_kernel, scale=scale, kv_len=lk),
+        functools.partial(_kernel, kv_len=lk, masked=lkp != lk),
         grid=grid,
         in_specs=[
             pl.BlockSpec(
@@ -224,7 +243,7 @@ def pack_group(d: int) -> int:
 
 def _packed_kernel(
     q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
-    *, scale, kv_len, G, d, block_k,
+    *, kv_len, G, d, block_k, masked,
 ):
     ki = pl.program_id(2)
     nk = pl.num_programs(2)
@@ -244,16 +263,17 @@ def _packed_kernel(
           for h in range(G)]
     kprime = jnp.concatenate(kp, axis=0)  # (G*bk, 128) block-diagonal
 
+    # q pre-scaled by scale*log2e; logits land in the base-2 domain
     s = jax.lax.dot_general(
         q, kprime,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) * scale  # (bq, G*bk); col block h = q_h k_h^T
+    )  # (bq, G*bk); col block h = q_h k_h^T
 
-    # mask padded kv tokens (token index repeats per head block)
-    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    tok = jax.lax.rem(col, bk) + ki * bk
-    s = jnp.where(tok < kv_len, s, NEG_INF)
+    if masked:  # static: padded kv tokens (index repeats per head block)
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        tok = jax.lax.rem(col, bk) + ki * bk
+        s = jnp.where(tok < kv_len, s, NEG_INF)
 
     # online softmax per head block; state (bq, G), lane-sliced
     p_parts, alphas = [], []
@@ -261,8 +281,8 @@ def _packed_kernel(
         s_h = s[:, h * bk : (h + 1) * bk]
         m_prev = m_ref[:, h : h + 1]
         m_new = jnp.maximum(m_prev, jnp.max(s_h, axis=1, keepdims=True))
-        p_h = jnp.exp(s_h - m_new)
-        alpha = jnp.exp(m_prev - m_new)
+        p_h = jnp.exp2(s_h - m_new)
+        alpha = jnp.exp2(m_prev - m_new)
         l_ref[:, h : h + 1] = (
             l_ref[:, h : h + 1] * alpha + jnp.sum(p_h, axis=1, keepdims=True)
         )
@@ -310,7 +330,8 @@ def packed_flash_attention(q, k, v, block_q: int = 512, block_k: int = 1024):
     lk = k.shape[2]
     G = pack_group(d)
     assert G >= 2, (d, "use flash_attention")
-    scale = 1.0 / math.sqrt(d)
+    # fold scale + log2e into q once (see flash_attention)
+    q = (q.astype(jnp.float32) * (LOG2E / math.sqrt(d))).astype(q.dtype)
     hp = -(-h // G)
 
     def pack(x, l):
@@ -344,7 +365,8 @@ def packed_flash_attention(q, k, v, block_q: int = 512, block_k: int = 1024):
 
     out = pl.pallas_call(
         functools.partial(
-            _packed_kernel, scale=scale, kv_len=lk, G=G, d=d, block_k=bk,
+            _packed_kernel, kv_len=lk, G=G, d=d, block_k=bk,
+            masked=lkp != lk,
         ),
         grid=grid,
         in_specs=[
@@ -417,7 +439,7 @@ def _fused_kernel(
     qs_ref, ks_ref, tqs_ref, tks_ref, cq_ref, sq_ref, ck_ref, sk_ref,
     q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
     qn_ref, kc_ref, vc_ref,
-    *, scale, kv_len, txt_len, block_q, block_k, eps,
+    *, scale, kv_len, txt_len, block_q, block_k, eps, masked,
 ):
     """Grid (b·h, lp/bq, lp/bk), kk innermost. The QKNorm+RoPE prologue is
     HOISTED out of the (j, kk) product (the round-4 follow-up trace showed
@@ -461,9 +483,15 @@ def _fused_kernel(
 
     @pl.when(ki == 0)
     def _q_prologue():
-        qn_ref[:] = norm_rope(
-            q_ref[0], ji * block_q, block_q, qs_ref[...], tqs_ref[...],
-            cq_ref[...], sq_ref[...],
+        # scale*log2e folded here in f32, once per q row (O(bq*d)) — the
+        # score matrix then needs no per-element scale and exp2 applies
+        # directly (see module note)
+        qn_ref[:] = (
+            norm_rope(
+                q_ref[0], ji * block_q, block_q, qs_ref[...], tqs_ref[...],
+                cq_ref[...], sq_ref[...],
+            )
+            * (scale * LOG2E)
         ).astype(qn_ref.dtype)
 
     @pl.when(ji == 0)
@@ -480,16 +508,16 @@ def _fused_kernel(
     s = jax.lax.dot_general(
         q, k, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )
-    s = s * scale
-    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_k
-    s = jnp.where(col < kv_len, s, NEG_INF)
+    )  # q pre-scaled: logits already in the base-2 domain
+    if masked:  # static: only when kv padding exists
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_k
+        s = jnp.where(col < kv_len, s, NEG_INF)
 
     m_prev = m_ref[:]
     m_cur = jnp.max(s, axis=1, keepdims=True)
     m_new = jnp.maximum(m_prev, m_cur)
-    p = jnp.exp(s - m_new)
-    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp2(s - m_new)
+    alpha = jnp.exp2(m_prev - m_new)
     l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
     acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
         p.astype(vc_ref.dtype), vc_ref[pl.ds(ki * block_k, block_k), :],
@@ -591,7 +619,7 @@ def fused_qkv_attention(
     out = pl.pallas_call(
         functools.partial(
             _fused_kernel, scale=scale, kv_len=l, txt_len=txt_len,
-            block_q=bq, block_k=bk, eps=eps,
+            block_q=bq, block_k=bk, eps=eps, masked=lp != l,
         ),
         grid=grid,
         in_specs=[
