@@ -89,6 +89,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Flux: keep the separate XLA elementwise passes "
                         "around the W8A8 matmuls (overrides the fused-ew "
                         "auto default)")
+    p.add_argument("--packed-attn", action="store_true",
+                   help="SD1.5: pack G=floor(128/head_dim) heads per "
+                        "128-lane MXU tile in the flash kernel (d=40 -> 3 "
+                        "heads, padded-MAC bill 3.2x -> 1.07x). Kernel "
+                        "1.05-1.17x after the VPU-lean softmax (the TPU "
+                        "default — this flag forces it on elsewhere; no "
+                        "reference analogue)")
+    p.add_argument("--no-packed-attn", action="store_true",
+                   help="SD1.5: keep one head per MXU tile even on TPU "
+                        "(overrides the packed-attn auto default)")
     return p
 
 
@@ -107,9 +117,13 @@ def main(argv=None) -> int:
     if args.fused_ew and args.no_fused_ew:
         raise SystemExit(
             "--fused-ew and --no-fused-ew are mutually exclusive")
+    if args.packed_attn and args.no_packed_attn:
+        raise SystemExit(
+            "--packed-attn and --no-packed-attn are mutually exclusive")
     if (args.w8a8 or args.no_w8a8 or args.sage_attention or args.flux_scan
             or args.no_flux_scan or args.fused_attn or args.no_fused_attn
-            or args.fused_ew or args.no_fused_ew):
+            or args.fused_ew or args.no_fused_ew
+            or args.packed_attn or args.no_packed_attn):
         import dataclasses as _dc
 
         from lightdiffusion_next_tpu import config as _config
@@ -130,6 +144,9 @@ def main(argv=None) -> int:
             fused_ew=(True if args.fused_ew
                       else False if args.no_fused_ew
                       else _config.get_config().fused_ew),
+            packed_attn=(True if args.packed_attn
+                         else False if args.no_packed_attn
+                         else _config.get_config().packed_attn),
         ))
 
     progress_callback = None

@@ -47,6 +47,7 @@ DEFAULT_SETTINGS = {
     "flux_scan": None,  # None -> resolve_flux_scan() (TPU on, CPU off)
     "fused_attn": None,  # None -> resolve_fused_attn() (TPU on, CPU off)
     "fused_ew": None,  # None -> resolve_fused_ew() (TPU on, CPU off)
+    "packed_attn": None,  # None -> resolve_packed_attn() (TPU on, CPU off)
 }
 
 
@@ -72,6 +73,14 @@ def _resolve_default_fused_ew() -> bool:
     from lightdiffusion_next_tpu import config as _config
 
     return _config.get_config().resolve_fused_ew()
+
+
+def _resolve_default_packed_attn() -> bool:
+    """UI default for the head-packed attention checkbox: the RuntimeConfig
+    "auto" policy (on-TPU on, CPU off) unless the user saved a choice."""
+    from lightdiffusion_next_tpu import config as _config
+
+    return _config.get_config().resolve_packed_attn()
 
 
 def _resolve_default_flux_scan() -> bool:
@@ -144,7 +153,7 @@ def generate_images_with_preview(
 
         if "w8a8" in kwargs or "sage_attention" in kwargs \
                 or "flux_scan" in kwargs or "fused_attn" in kwargs \
-                or "fused_ew" in kwargs:
+                or "fused_ew" in kwargs or "packed_attn" in kwargs:
             # int8-MXU compute / scan-forward toggles (this framework's own)
             import dataclasses as _dc
 
@@ -165,6 +174,9 @@ def generate_images_with_preview(
                 ),
                 fused_ew=bool(
                     kwargs.pop("fused_ew", cfg.resolve_fused_ew())
+                ),
+                packed_attn=bool(
+                    kwargs.pop("packed_attn", cfg.resolve_packed_attn())
                 ),
             ))
 
@@ -422,6 +434,15 @@ def build_app():
                              "matmul kernels; measured -10.6% s/image "
                              "(default on TPU), latent RMSE 0.74%",
                     )
+                    packed_attn = gr.Checkbox(
+                        value=(_resolve_default_packed_attn()
+                               if s["packed_attn"] is None
+                               else s["packed_attn"]),
+                        label="Head-packed attention (SD1.5)",
+                        info="3 heads per 128-lane MXU tile at d=40; "
+                             "kernel 1.05-1.17x after the VPU-lean "
+                             "softmax (default on TPU), zero drift",
+                    )
                 with gr.Row():
                     img2img = gr.Checkbox(
                         value=s["img2img_enabled"], label="Image to image"
@@ -488,7 +509,7 @@ def build_app():
             prompt, negative, width, height, num_images, batch_size, hires,
             adet, enh, speed, hdr, realistic, flux, reuse, keep, prev,
             use_w8a8, use_sage, use_flux_scan, use_fused, use_fused_ew,
-            i2i_enabled, i2i_image, ms_preset,
+            use_packed, i2i_enabled, i2i_image, ms_preset,
             ms_enabled, ms_intermittent, ms_factor, ms_start, ms_end,
         ):
             ms_kwargs = multiscale_kwargs(
@@ -525,6 +546,7 @@ def build_app():
                     "flux_scan": bool(use_flux_scan),
                     "fused_attn": bool(use_fused),
                     "fused_ew": bool(use_fused_ew),
+                    "packed_attn": bool(use_packed),
                 }
             )
             paths, state = [], "starting"
@@ -546,6 +568,7 @@ def build_app():
                 flux_scan=bool(use_flux_scan),
                 fused_attn=bool(use_fused),
                 fused_ew=bool(use_fused_ew),
+                packed_attn=bool(use_packed),
                 img2img_enabled=bool(i2i_enabled),
                 img2img_image=i2i_image,
                 prio_speed=speed,
@@ -565,7 +588,7 @@ def build_app():
             [prompt, negative, width, height, num_images, batch_size, hires,
              adet, enh, speed, hdr, realistic, flux, reuse_seed, keep_loaded,
              preview_on, w8a8, sage_attn, flux_scan, fused_attn, fused_ew,
-             img2img, img2img_image, ms_preset,
+             packed_attn, img2img, img2img_image, ms_preset,
              ms_enabled, ms_intermittent, ms_factor, ms_start, ms_end],
             [gallery, status, history, history_paths],
         )

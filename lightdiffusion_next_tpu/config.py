@@ -176,13 +176,21 @@ class RuntimeConfig:
     # packed_flash_attention): pack G=floor(128/d) heads per 128-lane MXU
     # tile via block-diagonal K/V staging — attacks SD1.5's structural
     # d=40 lane padding (3.2x padded MACs) where sage attacked only the
-    # rate. Measured on-chip 2026-08-20 (scripts/ab_packed_attn.py):
-    # kernel 1.01-1.03x, e2e 9.985 -> 10.12 it/s (+1.4%), zero drift —
-    # the d=40 kernel is softmax/VPU-bound, not MXU-bound, so removing
-    # 3.2x of padded MACs buys ~nothing (ARCHITECTURE 5a-ii). Stays
-    # opt-in per the pre-registered >5% flip rule. Env LDT_PACKED_ATTN=1.
-    packed_attn: bool = dataclasses.field(
-        default_factory=lambda: os.environ.get("LDT_PACKED_ATTN", "") == "1"
+    # rate. First measured on-chip 2026-08-20 pre-VPU-lean-softmax
+    # (scripts/ab_packed_attn.py): kernel 1.01-1.03x — the d=40 kernel
+    # was softmax/VPU-bound, so removing 3.2x of padded MACs bought
+    # ~nothing and it stayed opt-in (ARCHITECTURE 5a-ii). RE-MEASURED
+    # the same day AFTER the VPU-lean softmax cut the per-score VPU
+    # bill: kernel 1.05x at the MSW level-0 shape / 1.17x unwindowed
+    # 16384, zero checksum drift — the MAC saving is now a visible
+    # share, crossing the pre-registered >5% flip rule, so "auto"
+    # resolves TPU->on / CPU->off (only engages when pack_group(d) >= 2;
+    # d=64/128 shapes keep the plain kernel either way). Env override
+    # LDT_PACKED_ATTN=1/0; resolve via resolve_packed_attn().
+    packed_attn: object = dataclasses.field(
+        default_factory=lambda: {"1": True, "0": False}.get(
+            os.environ.get("LDT_PACKED_ATTN", "auto"), "auto"
+        )
     )
     # Flux scan-over-blocks: stack the 19+38 identical DiT blocks' params
     # along a depth axis and lax.scan two block bodies instead of unrolling
@@ -249,6 +257,8 @@ class RuntimeConfig:
             raise ValueError('fused_ew must be True, False or "auto"')
         if self.flux_scan not in (True, False, "auto"):
             raise ValueError('flux_scan must be True, False or "auto"')
+        if self.packed_attn not in (True, False, "auto"):
+            raise ValueError('packed_attn must be True, False or "auto"')
 
     def resolve_w8a8(self) -> bool:
         if self.w8a8 == "auto":
@@ -269,6 +279,11 @@ class RuntimeConfig:
         if self.fused_ew == "auto":
             return is_tpu()
         return bool(self.fused_ew)
+
+    def resolve_packed_attn(self) -> bool:
+        if self.packed_attn == "auto":
+            return is_tpu()
+        return bool(self.packed_attn)
 
     def resolve_attention_backend(self) -> str:
         if self.attention_backend != "auto":
@@ -299,7 +314,7 @@ def trace_token() -> tuple:
     return (
         cfg.resolve_attention_backend(),
         cfg.sage_attention,
-        cfg.packed_attn,
+        cfg.resolve_packed_attn(),
         cfg.resolve_w8a8(),
         cfg.resolve_flux_scan(),
         cfg.resolve_fused_attn(),

@@ -59,8 +59,9 @@ def sdpa(q, k, v, mask: Optional[jax.Array] = None):
 def _flash_kernel(head_dim: int = 0):
     """The active long-sequence Pallas kernel: bf16 flash attention, the
     int8 variant when RuntimeConfig.sage_attention is on (opt-in), or the
-    head-packed variant when RuntimeConfig.packed_attn is on and the head
-    dim packs >= 2 per 128-lane tile (SD1.5 d=40 -> 3; opt-in)."""
+    head-packed variant when packed_attn resolves on and the head dim
+    packs >= 2 per 128-lane tile (SD1.5 d=40 -> 3; TPU default since the
+    VPU-lean softmax made the pack's MAC saving visible — config.py)."""
     cfg = _config.get_config()
     if cfg.sage_attention:
         from lightdiffusion_next_tpu.ops import sage_attention as sa
@@ -68,7 +69,7 @@ def _flash_kernel(head_dim: int = 0):
         return sa.sage_attention
     from lightdiffusion_next_tpu.ops import flash_attention as fa
 
-    if cfg.packed_attn and fa.pack_group(head_dim) >= 2:
+    if cfg.resolve_packed_attn() and fa.pack_group(head_dim) >= 2:
         return fa.packed_flash_attention
     return fa.flash_attention
 

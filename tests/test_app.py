@@ -449,3 +449,46 @@ def test_w8a8_toggle_sets_config(monkeypatch, tmp_path):
         assert _config.get_config().w8a8 is False
     finally:
         _config.set_config(old)
+
+
+def test_packed_attn_toggle_sets_config(monkeypatch, tmp_path):
+    """The head-packed attention checkbox routes to config.packed_attn
+    (TPU default since the VPU-lean softmax; no reference analogue) and is
+    popped before the pipeline call."""
+    monkeypatch.chdir(tmp_path)
+    from lightdiffusion_next_tpu import config as _config
+    from lightdiffusion_next_tpu.app import webui
+    from lightdiffusion_next_tpu.pipelines import pipeline as pipeline_mod
+
+    captured = {}
+    monkeypatch.setattr(
+        pipeline_mod, "pipeline",
+        lambda **kw: captured.update(kw) or ["x.png"],
+    )
+    old = _config.get_config()
+    try:
+        list(
+            webui.generate_images_with_preview(
+                output_dir=str(tmp_path), prompt="p", w=64, h=64,
+                packed_attn=True,
+            )
+        )
+        assert _config.get_config().packed_attn is True
+        assert "packed_attn" not in captured
+        list(
+            webui.generate_images_with_preview(
+                output_dir=str(tmp_path), prompt="p", w=64, h=64,
+                packed_attn=False,
+            )
+        )
+        assert _config.get_config().packed_attn is False
+    finally:
+        _config.set_config(old)
+
+
+def test_cli_packed_attn_flags():
+    from lightdiffusion_next_tpu.app.cli import build_parser
+
+    p = build_parser()
+    assert p.parse_args(["a cat", "64", "64", "--packed-attn"]).packed_attn
+    assert p.parse_args(["a cat", "64", "64", "--no-packed-attn"]).no_packed_attn

@@ -202,6 +202,41 @@ def test_fused_ew_in_trace_token():
     assert k_off != k_on, "fused_ew flip must mint a new denoiser cache key"
 
 
+def test_packed_attn_in_trace_token():
+    """RuntimeConfig.packed_attn is consulted at trace time in the
+    attention dispatch (ops/attention.py _flash_kernel) — a WebUI/CLI flip
+    must mint a new denoiser cache key. Tri-state since it became the TPU
+    default: the token carries the RESOLVED value, so explicit True and
+    "auto"-on-TPU hash identically (same traced program)."""
+    cond = CondInput(jnp.zeros((1, 4, 64)))
+    m = _tiny(32)
+    old = _config.get_config()
+    try:
+        _config.set_config(_with_config(packed_attn=False))
+        tok_off = _config.trace_token()
+        k_off = cfg_mod.make_cfg_denoiser(
+            m.apply_fn, m.params, m.model_sampling, cond, None, 1.0,
+            model_uid=m.uid,
+        ).cache_key
+        _config.set_config(_with_config(packed_attn=True))
+        tok_on = _config.trace_token()
+        k_on = cfg_mod.make_cfg_denoiser(
+            m.apply_fn, m.params, m.model_sampling, cond, None, 1.0,
+            model_uid=m.uid,
+        ).cache_key
+        explicit = _config.get_config().resolve_packed_attn()
+        _config.set_config(_with_config(packed_attn="auto"))
+        auto = _config.get_config().resolve_packed_attn()
+        tok_auto = _config.trace_token()
+    finally:
+        _config.set_config(old)
+    assert tok_off != tok_on, "packed_attn must participate in trace_token()"
+    assert k_off != k_on, (
+        "packed_attn flip must mint a new denoiser cache key")
+    assert (tok_auto == tok_on) == (auto == explicit), (
+        "trace token must carry the resolved packed_attn value")
+
+
 def test_config_jit_retraces_on_config_flip():
     """config_jit programs (VAE encode/decode) must retrace when a
     trace-affecting config field flips, even though the jit arguments are
