@@ -99,6 +99,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-packed-attn", action="store_true",
                    help="SD1.5: keep one head per MXU tile even on TPU "
                         "(overrides the packed-attn auto default)")
+    p.add_argument("--qkv-fuse", action="store_true",
+                   help="UNet attention: one wide q|k|v projection matmul "
+                        "instead of three narrow ones (identical math; "
+                        "the default everywhere — this flag forces it on "
+                        "after a --no-qkv-fuse settings file)")
+    p.add_argument("--no-qkv-fuse", action="store_true",
+                   help="UNet attention: keep separate to_q/to_k/to_v "
+                        "matmuls (overrides the qkv-fuse auto default)")
     return p
 
 
@@ -120,10 +128,14 @@ def main(argv=None) -> int:
     if args.packed_attn and args.no_packed_attn:
         raise SystemExit(
             "--packed-attn and --no-packed-attn are mutually exclusive")
+    if args.qkv_fuse and args.no_qkv_fuse:
+        raise SystemExit(
+            "--qkv-fuse and --no-qkv-fuse are mutually exclusive")
     if (args.w8a8 or args.no_w8a8 or args.sage_attention or args.flux_scan
             or args.no_flux_scan or args.fused_attn or args.no_fused_attn
             or args.fused_ew or args.no_fused_ew
-            or args.packed_attn or args.no_packed_attn):
+            or args.packed_attn or args.no_packed_attn
+            or args.qkv_fuse or args.no_qkv_fuse):
         import dataclasses as _dc
 
         from lightdiffusion_next_tpu import config as _config
@@ -147,6 +159,9 @@ def main(argv=None) -> int:
             packed_attn=(True if args.packed_attn
                          else False if args.no_packed_attn
                          else _config.get_config().packed_attn),
+            qkv_fuse=(True if args.qkv_fuse
+                      else False if args.no_qkv_fuse
+                      else _config.get_config().qkv_fuse),
         ))
 
     progress_callback = None

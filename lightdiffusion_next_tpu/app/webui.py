@@ -48,6 +48,7 @@ DEFAULT_SETTINGS = {
     "fused_attn": None,  # None -> resolve_fused_attn() (TPU on, CPU off)
     "fused_ew": None,  # None -> resolve_fused_ew() (TPU on, CPU off)
     "packed_attn": None,  # None -> resolve_packed_attn() (TPU on, CPU off)
+    "qkv_fuse": None,  # None -> resolve_qkv_fuse() (on everywhere)
 }
 
 
@@ -81,6 +82,15 @@ def _resolve_default_packed_attn() -> bool:
     from lightdiffusion_next_tpu import config as _config
 
     return _config.get_config().resolve_packed_attn()
+
+
+def _resolve_default_qkv_fuse() -> bool:
+    """UI default for the fused-QKV checkbox: the RuntimeConfig "auto"
+    policy (on everywhere — identical math) unless the user saved a
+    choice."""
+    from lightdiffusion_next_tpu import config as _config
+
+    return _config.get_config().resolve_qkv_fuse()
 
 
 def _resolve_default_flux_scan() -> bool:
@@ -153,7 +163,8 @@ def generate_images_with_preview(
 
         if "w8a8" in kwargs or "sage_attention" in kwargs \
                 or "flux_scan" in kwargs or "fused_attn" in kwargs \
-                or "fused_ew" in kwargs or "packed_attn" in kwargs:
+                or "fused_ew" in kwargs or "packed_attn" in kwargs \
+                or "qkv_fuse" in kwargs:
             # int8-MXU compute / scan-forward toggles (this framework's own)
             import dataclasses as _dc
 
@@ -177,6 +188,9 @@ def generate_images_with_preview(
                 ),
                 packed_attn=bool(
                     kwargs.pop("packed_attn", cfg.resolve_packed_attn())
+                ),
+                qkv_fuse=bool(
+                    kwargs.pop("qkv_fuse", cfg.resolve_qkv_fuse())
                 ),
             ))
 
@@ -443,6 +457,14 @@ def build_app():
                              "kernel 1.05-1.17x after the VPU-lean "
                              "softmax (default on TPU), zero drift",
                     )
+                    qkv_fuse = gr.Checkbox(
+                        value=(_resolve_default_qkv_fuse()
+                               if s["qkv_fuse"] is None
+                               else s["qkv_fuse"]),
+                        label="Fused QKV projection (UNet)",
+                        info="one wide q|k|v matmul instead of three "
+                             "narrow ones; identical math (default on)",
+                    )
                 with gr.Row():
                     img2img = gr.Checkbox(
                         value=s["img2img_enabled"], label="Image to image"
@@ -509,7 +531,7 @@ def build_app():
             prompt, negative, width, height, num_images, batch_size, hires,
             adet, enh, speed, hdr, realistic, flux, reuse, keep, prev,
             use_w8a8, use_sage, use_flux_scan, use_fused, use_fused_ew,
-            use_packed, i2i_enabled, i2i_image, ms_preset,
+            use_packed, use_qkv_fuse, i2i_enabled, i2i_image, ms_preset,
             ms_enabled, ms_intermittent, ms_factor, ms_start, ms_end,
         ):
             ms_kwargs = multiscale_kwargs(
@@ -547,6 +569,7 @@ def build_app():
                     "fused_attn": bool(use_fused),
                     "fused_ew": bool(use_fused_ew),
                     "packed_attn": bool(use_packed),
+                    "qkv_fuse": bool(use_qkv_fuse),
                 }
             )
             paths, state = [], "starting"
@@ -569,6 +592,7 @@ def build_app():
                 fused_attn=bool(use_fused),
                 fused_ew=bool(use_fused_ew),
                 packed_attn=bool(use_packed),
+                qkv_fuse=bool(use_qkv_fuse),
                 img2img_enabled=bool(i2i_enabled),
                 img2img_image=i2i_image,
                 prio_speed=speed,
@@ -588,7 +612,7 @@ def build_app():
             [prompt, negative, width, height, num_images, batch_size, hires,
              adet, enh, speed, hdr, realistic, flux, reuse_seed, keep_loaded,
              preview_on, w8a8, sage_attn, flux_scan, fused_attn, fused_ew,
-             packed_attn, img2img, img2img_image, ms_preset,
+             packed_attn, qkv_fuse, img2img, img2img_image, ms_preset,
              ms_enabled, ms_intermittent, ms_factor, ms_start, ms_end],
             [gallery, status, history, history_paths],
         )

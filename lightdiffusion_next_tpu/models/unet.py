@@ -162,6 +162,24 @@ def resblock(p: nn.ParamView, x, emb):
     return x + h
 
 
+def _can_fuse_qkv(*ws) -> bool:
+    """True when the projection weights may be concatenated into one matmul:
+    plain dense arrays (no quantized/dequant wrappers) of equal shape/dtype,
+    and the runtime config enables the fusion (config.qkv_fuse)."""
+    from lightdiffusion_next_tpu import config as _config
+
+    if not _config.get_config().resolve_qkv_fuse():
+        return False
+    for w in ws:
+        if hasattr(w, "fused_matmul") or hasattr(w, "dequantize"):
+            return False
+        if not hasattr(w, "shape") or w.shape != ws[0].shape:
+            return False
+        if getattr(w, "dtype", None) != ws[0].dtype:
+            return False
+    return True
+
+
 def cross_attention(
     p: nn.ParamView,
     x,
@@ -174,10 +192,24 @@ def cross_attention(
     """CrossAttention (Attention.py:53-125): to_q/k/v (no bias), attention,
     to_out. ``attn_override(q, k, v, heads, block=..., hw=...)`` swaps the
     core (MSW-MSA windowing, ops.window)."""
-    q = nn.linear(x, p("to_q.weight"))
     ctx = x if context is None else context
-    k = nn.linear(ctx, p("to_k.weight"))
-    v = nn.linear(ctx, p("to_v.weight"))
+    wq, wk, wv = p("to_q.weight"), p("to_k.weight"), p("to_v.weight")
+    if context is None and _can_fuse_qkv(wq, wk, wv):
+        # One wide (C -> 3*inner) matmul instead of three narrow ones: the
+        # round-5 device trace has the separate N=320/640 projections at
+        # 48-74 TF/s (x re-read 3x, MXU under-fed at 2.5 lane tiles) vs
+        # 150-190 TF/s for wide matmuls. Identical math per output element
+        # (same contraction, no reassociation) — see config.qkv_fuse.
+        qkv = nn.linear(x, jnp.concatenate([wq, wk, wv], axis=0))
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+    elif context is not None and _can_fuse_qkv(wk, wv):
+        q = nn.linear(x, wq)
+        kv = nn.linear(ctx, jnp.concatenate([wk, wv], axis=0))
+        k, v = jnp.split(kv, 2, axis=-1)
+    else:
+        q = nn.linear(x, wq)
+        k = nn.linear(ctx, wk)
+        v = nn.linear(ctx, wv)
     if attn_override is not None:
         out = attn_override(q, k, v, heads, block=block, hw=hw)
     else:

@@ -322,3 +322,34 @@ def test_sage_flip_warm_model_changes_output():
         "sage flip on a warm model produced bit-identical output — the "
         "stale bf16 runner was reused"
     )
+
+
+def test_qkv_fuse_in_trace_token():
+    """RuntimeConfig.qkv_fuse is consulted at trace time in the UNet's
+    cross_attention (models/unet.py _can_fuse_qkv) — a flip must mint a
+    new denoiser cache key even though the math is identical (the traced
+    program differs: one wide matmul vs three narrow ones)."""
+    cond = CondInput(jnp.zeros((1, 4, 64)))
+    m = _tiny(32)
+    old = _config.get_config()
+    try:
+        _config.set_config(_with_config(qkv_fuse=False))
+        tok_off = _config.trace_token()
+        k_off = cfg_mod.make_cfg_denoiser(
+            m.apply_fn, m.params, m.model_sampling, cond, None, 1.0,
+            model_uid=m.uid,
+        ).cache_key
+        _config.set_config(_with_config(qkv_fuse=True))
+        tok_on = _config.trace_token()
+        k_on = cfg_mod.make_cfg_denoiser(
+            m.apply_fn, m.params, m.model_sampling, cond, None, 1.0,
+            model_uid=m.uid,
+        ).cache_key
+        _config.set_config(_with_config(qkv_fuse="auto"))
+        tok_auto = _config.trace_token()
+    finally:
+        _config.set_config(old)
+    assert tok_off != tok_on, "qkv_fuse must participate in trace_token()"
+    assert k_off != k_on, "qkv_fuse flip must mint a new denoiser cache key"
+    # "auto" resolves to on everywhere -> hashes identically to explicit on
+    assert tok_auto == tok_on

@@ -219,3 +219,63 @@ def test_attn1_override_receives_block_identities():
     for b, hw in seen:
         assert isinstance(b[1], int)
         assert hw is not None and len(hw) == 2
+
+
+def test_qkv_fuse_matches_unfused(rng):
+    """The fused q|k|v projection computes each output element's contraction
+    unchanged (concat along the OUT dim, split after) — self- and
+    cross-attention outputs must match the separate-matmul path to fp32
+    roundoff (XLA may tile the wide matmul differently, so last-ulp
+    differences are possible; 1e-5 is ~10 ulp at these magnitudes)."""
+    import dataclasses as _dc
+
+    from lightdiffusion_next_tpu import config as _config
+
+    cfg = unet.UNetConfig(
+        model_channels=32, channel_mult=(1,), num_res_blocks=(1,),
+        transformer_depth=(1,), context_dim=24, num_heads=4,
+    )
+    params = unet.init_params(cfg, seed=5, dtype=jnp.float32)
+    prefix = "input_blocks.1.1.transformer_blocks.0."
+    x = jnp.asarray(rng.standard_normal((1, 16, 32)).astype(np.float32))
+    ctx = jnp.asarray(rng.standard_normal((1, 5, 24)).astype(np.float32))
+    old = _config.get_config()
+    try:
+        _config.set_config(_dc.replace(old, qkv_fuse=True))
+        fused = _np(unet.basic_transformer_block(
+            nn.ParamView(params, prefix), x, ctx, heads=4))
+        _config.set_config(_dc.replace(old, qkv_fuse=False))
+        unfused = _np(unet.basic_transformer_block(
+            nn.ParamView(params, prefix), x, ctx, heads=4))
+    finally:
+        _config.set_config(old)
+    np.testing.assert_allclose(fused, unfused, atol=1e-5)
+
+
+def test_qkv_fuse_falls_back_on_wrapped_weights(rng):
+    """Quantized/dequant-wrapper weight leaves must take the separate-matmul
+    path (the fusion concatenates raw arrays; wrappers define their own
+    matmul)."""
+
+    class _Wrapped:
+        def __init__(self, w):
+            self._w = jnp.asarray(w)
+            self.shape = self._w.shape
+            self.dtype = self._w.dtype
+
+        def dequantize(self, dtype):
+            return self._w.astype(dtype)
+
+    assert not unet._can_fuse_qkv(
+        _Wrapped(np.eye(8, dtype=np.float32)),
+        _Wrapped(np.eye(8, dtype=np.float32)),
+        _Wrapped(np.eye(8, dtype=np.float32)),
+    )
+    # mixed plain/wrapped refuses too
+    assert not unet._can_fuse_qkv(
+        jnp.eye(8), _Wrapped(np.eye(8, dtype=np.float32)), jnp.eye(8)
+    )
+    # plain equal-shape arrays fuse (config default on)
+    assert unet._can_fuse_qkv(jnp.eye(8), jnp.eye(8), jnp.eye(8))
+    # shape mismatch refuses
+    assert not unet._can_fuse_qkv(jnp.eye(8), jnp.eye(4), jnp.eye(8))
